@@ -1,0 +1,426 @@
+"""Distributed per-column encode/decode over Spark — the engine core.
+
+Pipeline (SURVEY.md §3.2 "Spark lifecycle equivalent" of d6tstack's
+to_parquet_combine, reference combine_csv.py:459-504):
+
+    physicalize (ts→µs int64, date→days, bool→i8; Catalyst Cast nodes)
+    → assign block_id = pmod(xxhash64(bucket_col), B)·SALT_SPAN + salt
+      (salt splits skewed bucket keys by order_col range — explicit skew
+       handling; AQE skew-join does not cover mapInArrow stages)
+    → repartition(B, block_id) · sortWithinPartitions(block_id, *order_cols)
+      (the reference's deterministic np.sort file ordering, combine_csv.py:62,
+       re-expressed as a stable per-block sort)
+    → mapInArrow(encode): one pass, streaming per-block flush; per column:
+      sniff → auto-select codec → encode → block row
+    → blocks DataFrame (binary payload + codec manifest columns)
+
+Decode is the exact inverse; every column round-trips bit-identical
+(null bitmaps, NaN payloads, µs timestamps). Timestamps are held as int64
+µs on the Spark side (F.unix_micros/F.timestamp_micros) so pandas/Arrow
+never coerces them (SURVEY.md §7 "hard parts").
+
+All heavy work is vectorized: Arrow batches in, numpy kernels inside, Arrow
+batches out — no per-row Python (input_hint).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from d6tstack_spark.codecs.blocks import Block, decode_block, encode_block
+
+SALT_SPAN = 4096  # max sub-blocks a skewed bucket can split into
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("block_id", T.LongType(), False),
+        T.StructField("column", T.StringType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("params", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("null_count", T.LongType(), False),
+        T.StructField("raw_bytes", T.LongType(), False),
+        T.StructField("enc_bytes", T.LongType(), False),
+        T.StructField("crc", T.LongType(), False),
+    ]
+)
+
+_BLOCKS_ARROW = pa.schema(
+    [
+        ("block_id", pa.int64()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("params", pa.string()),
+        ("payload", pa.binary()),
+        ("n_rows", pa.int64()),
+        ("null_count", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("crc", pa.int64()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# schema physicalization
+# ---------------------------------------------------------------------------
+
+_PTYPE_OF_SPARK = {
+    "string": "str",
+    "binary": "bin",
+    "tinyint": "i8",
+    "smallint": "i16",
+    "int": "i32",
+    "bigint": "i64",
+    "float": "f32",
+    "double": "f64",
+}
+
+_PHYS_SPARK_TYPE = {
+    "str": T.StringType(),
+    "bin": T.BinaryType(),
+    "i8": T.ByteType(),
+    "i16": T.ShortType(),
+    "i32": T.IntegerType(),
+    "i64": T.LongType(),
+    "f32": T.FloatType(),
+    "f64": T.DoubleType(),
+}
+
+_PHYS_ARROW_TYPE = {
+    "str": pa.string(),
+    "bin": pa.binary(),
+    "i8": pa.int8(),
+    "i16": pa.int16(),
+    "i32": pa.int32(),
+    "i64": pa.int64(),
+    "f32": pa.float32(),
+    "f64": pa.float64(),
+}
+
+
+def build_manifest(schema: T.StructType) -> dict:
+    """Column → {ptype, logical} map. ``logical`` records how to restore the
+    original Spark type after decode; ``ptype='any'`` means the column is
+    carried through the Arrow-IPC fallback codec (nested types)."""
+    manifest: dict[str, dict] = {}
+    for f in schema.fields:
+        s = f.dataType.simpleString()
+        if s in _PTYPE_OF_SPARK:
+            manifest[f.name] = {"ptype": _PTYPE_OF_SPARK[s], "logical": None}
+        elif s == "timestamp":
+            manifest[f.name] = {"ptype": "i64", "logical": "ts"}
+        elif s == "timestamp_ntz":
+            manifest[f.name] = {"ptype": "i64", "logical": "ts_ntz"}
+        elif s == "date":
+            manifest[f.name] = {"ptype": "i32", "logical": "date"}
+        elif s == "boolean":
+            manifest[f.name] = {"ptype": "i8", "logical": "bool"}
+        else:
+            manifest[f.name] = {"ptype": "any", "logical": s}
+    return manifest
+
+
+def _physicalize(df: DataFrame, manifest: dict) -> DataFrame:
+    cols = []
+    for name, m in manifest.items():
+        c = F.col(name)
+        if m["logical"] == "ts":
+            c = F.unix_micros(c)
+        elif m["logical"] == "ts_ntz":
+            # session TZ is pinned UTC (session.py) so this cast is exact
+            c = F.unix_micros(c.cast("timestamp"))
+        elif m["logical"] == "date":
+            c = F.unix_date(c)
+        elif m["logical"] == "bool":
+            c = c.cast("tinyint")
+        cols.append(c.alias(name))
+    return df.select(*cols)
+
+
+def _restore_logical(df: DataFrame, manifest: dict) -> DataFrame:
+    cols = []
+    for name, m in manifest.items():
+        c = F.col(name)
+        if m["logical"] == "ts":
+            c = F.timestamp_micros(c)
+        elif m["logical"] == "ts_ntz":
+            c = F.timestamp_micros(c).cast("timestamp_ntz")
+        elif m["logical"] == "date":
+            c = F.date_from_unix_date(c)
+        elif m["logical"] == "bool":
+            c = c.cast("boolean")
+        cols.append(c.alias(name))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# block assignment (bucketing + skew salting)
+# ---------------------------------------------------------------------------
+
+
+def assign_block_ids(
+    df: DataFrame,
+    bucket_col: str,
+    order_col: str,
+    num_blocks: int,
+    skew_max_rows: int | None = None,
+) -> DataFrame:
+    """Add ``__block_id``. Hot bucket keys (> skew_max_rows rows) are salted
+    by ``floor(order_col / skew_max_rows)`` so one conversation never pins a
+    single task — the explicit skew discipline the north rule requires.
+
+    The hot-key detection is a map-side-combinable count (cheap at any
+    scale); the hot list is tiny by construction and ships as an isin()
+    literal (broadcast-equivalent)."""
+    bid = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(num_blocks))
+    salt = F.lit(0)
+    if skew_max_rows:
+        hot = [
+            r[0]
+            for r in df.groupBy(bucket_col)
+            .count()
+            .filter(F.col("count") > skew_max_rows)
+            .select(bucket_col)
+            .collect()
+        ]
+        if hot:
+            salt = F.when(
+                F.col(bucket_col).isin(hot),
+                F.pmod(
+                    F.floor(F.col(order_col) / F.lit(skew_max_rows)),
+                    F.lit(SALT_SPAN),
+                ),
+            ).otherwise(F.lit(0))
+    return df.withColumn("__block_id", bid * SALT_SPAN + salt)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def _extract_values(arr: pa.Array, ptype: str) -> tuple[np.ndarray, np.ndarray | None]:
+    """Arrow array → (numpy values with nulls zero/None-filled, validity)."""
+    import pyarrow.compute as pc
+
+    valid = None
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+    if ptype in ("str", "bin"):
+        values = arr.cast(pa.binary()).to_numpy(zero_copy_only=False)
+        if valid is not None:
+            values = values.copy()
+            values[~valid] = b""
+        return values, valid
+    fill = 0
+    filled = pc.fill_null(arr, fill) if arr.null_count else arr
+    return filled.to_numpy(zero_copy_only=False), valid
+
+
+def _encode_one_block(
+    tbl: pa.Table, block_id: int, manifest: dict, codec_overrides: dict
+) -> list[dict]:
+    rows = []
+    for name, m in manifest.items():
+        arr = tbl.column(name).combine_chunks()
+        ptype = m["ptype"]
+        if ptype == "any":
+            blk = _encode_arrow_fallback(arr)
+        else:
+            values, valid = _extract_values(arr, ptype)
+            blk = encode_block(values, valid, ptype, codec_overrides.get(name))
+        rows.append(
+            {
+                "block_id": block_id,
+                "column": name,
+                "codec": blk.codec,
+                "params": blk.params,
+                "payload": blk.payload,
+                "n_rows": blk.n_rows,
+                "null_count": blk.null_count,
+                "raw_bytes": blk.raw_bytes,
+                "enc_bytes": blk.enc_bytes,
+                "crc": blk.crc,
+            }
+        )
+    return rows
+
+
+def _encode_arrow_fallback(arr: pa.Array) -> Block:
+    """Container codec for types outside the kernel set (arrays/maps/structs):
+    Arrow IPC stream of the single column. Nulls ride the IPC buffers."""
+    import io
+    import zlib
+
+    sink = io.BytesIO()
+    t = pa.table({"v": arr})
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    payload = sink.getvalue()
+    return Block(
+        codec="arrow",
+        params="{}",
+        payload=payload,
+        n_rows=len(arr),
+        null_count=arr.null_count,
+        raw_bytes=arr.nbytes,
+        enc_bytes=len(payload),
+        crc=zlib.crc32(payload),
+    )
+
+
+def _decode_arrow_fallback(payload: bytes) -> pa.Array:
+    import io
+
+    with pa.ipc.open_stream(io.BytesIO(payload)) as r:
+        t = r.read_all()
+    return t.column("v").combine_chunks()
+
+
+def _make_encoder(manifest: dict, codec_overrides: dict | None):
+    codec_overrides = codec_overrides or {}
+
+    def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        out_rows: list[dict] = []
+        buf: list[pa.RecordBatch] = []
+        cur_id: int | None = None
+
+        def flush():
+            nonlocal buf, cur_id
+            if cur_id is None or not buf:
+                return
+            tbl = pa.Table.from_batches(buf)
+            out_rows.extend(
+                _encode_one_block(tbl, cur_id, manifest, codec_overrides)
+            )
+            buf = []
+
+        for batch in batches:
+            ids = batch.column("__block_id").to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            # boundaries inside the (block-sorted) batch
+            starts = np.flatnonzero(np.diff(ids) != 0) + 1
+            bounds = np.concatenate(([0], starts, [len(ids)]))
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                bid = int(ids[lo])
+                if cur_id is not None and bid != cur_id:
+                    flush()
+                cur_id = bid
+                buf.append(batch.slice(lo, hi - lo))
+        flush()
+        if out_rows:
+            cols = {k: [r[k] for r in out_rows] for k in _BLOCKS_ARROW.names}
+            yield pa.RecordBatch.from_pydict(cols, schema=_BLOCKS_ARROW)
+
+    return encode_fn
+
+
+def encode_table(
+    df: DataFrame,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    bucket_col: str | None = None,
+    num_blocks: int | None = None,
+    codec_overrides: dict | None = None,
+    skew_max_rows: int | None = 1_000_000,
+) -> tuple[DataFrame, dict]:
+    """Encode every column of ``df`` into a blocks DataFrame.
+
+    Returns ``(blocks_df, manifest)``; ``manifest`` is required by
+    :func:`decode_table`. Lazy: nothing executes until an action.
+    """
+    bucket_col = bucket_col or order_cols[0]
+    if num_blocks is None:
+        num_blocks = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    manifest = build_manifest(df.schema)
+    phys = _physicalize(df, manifest)
+    withid = assign_block_ids(
+        phys, bucket_col, order_cols[-1], num_blocks, skew_max_rows
+    )
+    blocks = (
+        withid.repartition(num_blocks, "__block_id")
+        .sortWithinPartitions("__block_id", *order_cols)
+        .mapInArrow(_make_encoder(manifest, codec_overrides), BLOCKS_SCHEMA)
+    )
+    return blocks, manifest
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_one_block(rows: list[dict], manifest: dict) -> pa.Table:
+    by_col = {r["column"]: r for r in rows}
+    arrays = {}
+    n = None
+    for name, m in manifest.items():
+        r = by_col[name]
+        ptype = m["ptype"]
+        n = r["n_rows"]
+        if ptype == "any":
+            arrays[name] = _decode_arrow_fallback(r["payload"])
+            continue
+        values, valid = decode_block(
+            r["payload"], r["params"], r["codec"], n, r["null_count"], ptype
+        )
+        mask = None if valid.all() else ~valid
+        if ptype in ("str", "bin"):
+            arr = pa.array(values, type=pa.binary(), mask=mask)
+            if ptype == "str":
+                arr = arr.cast(pa.string())
+        else:
+            arr = pa.array(values, type=_PHYS_ARROW_TYPE[ptype], mask=mask)
+        arrays[name] = arr
+    return pa.table(arrays)
+
+
+def _make_decoder(manifest: dict, chunk_rows: int = 65536):
+    ncols = len(manifest)
+
+    def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending: dict[int, list[dict]] = {}
+        for batch in batches:
+            for row in batch.to_pylist():
+                bid = row["block_id"]
+                pending.setdefault(bid, []).append(row)
+                if len(pending[bid]) == ncols:
+                    tbl = _decode_one_block(pending.pop(bid), manifest)
+                    for b in tbl.to_batches(max_chunksize=chunk_rows):
+                        yield b
+        if pending:
+            missing = {k: len(v) for k, v in pending.items()}
+            raise ValueError(f"incomplete blocks at decode: {missing}")
+
+    return decode_fn
+
+
+def decode_table(blocks: DataFrame, manifest: dict) -> DataFrame:
+    """Inverse of :func:`encode_table`: blocks → original logical columns.
+
+    Row order is unspecified (Spark semantics); the round-trip invariant is
+    asserted under stable (conv_id, turn_idx) ordering by callers."""
+    phys_schema = T.StructType(
+        [
+            T.StructField(
+                name,
+                _PHYS_SPARK_TYPE[m["ptype"]]
+                if m["ptype"] != "any"
+                else T._parse_datatype_string(m["logical"]),
+                True,
+            )
+            for name, m in manifest.items()
+        ]
+    )
+    dec = (
+        blocks.repartition("block_id")
+        .mapInArrow(_make_decoder(manifest), phys_schema)
+    )
+    return _restore_logical(dec, manifest)

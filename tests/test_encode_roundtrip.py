@@ -1,0 +1,126 @@
+"""Encode→decode→bit-identical round-trip over Spark — the engine's core
+correctness gate (north_rule), replaying d6tstack's write→read equivalence
+pattern (reference tests/test_combine_csv.py:434-466) as codec round-trips.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from d6tstack_spark.operators.encode import (
+    assign_block_ids,
+    decode_table,
+    encode_table,
+)
+
+
+def assert_roundtrip(df, order_cols, **kw):
+    blocks, manifest = encode_table(df, order_cols=order_cols, **kw)
+    blocks = blocks.cache()
+    dec = decode_table(blocks, manifest)
+    src = df.orderBy(*order_cols).toPandas()
+    out = dec.orderBy(*order_cols).toPandas()
+    pd.testing.assert_frame_equal(src, out)
+    blocks.unpersist()
+    return blocks, manifest
+
+
+def test_transcripts_roundtrip(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    blocks, manifest = encode_table(df, order_cols=("conv_id", "turn_idx"))
+    pblocks = blocks.toPandas()
+
+    # every (block, column) exactly once
+    assert not pblocks.duplicated(["block_id", "column"]).any()
+    assert set(pblocks["column"]) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+
+    # decode equals source bit-identically under stable ordering
+    dec = decode_table(spark.createDataFrame(pblocks), manifest)
+    src = df.orderBy("conv_id", "turn_idx").toPandas()
+    out = dec.orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(src, out)
+
+    # per-row invariant vs the reference: per-turn text equality
+    assert (src["text"].fillna("\0") == out["text"].fillna("\0")).all()
+
+    # the auto-selector picked sensible codecs (FIXTURES.md column design)
+    codec_of = dict(zip(pblocks["column"], pblocks["codec"]))
+    by_col = pblocks.groupby("column")["codec"].agg(lambda s: s.value_counts().idxmax())
+    assert by_col["role"] == "dict"
+    assert by_col["conv_id"] in ("rle", "dict")
+    assert by_col["text"] == "fsst"
+    assert by_col["turn_idx"] in ("for", "delta", "dict")
+    assert by_col["ts"] in ("delta", "for")
+
+    # compression actually happened
+    totals = pblocks.groupby("column")[["raw_bytes", "enc_bytes"]].sum()
+    assert (totals["enc_bytes"] < totals["raw_bytes"]).all(), totals
+
+
+def test_events_roundtrip(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert_roundtrip(df, ("event_id",), bucket_col="user_id")
+
+
+def test_lineitem_roundtrip(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert_roundtrip(df, ("l_orderkey", "l_linenumber"), bucket_col="l_orderkey")
+
+
+def test_embeddings_roundtrip_arrow_fallback(spark, sf_dir):
+    # list<float> rides the Arrow-IPC container codec
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    blocks, manifest = encode_table(df, order_cols=("vec_id",), bucket_col="vec_id")
+    assert manifest["embedding"]["ptype"] == "any"
+    dec = decode_table(blocks, manifest)
+    src = df.orderBy("vec_id").toPandas()
+    out = dec.orderBy("vec_id").toPandas()
+    pd.testing.assert_frame_equal(src, out)
+
+
+def test_codec_override(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path).select("conv_id", "turn_idx", "role")
+    blocks, manifest = encode_table(
+        df, order_cols=("conv_id", "turn_idx"), codec_overrides={"role": "plain"}
+    )
+    pb = blocks.toPandas()
+    assert (pb[pb["column"] == "role"]["codec"] == "plain").all()
+    dec = decode_table(spark.createDataFrame(pb), manifest).orderBy("conv_id", "turn_idx")
+    pd.testing.assert_frame_equal(
+        df.orderBy("conv_id", "turn_idx").toPandas(), dec.toPandas()
+    )
+
+
+def test_skew_salting_splits_hot_conversations(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    # the 3 hot conversations own ~10% of 6000 turns ⇒ ~200 rows each;
+    # salt at 50 rows → each hot conv must span ≥2 block ids
+    withid = assign_block_ids(df, "conv_id", "turn_idx", 16, skew_max_rows=50)
+    counts = (
+        withid.groupBy("conv_id")
+        .agg(F.countDistinct("__block_id").alias("nblk"), F.count("*").alias("n"))
+        .toPandas()
+    )
+    hot = counts[counts["n"] > 50]
+    assert (hot["nblk"] > 1).all()
+    cold = counts[counts["n"] <= 50]
+    assert (cold["nblk"] == 1).all()
+
+    # round-trip still exact with aggressive salting
+    blocks, manifest = encode_table(
+        df, order_cols=("conv_id", "turn_idx"), skew_max_rows=50
+    )
+    dec = decode_table(blocks, manifest)
+    pd.testing.assert_frame_equal(
+        df.orderBy("conv_id", "turn_idx").toPandas(),
+        dec.orderBy("conv_id", "turn_idx").toPandas(),
+    )
+
+
+def test_empty_table_roundtrip(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path).filter(F.lit(False))
+    blocks, manifest = encode_table(df, order_cols=("conv_id", "turn_idx"))
+    assert blocks.count() == 0
+    assert decode_table(blocks, manifest).count() == 0
