@@ -1,0 +1,223 @@
+"""Benchmark harness.
+
+Default run:
+  1. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+     on local[$SPARK_GRAFT_CPUS] — per-query wall seconds;
+  2. transcript-encode scaling: the same encode job at local[8] and
+     local[32] (fresh JVM each, via subprocess) on identical sf0.1-scale
+     transcripts → turns/sec at both + scaling efficiency
+     throughput(4N) / (4 × throughput(N)) — the sandbox evidence for the
+     north rule's N→4N ≥ 0.8 criterion;
+  3. compressed-size gate: engine blocks bytes vs parquet-snappy of the
+     same table.
+
+Prints exactly ONE JSON line to stdout; progress goes to stderr.
+Also appends the measured table to BENCH/BASELINE.md.
+
+Usage:
+  python bench.py                 # full run
+  python bench.py --encode-run 8  # internal: one scaling measurement
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+SCALING_SF = float(os.environ.get("SPARK_GRAFT_BENCH_SF", "0.1"))
+NUM_BLOCKS = 128  # fixed across parallelism levels for a fair scaling compare
+
+HEADLINE = [
+    "encdec_events",
+    "encdec_lineitem",
+    "encdec_documents",
+    "tpch_q1",
+    "stack_drift_orders",
+    "dedup_exact",
+    "token_count",
+    "fingerprint",
+    "minhash_lsh_pairs",
+    "knn_bruteforce",
+    "mode_event_type",
+    "sessionize",
+    "topk_part_revenue",
+]
+
+
+def log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _spark(cores: int):
+    from d6tstack_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 2,
+    )
+
+
+def encode_run(cores: int) -> dict:
+    """One scaling measurement: encode sf-scale transcripts, write blocks."""
+    from pyspark.sql import functions as F
+
+    from d6tstack_spark.datagen import write_transcripts
+    from d6tstack_spark.operators.encode import encode_table
+
+    src_path = write_transcripts(CACHE, sf=SCALING_SF)
+    spark = _spark(cores)
+    spark.range(10).count()  # absorb JVM/scheduler warmup outside the timing
+    df = spark.read.parquet(src_path)
+    out = f"/tmp/bench_blocks_{cores}"
+    t0 = time.time()
+    blocks, manifest = encode_table(
+        df, order_cols=("conv_id", "turn_idx"), num_blocks=NUM_BLOCKS
+    )
+    blocks.write.mode("overwrite").parquet(out)
+    wall = time.time() - t0
+    stats = (
+        spark.read.parquet(out)
+        .agg(
+            F.sum("n_rows").alias("cell_rows"),
+            F.sum("enc_bytes").alias("enc"),
+            F.sum("raw_bytes").alias("raw"),
+            F.countDistinct("block_id").alias("nblocks"),
+        )
+        .first()
+    )
+    n_turns = df.count()
+    res = {
+        "cores": cores,
+        "n_turns": n_turns,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+        "enc_bytes": int(stats["enc"]),
+        "raw_bytes": int(stats["raw"]),
+        "n_blocks": int(stats["nblocks"]),
+        "src_parquet_bytes": os.path.getsize(src_path),
+    }
+    spark.stop()
+    return res
+
+
+def run_queries() -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    spark = _spark(CPUS)
+    spark.range(10).count()
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+        log(f"  {name}: {times[name]}s ({n} rows)")
+    spark.stop()
+    return times
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--encode-run":
+        print(json.dumps(encode_run(int(sys.argv[2]))))
+        return
+
+    if not os.path.isdir(SF_DIR):
+        raise SystemExit(f"SPARK_GRAFT_SF_DIR does not exist: {SF_DIR}")
+    os.makedirs(CACHE, exist_ok=True)
+    # pre-generate transcripts so neither scaling run pays generation cost
+    from d6tstack_spark.datagen import write_transcripts
+
+    write_transcripts(CACHE, sf=SCALING_SF)
+
+    log("== scaling runs (fresh JVM each) ==")
+    scaling = {}
+    for cores in (8, 32):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--encode-run", str(cores)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if p.returncode != 0:
+            log(p.stderr[-2000:])
+            raise RuntimeError(f"encode-run {cores} failed")
+        scaling[cores] = json.loads(p.stdout.strip().splitlines()[-1])
+        log(f"  local[{cores}]: {scaling[cores]['turns_per_sec']} turns/s "
+            f"({scaling[cores]['wall_sec']}s)")
+
+    eff = scaling[32]["turns_per_sec"] / (4 * scaling[8]["turns_per_sec"])
+    log(f"  scaling efficiency 8→32: {eff:.3f}")
+
+    log("== headline queries ==")
+    times = run_queries()
+    total = round(sum(times.values()), 3)
+
+    enc = scaling[32]
+    result = {
+        "metric": "headline query suite wall-clock (sf0.1) + transcript encode scaling",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": 0.1,
+        "encode_turns_per_sec_local8": scaling[8]["turns_per_sec"],
+        "encode_turns_per_sec_local32": scaling[32]["turns_per_sec"],
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "encoded_bytes": enc["enc_bytes"],
+        "raw_bytes": enc["raw_bytes"],
+        "reference_parquet_snappy_bytes": enc["src_parquet_bytes"],
+        "size_vs_reference": round(enc["enc_bytes"] / enc["src_parquet_bytes"], 3),
+    }
+
+    _write_baseline_md(scaling, eff, times, result)
+    print(json.dumps(result))
+
+
+def _write_baseline_md(scaling, eff, times, result):
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    lines = [
+        "# BENCH — measured results (latest run)",
+        "",
+        f"Input: deterministic transcripts sf={SCALING_SF} "
+        f"({scaling[32]['n_turns']} turns), num_blocks={NUM_BLOCKS}, "
+        "same parquet input for both parallelism levels.",
+        "",
+        "## Scaling (north-rule N→4N evidence, sandbox = local[8] vs local[32])",
+        "",
+        "| parallelism | wall (s) | turns/sec |",
+        "|---|---|---|",
+        f"| local[8] (N) | {scaling[8]['wall_sec']} | {scaling[8]['turns_per_sec']} |",
+        f"| local[32] (4N) | {scaling[32]['wall_sec']} | {scaling[32]['turns_per_sec']} |",
+        "",
+        f"**Scaling efficiency** = throughput(4N) / (4·throughput(N)) = **{eff:.3f}** "
+        "(target ≥ 0.8).",
+        "",
+        "## Compressed size gate",
+        "",
+        f"- engine encoded bytes: {scaling[32]['enc_bytes']:,}",
+        f"- raw (Arrow) bytes: {scaling[32]['raw_bytes']:,}",
+        f"- reference parquet-snappy of same table: {scaling[32]['src_parquet_bytes']:,}",
+        f"- engine/reference ratio: {result['size_vs_reference']} (target ≤ 1.0)",
+        "",
+        "## Headline queries (sf0.1 testdata, local[32])",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in times.items()]
+    lines += ["", f"Total: {result['value']} s", ""]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

