@@ -55,9 +55,17 @@ def encode_block(
         valid = np.ones(n_rows, dtype=bool)
     null_count = int(n_rows - valid.sum())
     nn = values[valid] if null_count else values
-    if codec is None:
+    auto = codec is None
+    if auto:
         codec = choose_codec(nn, ptype)
     body, cparams = kernels.encode_values(nn, ptype, codec)
+    if auto and codec != "plain":
+        # never-worse-than-plain guarantee: the selector estimates from a
+        # sample and can be fooled (e.g. saturated cardinality); plain's
+        # exact size is known, so fall back when the chosen codec loses
+        plain_body, plain_params = kernels.encode_values(nn, ptype, "plain")
+        if len(plain_body) <= len(body):
+            codec, body, cparams = "plain", plain_body, plain_params
     head = np.packbits(valid).tobytes() if null_count else b""
     payload = head + body
     params = json.dumps({"c": cparams, "vb": len(head)}, separators=(",", ":"))

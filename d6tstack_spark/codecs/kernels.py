@@ -295,124 +295,109 @@ def _dec_delta(payload: memoryview, params: dict, n: int, ptype: str) -> np.ndar
 
 
 # ---------------------------------------------------------------------------
-# FSST — greedy ≤255-symbol table string compression (VLDB 2020), token-granular
+# FSST — greedy ≤255-symbol-table string compression, token-granular, columnar
 # ---------------------------------------------------------------------------
+#
+# Follows the greedy-symbol-table idea of Boncz/Neumann/Leis, "FSST: Fast
+# Random Access String Compression" (VLDB 2020), adapted so encode and decode
+# stay fully vectorized (Arrow C++ tokenization + numpy array ops — no
+# per-byte scalar loop):
+#   1. symbols are whole space-delimited tokens (gain = count × (len+1): the
+#      +1 is the separator byte a coded token also elides); the ≤255-entry
+#      table is built greedily per block over exact token counts;
+#   2. the wire format is columnar: [code-per-token u8 stream, 0xFF = escape]
+#      [escaped-token ids, bit-packed][escaped-token dictionary] — FSST's
+#      escape+raw-bytes is replaced by escape+dictionary-reference, which
+#      both compresses repeated cold tokens and keeps decode a pure take().
 
-_FSST_ESCAPE = 0xFF
-_FSST_MAX_SYMBOLS = 255  # codes 0..254; 0xFF reserved for literal-run escape
-_FSST_SAMPLE_BYTES = 1 << 18  # 256 KiB table-build sample per block
-_FSST_MAX_LITERAL = 0xFFFF
-
-
-def fsst_build_table(sample: list[bytes], max_symbols: int = _FSST_MAX_SYMBOLS) -> list[bytes]:
-    """Greedily pick the ≤255 highest-gain symbols from a bounded sample.
-
-    Symbols are space-delimited tokens (the vectorization-friendly adaptation
-    of FSST's byte-granular symbols); gain = freq × (len(token)+1) − the +1
-    accounts for the separator byte that a coded token also elides.
-    Deterministic: ties broken by token bytes.
-    """
-    from collections import Counter
-
-    counts: Counter = Counter()
-    budget = _FSST_SAMPLE_BYTES
-    for s in sample:
-        if budget <= 0:
-            break
-        budget -= len(s)
-        counts.update(s.split(b" "))
-    scored = sorted(
-        ((cnt * (len(tok) + 1), tok) for tok, cnt in counts.items() if cnt > 1),
-        key=lambda t: (-t[0], t[1]),
-    )
-    return [tok for _, tok in scored[:max_symbols]]
-
-
-def _fsst_compress(data_tokens: list[bytes], code_of: dict) -> bytes:
-    """Emit one byte per coded token; 0xFF + u16 len + raw bytes per literal.
-
-    A literal chunk of length exactly 0xFFFF is ALWAYS a continuation: the
-    encoder terminates every max-length chunk sequence with a final chunk of
-    length < 0xFFFF (possibly empty), so framing is unambiguous.
-    """
-    out: list[bytes] = []
-    get = code_of.get
-    esc = _FSST_ESCAPE
-    for tok in data_tokens:
-        c = get(tok)
-        if c is not None:
-            out.append(c)
-        elif len(tok) < _FSST_MAX_LITERAL:
-            out.append(bytes((esc, len(tok) & 0xFF, len(tok) >> 8)) + tok)
-        else:
-            for i in range(0, len(tok), _FSST_MAX_LITERAL):
-                part = tok[i : i + _FSST_MAX_LITERAL]
-                out.append(bytes((esc, len(part) & 0xFF, len(part) >> 8)) + part)
-            if len(tok) % _FSST_MAX_LITERAL == 0:
-                out.append(b"\xff\x00\x00")  # empty terminator chunk
-    return b"".join(out)
-
-
-def _fsst_decompress(stream: memoryview, table: list[bytes], n_tokens: int) -> list[bytes]:
-    out: list[bytes] = []
-    i = 0
-    buf = bytes(stream)
-    ln = len(buf)
-    pending: list[bytes] = []
-    while i < ln:
-        b = buf[i]
-        if b == _FSST_ESCAPE:
-            length = buf[i + 1] | (buf[i + 2] << 8)
-            piece = buf[i + 3 : i + 3 + length]
-            i += 3 + length
-            if length == _FSST_MAX_LITERAL:
-                pending.append(piece)
-            elif pending:
-                pending.append(piece)
-                out.append(b"".join(pending))
-                pending = []
-            else:
-                out.append(piece)
-        else:
-            out.append(table[b])
-            i += 1
-    return out
+_FSST_LITERAL = 0xFF
+_FSST_MAX_SYMBOLS = 255
 
 
 def _enc_fsst(values: np.ndarray, ptype: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     lenbuf, lp = _pack_lengths(values)
-    data = b" ".join(values.tolist())
-    tokens = data.split(b" ") if len(values) else []
-    table = fsst_build_table(list(values), _FSST_MAX_SYMBOLS)
-    # restrict table to tokens we actually see benefit from; assign codes 0..k-1
-    code_of = {tok: bytes([i]) for i, tok in enumerate(table)}
-    stream = _fsst_compress(tokens, code_of)
-    tablebuf_items = np.empty(len(table), dtype=object)
-    for i, t in enumerate(table):
-        tablebuf_items[i] = t
-    tablebuf, tp = _enc_plain(tablebuf_items, "bin")
-    return lenbuf + tablebuf + stream, {
+    if len(values) == 0:
+        return lenbuf, {**lp, "lb": len(lenbuf), "tb": 0, "tp": {}, "nsym": 0,
+                        "ntok": 0, "nlitu": 0, "ldb": 0, "ldp": {}, "liw": 0}
+    va = pa.array(values, type=pa.binary())
+    flat = pc.list_flatten(pc.split_pattern(va, pattern=b" "))
+    denc = flat.dictionary_encode()
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = denc.dictionary
+    counts = np.bincount(idx, minlength=len(dic))
+    dlens = pc.binary_length(dic).to_numpy(zero_copy_only=False).astype(np.int64)
+    gain = counts * (dlens + 1)
+    gain = np.where(counts <= 1, 0, gain)
+    order = np.argsort(-gain, kind="stable")
+    k = min(_FSST_MAX_SYMBOLS, int((gain[order] > 0).sum()))
+    sym = np.full(len(dic), -1, dtype=np.int64)
+    sym[order[:k]] = np.arange(k)
+    tok_syms = sym[idx]
+    code_stream = tok_syms.copy()
+    code_stream[code_stream < 0] = _FSST_LITERAL
+    code_stream = code_stream.astype(np.uint8)
+    # escaped (literal) tokens: per-occurrence reference into a literal dict
+    lit_uniq_ids = np.flatnonzero(sym < 0)
+    lit_local = np.full(len(dic), -1, dtype=np.int64)
+    lit_local[lit_uniq_ids] = np.arange(len(lit_uniq_ids))
+    lit_occ = tok_syms < 0
+    lit_ids = lit_local[idx[lit_occ]]
+    lw = _bit_width(len(lit_uniq_ids) - 1) if len(lit_uniq_ids) > 1 else 0
+    lit_ids_buf = bitpack(lit_ids.view(np.uint64), lw)
+    table_items = dic.take(pa.array(order[:k])).to_numpy(zero_copy_only=False)
+    lit_items = dic.take(pa.array(lit_uniq_ids)).to_numpy(zero_copy_only=False)
+    tablebuf, tp = _enc_plain(np.asarray(table_items, dtype=object), "bin")
+    litdictbuf, ldp = _enc_plain(np.asarray(lit_items, dtype=object), "bin")
+    payload = lenbuf + tablebuf + litdictbuf + code_stream.tobytes() + lit_ids_buf
+    return payload, {
         **lp,
         "lb": len(lenbuf),
         "tb": len(tablebuf),
         "tp": tp,
-        "nsym": len(table),
-        "ntok": len(tokens),
+        "nsym": k,
+        "ntok": len(idx),
+        "nlit": int(lit_occ.sum()),
+        "nlitu": len(lit_uniq_ids),
+        "ldb": len(litdictbuf),
+        "ldp": ldp,
+        "liw": lw,
     }
 
 
 def _dec_fsst(payload: memoryview, params: dict, n: int, ptype: str) -> np.ndarray:
-    lb, tb = params["lb"], params["tb"]
+    lb, tb, ntok = params["lb"], params["tb"], params["ntok"]
     lens = _unpack_lengths(bytes(payload[:lb]), params, n)
-    table_arr = _dec_plain(payload[lb : lb + tb], params["tp"], params["nsym"], "bin")
-    tokens = _fsst_decompress(payload[lb + tb :], list(table_arr), params["ntok"])
-    data = b" ".join(tokens)
+    if ntok == 0:
+        out = np.empty(n, dtype=object)
+        out[:] = b""
+        return out
+    pos = lb
+    table_arr = _dec_plain(payload[pos : pos + tb], params["tp"], params["nsym"], "bin")
+    pos += tb
+    ldb = params["ldb"]
+    lit_arr = _dec_plain(payload[pos : pos + ldb], params["ldp"], params["nlitu"], "bin")
+    pos += ldb
+    code_stream = np.frombuffer(payload[pos : pos + ntok], dtype=np.uint8)
+    pos += ntok
+    lit_ids = bitunpack(bytes(payload[pos:]), params["liw"], params["nlit"]).astype(
+        np.int64
+    )
+    # combined dictionary: [symbols | literal dict]; per-token id → token
+    full = np.concatenate([table_arr, lit_arr]) if len(lit_arr) else table_arr
+    ids = code_stream.astype(np.int64)
+    lit_mask = code_stream == _FSST_LITERAL
+    ids[lit_mask] = params["nsym"] + lit_ids
+    tokens = full[ids]
+    data = b" ".join(tokens.tolist())
     # value i starts at cumsum(lens)[:i] + i (one separator byte per boundary)
     out = np.empty(n, dtype=object)
-    pos = 0
+    dpos = 0
     for i in range(n):
-        out[i] = data[pos : pos + lens[i]]
-        pos += int(lens[i]) + 1
+        out[i] = data[dpos : dpos + lens[i]]
+        dpos += int(lens[i]) + 1
     return out
 
 

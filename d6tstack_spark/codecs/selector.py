@@ -83,6 +83,10 @@ def _estimate_sizes(values: np.ndarray, ptype: str, stats: dict) -> dict[str, fl
     ns = max(stats["n_sampled"], 1)
     scale = n / ns
     card = max(stats["card"], 1)
+    # sampled cardinality saturates at the sample size for high-cardinality
+    # columns; extrapolate linearly so dict isn't chosen on a mirage
+    if n > ns and card > 0.5 * ns:
+        card = min(int(card * scale), n)
     runs = max(int(round(ns / stats["avg_run"])), 1)
     est: dict[str, float] = {}
     if kernels.is_string_ptype(ptype):

@@ -126,16 +126,23 @@ def gen_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
     return tbl.sort_by("ts")
 
 
-def write_transcripts(out_dir: str, sf: float, seed: int = 42) -> str:
+def write_transcripts(
+    out_dir: str, sf: float, seed: int = 42, row_group_rows: int = 8192
+) -> str:
     """Generate-and-cache transcripts at scale factor sf (sf=0.001 ≈ 6k turns).
 
-    Returns the parquet path; regenerates only if missing.
+    Small row groups (default 8k rows) keep the single cached file splittable
+    so a local[N] scan parallelizes — stand-in for the many-file layout a
+    real 100 TB table has. Returns the parquet path; regenerates only if
+    missing.
     """
     n_turns = max(int(6_000_000 * sf), 100)
-    path = os.path.join(out_dir, f"transcripts_sf{sf}_seed{seed}.parquet")
+    path = os.path.join(
+        out_dir, f"transcripts_sf{sf}_seed{seed}_rg{row_group_rows}.parquet"
+    )
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
     tbl = gen_transcripts(n_turns, seed)
-    pq.write_table(tbl, path, compression="snappy")
+    pq.write_table(tbl, path, compression="snappy", row_group_size=row_group_rows)
     return path

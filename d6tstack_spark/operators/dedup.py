@@ -39,6 +39,29 @@ def _word_set(text_col: str):
     )
 
 
+def shingles_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, s=distinct word n-gram shingles) — the standard near-dup unit,
+    far more discriminative than single words on repetitive corpora.
+
+    Built as zip_with over n shifted slices of a MATERIALIZED token column:
+    a transform(...element_at(tokens,...)) lambda would re-evaluate the
+    split() per element (no CSE inside lambda bodies) and go quadratic."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    d = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    k = F.size(F.col("toks")) - (n - 1)
+    slices = [
+        F.slice(F.col("toks"), F.lit(i + 1), F.greatest(k, F.lit(0)))
+        for i in range(n)
+    ]
+    g = slices[0]
+    for s in slices[1:]:
+        g = F.zip_with(g, s, lambda x, y: F.concat(x, F.lit(" "), y))
+    grams = F.when(k >= 1, g).otherwise(F.array(F.array_join(F.col("toks"), " ")))
+    return d.select("id", F.array_sort(F.array_distinct(grams)).alias("s"))
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float
 ) -> DataFrame:
@@ -67,16 +90,21 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 32
 ) -> DataFrame:
-    """MinHash signature per document: shingles = distinct words; permutation
+    """MinHash signature per document: shingles = distinct word 3-grams; permutation
     i's hash = xxhash64(shingle, i); signature[i] = min over shingles.
 
     Pure built-ins: explode → groupBy(id) with min-of-hash aggregates —
     one shuffle, partial aggregation applies. num_perm hashes per shingle
-    are computed JVM-side (no Python)."""
-    shingled = df.select(
-        F.col(id_col).alias("id"), F.explode(_word_set(text_col)).alias("sh")
+    are computed JVM-side (no Python).
+
+    The input is spread across the cluster first (a one-file table scans as
+    one split; the explode multiplies rows ~60x, so the partial aggregation
+    must already be parallel)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    shingled = shingles_df(df, id_col, text_col).select(
+        "id", F.explode("s").alias("sh")
     )
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
@@ -90,15 +118,16 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int = 32,
+    bands: int = 8,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
 
     bands × rows_per_band = num_perm; a pair is a candidate iff any band's
     row-slice hashes equal. Candidates then verify with exact word-set
     Jaccard ≥ threshold, so output precision is exact (recall is the LSH
-    probability 1-(1-s^r)^b). The band join is an equi-join on
+    probability 1-(1-s^r)^b ≈ 0.985 at s=threshold=0.8 with the default
+    32 permutations × 8 bands). The band join is an equi-join on
     (band_id, band_hash) — broadcastable/shuffle-hash, skew-safe because
     bucket keys are 64-bit hashes."""
     rows_per_band = num_perm // bands
@@ -122,7 +151,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sets = df.select(F.col(id_col).alias("id"), _word_set(text_col).alias("s"))
+    sets = shingles_df(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col),
+        id_col, text_col,
+    )
     j = (
         cand.join(sets.withColumnsRenamed({"id": "id_a", "s": "sa"}), "id_a")
         .join(sets.withColumnsRenamed({"id": "id_b", "s": "sb"}), "id_b")
@@ -145,6 +177,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per-bit ±1 votes from xxhash64(token) bits, groupBy-sum, sign → bits.
 
     One shuffle (groupBy id), partial-agg friendly."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(_word_set(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))

@@ -287,6 +287,7 @@ def _make_encoder(manifest: dict, codec_overrides: dict | None):
     codec_overrides = codec_overrides or {}
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pa.set_cpu_count(1)  # workers are the parallelism
         out_rows: list[dict] = []
         buf: list[pa.RecordBatch] = []
         cur_id: int | None = None
@@ -323,6 +324,57 @@ def _make_encoder(manifest: dict, codec_overrides: dict | None):
     return encode_fn
 
 
+def _make_local_encoder(
+    manifest: dict,
+    codec_overrides: dict | None,
+    order_cols: tuple[str, ...],
+    target_rows: int,
+):
+    """Shuffle-free encoder: blocks are carved from the task's own scan
+    stream (~target_rows each), sorted by order_cols in-memory, block_id =
+    partitionId · 2^32 + seq. This is the 100 TB path: a pure map job over
+    Iceberg/parquet splits — no shuffle of the raw data, no skew (a hot
+    conversation simply spans consecutive blocks), linear scaling."""
+    codec_overrides = codec_overrides or {}
+    sort_keys = [(c, "ascending") for c in order_cols]
+
+    def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pa.set_cpu_count(1)  # workers are the parallelism
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+
+        def flush():
+            nonlocal buf, buffered, seq
+            if not buf:
+                return None
+            tbl = pa.Table.from_batches(buf).sort_by(sort_keys)
+            rows = _encode_one_block(
+                tbl, (pid << 32) | seq, manifest, codec_overrides
+            )
+            seq += 1
+            buf = []
+            buffered = 0
+            cols = {k: [r[k] for r in rows] for k in _BLOCKS_ARROW.names}
+            return pa.RecordBatch.from_pydict(cols, schema=_BLOCKS_ARROW)
+
+        for batch in batches:
+            buf.append(batch)
+            buffered += batch.num_rows
+            if buffered >= target_rows:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return encode_fn
+
+
 def encode_table(
     df: DataFrame,
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
@@ -330,17 +382,39 @@ def encode_table(
     num_blocks: int | None = None,
     codec_overrides: dict | None = None,
     skew_max_rows: int | None = 1_000_000,
+    mode: str = "local",
+    target_block_rows: int = 65536,
 ) -> tuple[DataFrame, dict]:
     """Encode every column of ``df`` into a blocks DataFrame.
 
     Returns ``(blocks_df, manifest)``; ``manifest`` is required by
     :func:`decode_table`. Lazy: nothing executes until an action.
+
+    mode="local" (default): shuffle-free — each scan split encodes its own
+    blocks (sorted by order_cols within the block). The raw table never
+    shuffles; this is the only strategy that survives 100 TB, and skew is a
+    non-issue because blocks are size-bounded by construction.
+
+    mode="cluster": repartition by hashed+salted bucket_col so each
+    conversation's turns co-locate (maximal run lengths on the bucket
+    column), with explicit skew salting. Costs a full shuffle of the raw
+    data — use when block/bucket alignment matters more than the shuffle.
     """
+    manifest = build_manifest(df.schema)
+    phys = _physicalize(df, manifest)
+    if mode == "local":
+        blocks = phys.mapInArrow(
+            _make_local_encoder(
+                manifest, codec_overrides, order_cols, target_block_rows
+            ),
+            BLOCKS_SCHEMA,
+        )
+        return blocks, manifest
+    if mode != "cluster":
+        raise ValueError(f"unknown mode {mode!r}; valid: 'local', 'cluster'")
     bucket_col = bucket_col or order_cols[0]
     if num_blocks is None:
         num_blocks = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    manifest = build_manifest(df.schema)
-    phys = _physicalize(df, manifest)
     withid = assign_block_ids(
         phys, bucket_col, order_cols[-1], num_blocks, skew_max_rows
     )
@@ -348,6 +422,148 @@ def encode_table(
         withid.repartition(num_blocks, "__block_id")
         .sortWithinPartitions("__block_id", *order_cols)
         .mapInArrow(_make_encoder(manifest, codec_overrides), BLOCKS_SCHEMA)
+    )
+    return blocks, manifest
+
+
+# ---------------------------------------------------------------------------
+# scan-fused encode (the 100 TB fast path)
+# ---------------------------------------------------------------------------
+
+
+def build_manifest_arrow(schema: pa.Schema) -> dict:
+    """Arrow-schema variant of :func:`build_manifest`."""
+    _MAP = {
+        pa.string(): "str",
+        pa.large_string(): "str",
+        pa.binary(): "bin",
+        pa.int8(): "i8",
+        pa.int16(): "i16",
+        pa.int32(): "i32",
+        pa.int64(): "i64",
+        pa.float32(): "f32",
+        pa.float64(): "f64",
+    }
+    manifest: dict[str, dict] = {}
+    for f in schema:
+        if f.type in _MAP:
+            manifest[f.name] = {"ptype": _MAP[f.type], "logical": None}
+        elif pa.types.is_timestamp(f.type):
+            manifest[f.name] = {
+                "ptype": "i64",
+                "logical": "ts" if f.type.tz else "ts_ntz",
+            }
+        elif pa.types.is_date32(f.type):
+            manifest[f.name] = {"ptype": "i32", "logical": "date"}
+        elif pa.types.is_boolean(f.type):
+            manifest[f.name] = {"ptype": "i8", "logical": "bool"}
+        else:
+            manifest[f.name] = {"ptype": "any", "logical": _spark_type_str(f.type)}
+    return manifest
+
+
+def _spark_type_str(t: pa.DataType) -> str:
+    """Spark simpleString for the arrow types the 'any' fallback carries."""
+    _S = {
+        pa.string(): "string", pa.binary(): "binary", pa.int8(): "tinyint",
+        pa.int16(): "smallint", pa.int32(): "int", pa.int64(): "bigint",
+        pa.float32(): "float", pa.float64(): "double", pa.bool_(): "boolean",
+    }
+    if t in _S:
+        return _S[t]
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_spark_type_str(t.value_type)}>"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    raise ValueError(f"unsupported arrow type for fused encode: {t}")
+
+
+def plan_parquet_splits(paths: list[str], row_groups_per_split: int = 2) -> list[tuple]:
+    """Driver-side split planning from parquet footers: deterministic
+    (sorted paths — the d6tstack np.sort(fname_list) discipline,
+    reference combine_csv.py:62), one split = N row groups. On Iceberg this
+    is the snapshot's file+split list instead."""
+    import pyarrow.parquet as pq
+
+    splits = []
+    for fi, p in enumerate(sorted(paths)):
+        nrg = pq.ParquetFile(p).metadata.num_row_groups
+        for rg in range(0, nrg, row_groups_per_split):
+            splits.append((fi, p, rg, min(row_groups_per_split, nrg - rg)))
+    return splits
+
+
+def _make_fused_encoder(manifest: dict, codec_overrides: dict | None,
+                        order_cols: tuple[str, ...]):
+    codec_overrides = codec_overrides or {}
+    sort_keys = [(c, "ascending") for c in order_cols if c in manifest]
+
+    def fused(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        # the workers ARE the parallelism: one arrow thread each, or 32
+        # workers × 32-thread pools thrash every cache level
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        files: dict[str, pq.ParquetFile] = {}
+        for b in batches:
+            for row in b.to_pylist():
+                f = files.get(row["path"])
+                if f is None:
+                    f = files.setdefault(row["path"], pq.ParquetFile(row["path"]))
+                t = f.read_row_groups(
+                    range(row["rg"], row["rg"] + row["nrg"]), use_threads=False
+                )
+                if sort_keys:
+                    t = t.sort_by(sort_keys)
+                cols = {}
+                for name, m in manifest.items():
+                    arr = t.column(name)
+                    if m["logical"] in ("ts", "ts_ntz"):
+                        arr = arr.cast(pa.int64())
+                    elif m["logical"] == "date":
+                        arr = arr.cast(pa.int32())
+                    elif m["logical"] == "bool":
+                        arr = arr.cast(pa.int8())
+                    cols[name] = arr
+                block_id = (int(row["file_idx"]) << 32) | int(row["rg"])
+                rows = _encode_one_block(
+                    pa.table(cols), block_id, manifest, codec_overrides
+                )
+                out = {k: [r[k] for r in rows] for k in _BLOCKS_ARROW.names}
+                yield pa.RecordBatch.from_pydict(out, schema=_BLOCKS_ARROW)
+
+    return fused
+
+
+def encode_parquet_files(
+    spark,
+    paths: list[str] | str,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    codec_overrides: dict | None = None,
+    row_groups_per_split: int = 2,
+) -> tuple[DataFrame, dict]:
+    """Scan-fused encode: the driver plans (file, row-group) splits from
+    parquet footers; each task reads its split with pyarrow directly and
+    encodes it — the raw table never crosses the JVM↔Python boundary and
+    never shuffles. This is the throughput path for bulk encode jobs
+    (bench.py uses it); :func:`encode_table` is the DataFrame-native path
+    for encoding arbitrary query results.
+
+    Block id = file_idx<<32 | first_row_group — deterministic under retries.
+    """
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        paths = [paths]
+    manifest = build_manifest_arrow(pq.read_schema(paths[0]))
+    splits = plan_parquet_splits(paths, row_groups_per_split)
+    sdf = spark.createDataFrame(
+        [(fi, p, rg, n) for fi, p, rg, n in splits],
+        "file_idx int, path string, rg int, nrg int",
+    )
+    blocks = sdf.repartition(len(splits)).mapInArrow(
+        _make_fused_encoder(manifest, codec_overrides, order_cols), BLOCKS_SCHEMA
     )
     return blocks, manifest
 
@@ -386,6 +602,7 @@ def _make_decoder(manifest: dict, chunk_rows: int = 65536):
     ncols = len(manifest)
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pa.set_cpu_count(1)  # workers are the parallelism
         pending: dict[int, list[dict]] = {}
         for batch in batches:
             for row in batch.to_pylist():

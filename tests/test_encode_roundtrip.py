@@ -119,6 +119,32 @@ def test_skew_salting_splits_hot_conversations(spark, transcripts_path):
     )
 
 
+def test_fused_parquet_roundtrip(spark, transcripts_path):
+    """Scan-fused encode (encode_parquet_files) round-trips bit-identically
+    and produces one block per row-group split with deterministic ids."""
+    from d6tstack_spark.operators.encode import encode_parquet_files
+
+    blocks, manifest = encode_parquet_files(
+        spark, transcripts_path, order_cols=("conv_id", "turn_idx")
+    )
+    pb = blocks.toPandas()
+    assert set(pb["column"]) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    # deterministic ids: rerun yields the same block set
+    pb2 = encode_parquet_files(
+        spark, transcripts_path, order_cols=("conv_id", "turn_idx")
+    )[0].toPandas()
+    assert sorted(pb["block_id"].unique()) == sorted(pb2["block_id"].unique())
+    assert (pb.sort_values(["block_id", "column"])["crc"].to_numpy()
+            == pb2.sort_values(["block_id", "column"])["crc"].to_numpy()).all()
+
+    dec = decode_table(spark.createDataFrame(pb), manifest)
+    src = spark.read.parquet(transcripts_path)
+    pd.testing.assert_frame_equal(
+        src.orderBy("conv_id", "turn_idx").toPandas(),
+        dec.orderBy("conv_id", "turn_idx").toPandas(),
+    )
+
+
 def test_empty_table_roundtrip(spark, transcripts_path):
     df = spark.read.parquet(transcripts_path).filter(F.lit(False))
     blocks, manifest = encode_table(df, order_cols=("conv_id", "turn_idx"))
