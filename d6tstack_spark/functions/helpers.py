@@ -1,0 +1,69 @@
+"""Column-set algebra and file-validation helpers.
+
+Re-expresses reference d6tstack/helpers.py over Spark metadata:
+- columns_all_equal (helpers.py:65-74)
+- list_common / list_unique (helpers.py:77-90)
+- extension checks (helpers.py:13-62, check_valid_xls :106-115)
+None of these touch data — they are schema/path predicates, so they stay
+plain Python (the reference's own choice); the DataFrame variants live in
+operators.stack.
+"""
+
+from __future__ import annotations
+
+import ntpath
+import os
+
+
+def columns_all_equal(col_lists: list[list[str]]) -> bool:
+    """True iff every list has the same column SET (order-insensitive, like
+    the reference which compares sorted lists, helpers.py:65-74)."""
+    if not col_lists:
+        return True
+    first = sorted(col_lists[0])
+    return all(sorted(c) == first for c in col_lists[1:])
+
+
+def list_common(col_lists: list[list[str]]) -> list[str]:
+    """Sorted intersection (helpers.py:77-82)."""
+    if not col_lists:
+        return []
+    common = set(col_lists[0])
+    for c in col_lists[1:]:
+        common &= set(c)
+    return sorted(common)
+
+
+def list_unique(col_lists: list[list[str]]) -> list[str]:
+    """Sorted union minus intersection (helpers.py:85-90)."""
+    union: set = set()
+    for c in col_lists:
+        union |= set(c)
+    return sorted(union - set(list_common(col_lists)))
+
+
+def file_extensions_get(fname_list: list[str]) -> list[str]:
+    return [os.path.splitext(f)[-1].lower() for f in fname_list]
+
+
+def file_extensions_all_equal(ext_list: list[str]) -> bool:
+    return len(set(e.lower() for e in ext_list)) <= 1
+
+
+def file_extensions_valid(ext_list: list[str], valid=(".csv", ".txt", ".tsv", ".parquet", ".json")) -> bool:
+    return all(e.lower() in valid for e in ext_list)
+
+
+def check_valid_files(fname_list: list[str], valid=(".csv", ".txt", ".tsv", ".parquet", ".json")) -> None:
+    """Raises unless all files share one whitelisted extension
+    (helpers.py:25-62 discipline, minus the xls formats we don't ingest)."""
+    exts = file_extensions_get(fname_list)
+    if not file_extensions_all_equal(exts):
+        raise IOError(f"mixed file extensions: {sorted(set(exts))}")
+    if not file_extensions_valid(exts, valid):
+        raise IOError(f"invalid extension {exts[0]!r}; valid: {valid}")
+
+
+def basename(path: str) -> str:
+    """Filename part, windows-path tolerant (ntpath, combine_csv.py:103-105)."""
+    return ntpath.basename(path)

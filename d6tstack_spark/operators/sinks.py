@@ -1,0 +1,70 @@
+"""Sinks — the reference's output surface (SURVEY.md §2.11 K1-K14)
+re-expressed as Spark writers.
+
+Mapping:
+- to_csv_combine   ← combine_csv.py:436-457 (all files → one CSV, header once)
+- to_csv_align     ← combine_csv.py:406-434 (one cleaned file per source)
+- to_parquet_combine ← combine_csv.py:486-504
+- to_parquet_align ← combine_csv.py:459-484
+- to_jdbc          ← to_sql/psql/mysql_combine (combine_csv.py:506-628) —
+  Spark's jdbc writer already batches; the reference's COPY FROM insight
+  ("bulk native beats per-row", measured 6×, examples-sql.ipynb) is the same
+  argument as our Arrow-blocks path (SURVEY.md §4 R6)
+- write_blocks / read_blocks — the engine's own encoded sink (K4's
+  generalization per the north rule)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def to_csv_combine(df: DataFrame, path: str, mode: str = "overwrite", **options):
+    """Single combined CSV (one file: coalesce(1) — only for small exports,
+    like the reference's single-file writer)."""
+    df.coalesce(1).write.mode(mode).options(header=True, **options).csv(path)
+
+
+def to_csv_align(
+    df: DataFrame, path: str, source_col: str = "filename", mode: str = "overwrite",
+    **options,
+):
+    """One output directory per source file (partitionBy provenance column) —
+    the aligned-per-file layout of to_csv_align."""
+    df.write.mode(mode).partitionBy(source_col).options(header=True, **options).csv(
+        path
+    )
+
+
+def to_parquet_combine(df: DataFrame, path: str, mode: str = "overwrite", **options):
+    df.write.mode(mode).options(**options).parquet(path)
+
+
+def to_parquet_align(
+    df: DataFrame, path: str, source_col: str = "filename", mode: str = "overwrite",
+    **options,
+):
+    df.write.mode(mode).partitionBy(source_col).options(**options).parquet(path)
+
+
+def to_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "error", **options
+):
+    """JDBC sink (needs a driver jar on the classpath — absent in this
+    image; the call surface is the integration point)."""
+    df.write.mode(mode).format("jdbc").options(url=url, dbtable=table, **options).save()
+
+
+def write_blocks(
+    blocks: DataFrame, path: str, mode: str = "overwrite", compression: str = "snappy"
+):
+    """Encoded-blocks sink: parquet of binary payloads + codec manifest
+    columns. Partitioned by nothing on purpose — block_id pruning happens
+    via parquet min/max stats on the sorted block_id column."""
+    blocks.sortWithinPartitions("block_id").write.mode(mode).option(
+        "compression", compression
+    ).parquet(path)
+
+
+def read_blocks(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,142 @@
+"""Checkpoint/resume for encode jobs + per-partition lineage.
+
+Generalizes the reference's skip-if-exists idempotent converts
+(convert_xls.py:238-245: ``if fname_out exists and if_exists=='skip' →
+skip``) and its pluggable logger (utils.py:7-12) into Spark-native state:
+
+- state lives IN the output itself: the blocks parquet under
+  ``<state_dir>/blocks`` (block_id is deterministic) plus a lineage table
+  under ``<state_dir>/lineage`` (one row per completed split: rows, bytes,
+  per-column codecs, duration, attempt);
+- resume = ``left_anti`` join of planned splits against completed block ids
+  (SURVEY.md §2.3 "checkpoint/resume join") — only missing splits re-encode;
+- writes are append-mode per run; block ids are deterministic
+  (file_idx<<32 | row_group), so a crashed run resumes without duplicates
+  and a retried task overwrites nothing (parquet append of the same block id
+  is prevented by the anti-join running per attempt batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from d6tstack_spark.operators.encode import (
+    BLOCKS_SCHEMA,
+    _make_fused_encoder,
+    build_manifest_arrow,
+    plan_parquet_splits,
+)
+
+
+def _blocks_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "blocks")
+
+
+def _lineage_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "lineage")
+
+
+def _manifest_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "manifest.json")
+
+
+def completed_block_ids(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Distinct block ids already present in the state dir (None if fresh)."""
+    bd = _blocks_dir(state_dir)
+    try:
+        return spark.read.parquet(bd).select("block_id").distinct()
+    except Exception:
+        return None
+
+
+def encode_resume(
+    spark: SparkSession,
+    paths: list[str] | str,
+    state_dir: str,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    codec_overrides: dict | None = None,
+    row_groups_per_split: int = 2,
+) -> dict:
+    """Encode parquet files into ``state_dir``, resuming past completed
+    blocks. Returns a summary dict (splits planned/skipped/encoded, bytes).
+
+    Call again after a crash/kill: only missing blocks are encoded.
+    """
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        paths = [paths]
+    manifest = build_manifest_arrow(pq.read_schema(paths[0]))
+    splits = plan_parquet_splits(paths, row_groups_per_split)
+    sdf = spark.createDataFrame(
+        [(fi, p, rg, n) for fi, p, rg, n in splits],
+        "file_idx int, path string, rg int, nrg int",
+    ).withColumn(
+        "block_id",
+        (F.col("file_idx").cast("long") * F.lit(1 << 32)) + F.col("rg"),
+    )
+
+    done = completed_block_ids(spark, state_dir)
+    n_done = 0
+    todo = sdf
+    if done is not None:
+        # the resume join: planned splits ⟕̸ completed blocks
+        todo = sdf.join(F.broadcast(done), "block_id", "left_anti")
+        n_done = done.count()
+    todo_rows = todo.select("file_idx", "path", "rg", "nrg")
+    n_todo = todo_rows.count()
+
+    summary = {
+        "planned": len(splits),
+        "skipped": len(splits) - n_todo,
+        "encoded": n_todo,
+        "already_complete": n_todo == 0,
+    }
+    if n_todo == 0:
+        return summary
+
+    t0 = time.time()
+    blocks = todo_rows.repartition(max(n_todo, 1)).mapInArrow(
+        _make_fused_encoder(manifest, codec_overrides, order_cols), BLOCKS_SCHEMA
+    )
+    blocks.write.mode("append").parquet(_blocks_dir(state_dir))
+    duration = time.time() - t0
+
+    # lineage: one row per (block, column) with codec + byte accounting,
+    # derived from the state itself (no side channel to drift out of sync)
+    lineage = (
+        spark.read.parquet(_blocks_dir(state_dir))
+        .groupBy("block_id")
+        .agg(
+            F.max("n_rows").alias("rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.map_from_entries(
+                F.collect_list(F.struct("column", "codec"))
+            ).alias("codecs"),
+        )
+        .withColumn("run_duration_sec", F.lit(round(duration, 3)))
+    )
+    lineage.write.mode("overwrite").parquet(_lineage_dir(state_dir))
+    with open(_manifest_path(state_dir), "w") as f:
+        json.dump(manifest, f, indent=1)
+    summary["duration_sec"] = round(duration, 3)
+    return summary
+
+
+def load_manifest(state_dir: str) -> dict:
+    with open(_manifest_path(state_dir)) as f:
+        return json.load(f)
+
+
+def decode_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Decode everything in a state dir back to the original table."""
+    from d6tstack_spark.operators.encode import decode_table
+
+    return decode_table(
+        spark.read.parquet(_blocks_dir(state_dir)), load_manifest(state_dir)
+    )

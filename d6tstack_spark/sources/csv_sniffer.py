@@ -1,0 +1,133 @@
+"""CSV dialect sniffing + schema-drift-tolerant multi-file CSV reading.
+
+Re-expresses the reference's sniffer (SURVEY.md §2.1 S4-S8):
+
+- delimiter: per-line candidate counts, majority vote across sampled lines
+  (sniffer.py:58-98 scan_delim/get_delim, Counter.most_common analog A2);
+- skiprows: leading lines not containing the chosen delimiter
+  (sniffer.py:107-117);
+- header: absent iff the first data row contains ≥1 numeric token
+  (sniffer.py:119-143 has_header);
+- multi-file consensus with a hard error on disagreement
+  (sniffer.py:145-193 CSVSnifferList.get_all / sniff_settings_csv);
+- row-width consistency predicate (sniffer.py:100-105, P11).
+
+Sampling reads only the top n lines per file — the reference's
+"only reads the headers" discipline (R1). The sample is tiny by design, so
+per-file detection runs driver-side like the reference; the subsequent READ
+is a distributed ``spark.read.csv`` with the sniffed dialect, stacked via
+operators.stack (the d6tstack combine pipeline end-to-end).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+
+DELIM_CANDIDATES = [",", ";", "\t", "|"]
+
+
+def _sample_lines(spark: SparkSession, path: str, n: int) -> list[str]:
+    return [r[0] for r in spark.read.text(path).limit(n).collect()]
+
+
+def _is_number(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
+
+
+def sniff_file(spark: SparkSession, path: str, n_lines: int = 20) -> dict:
+    """Dialect of one file: {'delim','skiprows','has_header','n_columns'}."""
+    lines = _sample_lines(spark, path, n_lines)
+    if not lines:
+        raise ValueError(f"empty file: {path}")
+    # per-line winner = candidate with max occurrences; majority across lines
+    votes: Counter = Counter()
+    for ln in lines:
+        counts = {d: ln.count(d) for d in DELIM_CANDIDATES}
+        best = max(counts, key=lambda d: (counts[d], -DELIM_CANDIDATES.index(d)))
+        if counts[best] > 0:
+            votes[best] += 1
+    if not votes:
+        raise IOError(f"no delimiter found in {path}")  # sniffer.py:87-88
+    delim = votes.most_common(1)[0][0]
+    # skiprows: leading lines without the delimiter (e.g. preamble/comments)
+    skiprows = 0
+    for ln in lines:
+        if delim in ln:
+            break
+        skiprows += 1
+    data_lines = [ln for ln in lines[skiprows:] if delim in ln]
+    widths = {len(ln.split(delim)) for ln in data_lines}
+    consistent = len(widths) == 1
+    first = data_lines[0].split(delim)
+    has_header = not any(_is_number(t) for t in first)
+    return {
+        "delim": delim,
+        "skiprows": skiprows,
+        "has_header": has_header,
+        "n_columns": len(first),
+        "consistent_width": consistent,
+    }
+
+
+def sniff_settings_csv(spark: SparkSession, paths: list[str], n_lines: int = 20) -> dict:
+    """Consensus dialect across files; raises if files disagree
+    (the reference's NotImplementedError on inconsistent dialects,
+    sniffer.py:169 — surfaced as ValueError with the offenders named)."""
+    per_file = {p: sniff_file(spark, p, n_lines) for p in sorted(paths)}
+    consensus = {}
+    for key in ("delim", "skiprows", "has_header"):
+        vals = {p: d[key] for p, d in per_file.items()}
+        uniq = set(vals.values())
+        if len(uniq) > 1:
+            raise ValueError(f"inconsistent {key} across files: {vals}")
+        consensus[key] = uniq.pop()
+    consensus["per_file"] = per_file
+    return consensus
+
+
+def read_csv_stacked(
+    spark: SparkSession,
+    paths: list[str],
+    rename_maps: list[dict | None] | None = None,
+    add_filename: bool = True,
+    n_lines: int = 20,
+    **stack_kwargs,
+) -> DataFrame:
+    """The CombinerCSV pipeline end-to-end: sniff dialect → distributed
+    spark.read.csv per file → rename/align/stack with provenance
+    (reference combine_csv.py:93-106 + 351-360, Spark-first)."""
+    from d6tstack_spark.operators.stack import stack
+
+    settings = sniff_settings_csv(spark, paths, n_lines)
+    dfs = []
+    for p in sorted(paths):
+        reader = (
+            spark.read.option("sep", settings["delim"])
+            .option("header", settings["has_header"])
+            .option("inferSchema", True)
+        )
+        if settings["skiprows"]:
+            # drop preamble lines: read as text, skip, re-parse
+            from pyspark.sql import functions as F
+
+            txt = spark.read.text(p).withColumn(
+                "__rn", F.monotonically_increasing_id()
+            )
+            body = txt.filter(F.col("__rn") >= settings["skiprows"]).select("value")
+            df = reader.csv(body.rdd.map(lambda r: r[0]))
+        else:
+            df = reader.csv(p)
+        dfs.append(df)
+    return stack(
+        dfs,
+        rename_maps=rename_maps,
+        source_names=[p.rsplit("/", 1)[-1] for p in sorted(paths)],
+        add_filename=add_filename,
+        **stack_kwargs,
+    )

@@ -1,0 +1,63 @@
+"""Continuous encode via Structured Streaming.
+
+The reference's signature execution mode is bounded streaming — generator
+chunk pipelines that never materialize the table (combine_csv.py:93-106,
+SURVEY.md §2.9). Its unbounded generalization: ``readStream`` over an
+arriving-files directory → ``foreachBatch`` encode → append blocks.
+Each micro-batch is encoded with the same shuffle-free local encoder;
+exactly-once lands on Spark's streaming checkpoint (offsets) + deterministic
+per-batch block ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from d6tstack_spark.operators.encode import encode_table
+
+
+def start_encode_stream(
+    spark: SparkSession,
+    input_dir: str,
+    blocks_dir: str,
+    checkpoint_dir: str,
+    schema,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    target_block_rows: int = 65536,
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """Start a stream that encodes every arriving parquet file into blocks.
+
+    Returns the StreamingQuery; callers drive it with
+    ``q.processAllAvailable()`` (tests) or let it run with a trigger.
+    """
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def encode_batch(batch_df, epoch_id: int):
+        blocks, _ = encode_table(
+            batch_df,
+            order_cols=order_cols,
+            mode="local",
+            target_block_rows=target_block_rows,
+        )
+        # offset the deterministic (partitionId, seq) block ids by epoch so
+        # batches never collide; Spark's checkpoint guarantees each epoch is
+        # delivered once to a successful writer
+        from pyspark.sql import functions as F
+
+        blocks.withColumn(
+            "block_id", F.col("block_id") + F.lit(int(epoch_id) << 48)
+        ).write.mode("append").parquet(blocks_dir)
+
+    return (
+        stream.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

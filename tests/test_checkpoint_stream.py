@@ -1,0 +1,185 @@
+"""Checkpoint/resume + streaming encode + CSV sniffing + multimodal stubs."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from d6tstack_spark.plans.checkpoint import (
+    decode_state,
+    encode_resume,
+    load_manifest,
+)
+
+
+@pytest.fixture()
+def multi_parquet(spark, transcripts_path, tmp_path):
+    """Split the transcripts into 3 parquet files (multi-file table)."""
+    df = pd.read_parquet(transcripts_path)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"part{i}.parquet")
+        df.iloc[i::3].to_parquet(p, row_group_size=512)
+        paths.append(p)
+    return paths
+
+
+def test_encode_resume_roundtrip_and_skip(spark, multi_parquet, tmp_path):
+    state = str(tmp_path / "state")
+    s1 = encode_resume(spark, multi_parquet, state)
+    assert s1["encoded"] == s1["planned"] > 0 and s1["skipped"] == 0
+
+    # second run: everything skipped (the left_anti resume join)
+    s2 = encode_resume(spark, multi_parquet, state)
+    assert s2["already_complete"] and s2["skipped"] == s2["planned"]
+
+    # decode equals the stacked source
+    dec = decode_state(spark, state).orderBy("conv_id", "turn_idx").toPandas()
+    src = (
+        spark.read.parquet(*multi_parquet)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(src, dec)
+
+    # lineage exists with codec map + byte accounting
+    lin = spark.read.parquet(os.path.join(state, "lineage")).toPandas()
+    assert (lin["enc_bytes"] < lin["raw_bytes"]).all()
+    assert all("text" in m for m in lin["codecs"])
+    assert load_manifest(state)["ts"]["logical"] in ("ts", "ts_ntz")
+
+
+def test_encode_resume_partial(spark, multi_parquet, tmp_path):
+    """Simulate a crash: encode only file 0 first, then resume with all 3."""
+    state = str(tmp_path / "state2")
+    s1 = encode_resume(spark, multi_parquet[:1], state)
+    s2 = encode_resume(spark, multi_parquet, state)
+    assert s2["skipped"] == s1["encoded"] > 0
+    assert s2["encoded"] == s2["planned"] - s1["encoded"]
+    assert decode_state(spark, state).count() == spark.read.parquet(
+        *multi_parquet
+    ).count()
+
+
+def test_streaming_encode(spark, multi_parquet, tmp_path):
+    from d6tstack_spark.operators.encode import decode_table
+    from d6tstack_spark.plans.checkpoint import load_manifest
+    from d6tstack_spark.streaming.encode_stream import start_encode_stream
+
+    indir = str(tmp_path / "incoming")
+    os.makedirs(indir)
+    # stage first file, start stream
+    os.link(multi_parquet[0], os.path.join(indir, "a.parquet"))
+    schema = spark.read.parquet(multi_parquet[0]).schema
+    blocks_dir = str(tmp_path / "sblocks")
+    q = start_encode_stream(
+        spark, indir, blocks_dir, str(tmp_path / "ckpt"), schema,
+        target_block_rows=1024,
+    )
+    try:
+        q.processAllAvailable()
+        # late-arriving file → incremental micro-batch
+        os.link(multi_parquet[1], os.path.join(indir, "b.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from d6tstack_spark.operators.encode import build_manifest
+
+    manifest = build_manifest(schema)
+    dec = decode_table(spark.read.parquet(blocks_dir), manifest)
+    src = spark.read.parquet(multi_parquet[0], multi_parquet[1])
+    assert dec.count() == src.count()
+    pd.testing.assert_frame_equal(
+        src.orderBy("conv_id", "turn_idx").toPandas(),
+        dec.orderBy("conv_id", "turn_idx").toPandas(),
+    )
+
+
+# ---------------------------------------------------------------- csv sniffer
+
+
+@pytest.fixture()
+def csv_files(tmp_path):
+    clean = tmp_path / "jan.csv"
+    clean.write_text("date,sales,cost\n2026-01-01,100,-80\n2026-01-02,200,-90\n")
+    piped = tmp_path / "feb.psv"
+    piped.write_text("date|sales|cost\n2026-02-01|300|-70\n")
+    noheader = tmp_path / "mar.csv"
+    noheader.write_text("2026-03-01,400,-60\n2026-03-02,500,-50\n")
+    preamble = tmp_path / "apr.csv"
+    preamble.write_text("report april\ngenerated nightly\ndate,sales,cost\n2026-04-01,600,-40\n")
+    return {"clean": str(clean), "piped": str(piped), "noheader": str(noheader),
+            "preamble": str(preamble)}
+
+
+def test_sniff_dialects(spark, csv_files):
+    from d6tstack_spark.sources.csv_sniffer import sniff_file, sniff_settings_csv
+
+    s = sniff_file(spark, csv_files["clean"])
+    assert s == {"delim": ",", "skiprows": 0, "has_header": True,
+                 "n_columns": 3, "consistent_width": True}
+    assert sniff_file(spark, csv_files["piped"])["delim"] == "|"
+    assert sniff_file(spark, csv_files["noheader"])["has_header"] is False
+    assert sniff_file(spark, csv_files["preamble"])["skiprows"] == 2
+
+    with pytest.raises(ValueError, match="inconsistent delim"):
+        sniff_settings_csv(spark, [csv_files["clean"], csv_files["piped"]])
+    ok = sniff_settings_csv(spark, [csv_files["clean"]])
+    assert ok["delim"] == ","
+
+
+def test_read_csv_stacked(spark, csv_files, tmp_path):
+    from d6tstack_spark.sources.csv_sniffer import read_csv_stacked
+
+    other = tmp_path / "may.csv"
+    other.write_text("date,sales,profit\n2026-05-01,700,10\n")
+    out = read_csv_stacked(spark, [csv_files["clean"], str(other)])
+    p = out.orderBy("date").toPandas()
+    assert set(p.columns) == {"date", "sales", "cost", "profit", "filename"}
+    assert p["cost"].isna().sum() == 1 and p["profit"].isna().sum() == 2
+    assert set(p["filename"]) == {"jan.csv", "may.csv"}
+
+
+# ----------------------------------------------------------------- multimodal
+
+
+def test_multimodal_stubs(spark):
+    from d6tstack_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_media,
+        frame_sample,
+        media_feature_vector,
+    )
+
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", "image/png", None, None, None),
+        (2, "video", b"\x00\x00ftyp fake", "video/mp4", None, None, 3500),
+        (3, "audio", None, "audio/wav", None, None, 100),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    meta = attach_media_metadata(df).toPandas()
+    assert meta.loc[meta.media_id == 1, "n_bytes"].iloc[0] == 15
+    assert meta["content_sha"].notna().sum() == 2
+
+    dec = decode_media(df).toPandas()
+    assert dec.loc[dec.media_id == 1, "dec_width"].notna().all()
+    assert dec.loc[dec.media_id == 3, "dec_width"].isna().all()  # null content
+
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        decode_media(df, strict=True).collect()
+
+    fr = frame_sample(df.filter("duration_ms is not null"), every_ms=1000).toPandas()
+    assert list(fr[fr.media_id == 2]["frame_ts_ms"]) == [0, 1000, 2000, 3000]
+
+    fv = media_feature_vector(df, dim=8).toPandas()
+    v = fv.loc[fv.media_id == 1, "features"].iloc[0]
+    assert len(v) == 8 and abs(sum(v) - 1.0) < 1e-5
+    assert fv.loc[fv.media_id == 3, "features"].iloc[0] is None
