@@ -242,6 +242,129 @@ def q_topk_part_revenue(spark, sf_dir):
     )
 
 
+def q_encdec_fused_events(spark, sf_dir):
+    """Scan-fused encode path (encode_parquet_files) in the correctness gate."""
+    from d6tstack_spark.operators.encode import decode_table, encode_parquet_files
+
+    blocks, manifest = encode_parquet_files(
+        spark, f"{sf_dir}/events.parquet", order_cols=("event_id",)
+    )
+    return decode_table(blocks, manifest)
+
+
+def q_encdec_cluster_lineitem(spark, sf_dir):
+    """Shuffle/salting cluster-mode encode path in the correctness gate."""
+    from d6tstack_spark.operators.encode import decode_table, encode_table
+
+    df = _t(spark, sf_dir, "lineitem")
+    blocks, manifest = encode_table(
+        df,
+        order_cols=("l_orderkey", "l_linenumber"),
+        bucket_col="l_orderkey",
+        mode="cluster",
+        skew_max_rows=10_000,
+    )
+    return decode_table(blocks, manifest)
+
+
+def q_rollup_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+def q_pivot_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return c.intersect(o)  # customers that placed ≥1 order
+
+
+def q_anti_join(spark, sf_dir):
+    """Customers with no finished ('F') order — non-empty at every sf."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    """Near-exact dedup: normalize → md5 fingerprint → keep min doc_id."""
+    from d6tstack_spark.operators.dedup import dedup_exact
+    from d6tstack_spark.operators.text import fingerprint
+
+    d = fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp")
+    return dedup_exact(d, ["fp"], "doc_id")
+
+
+def q_topk_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+def q_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n")
+    )
+
+
+def q_knn_lsh(spark, sf_dir):
+    from d6tstack_spark.operators.similarity import knn_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return knn_lsh(emb.filter(F.col("vec_id") != 0), list(qvec), 10, bits=6).select(
+        "vec_id", "cos"
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from d6tstack_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51);
+    # 0.45 yields a small non-empty result far from any precision boundary
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", 0.45).select(
+        "id_a", "id_b"
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents text bytes as opaque media content →
+    metadata + stub feature vectors (engine-specific → rows-only check)."""
+    from d6tstack_spark.operators.multimodal import (
+        attach_media_metadata,
+        media_feature_vector,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return media_feature_vector(attach_media_metadata(d), dim=8).select(
+        "media_id", "n_bytes", "content_sha", "features"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "encdec_events": _q_encdec("events", ("event_id",), "user_id"),
@@ -249,6 +372,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encdec_orders": _q_encdec("orders", ("o_orderkey",), "o_custkey"),
         "encdec_documents": _q_encdec("documents", ("doc_id",), "doc_id"),
         "encdec_customer": _q_encdec("customer", ("c_custkey",), "c_nationkey"),
+        "encdec_part": _q_encdec("part", ("p_partkey",), "p_partkey"),
+        "encdec_supplier": _q_encdec("supplier", ("s_suppkey",), "s_suppkey"),
+        "encdec_nation": _q_encdec("nation", ("n_nationkey",), "n_nationkey"),
+        "encdec_region": _q_encdec("region", ("r_regionkey",), "r_regionkey"),
+        "encdec_fused_events": q_encdec_fused_events,
+        "encdec_cluster_lineitem": q_encdec_cluster_lineitem,
         "encdec_embeddings": q_encdec_embeddings,
         "compression_stats": q_compression_stats,
         "tpch_q1": q_tpch_q1,
@@ -267,6 +396,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "props_json": q_props_json,
         "topk_part_revenue": q_topk_part_revenue,
+        "rollup_lineitem": q_rollup_lineitem,
+        "pivot_orders": q_pivot_orders,
+        "set_ops": q_set_ops,
+        "anti_join": q_anti_join,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "topk_per_user": q_topk_per_user,
+        "distinct_users": q_distinct_users,
+        "knn_lsh": q_knn_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
     }
 
 
@@ -284,6 +423,12 @@ def oracle_sql() -> dict[str, str]:
         "encdec_orders": "SELECT * FROM orders",
         "encdec_documents": "SELECT * FROM documents",
         "encdec_customer": "SELECT * FROM customer",
+        "encdec_part": "SELECT * FROM part",
+        "encdec_supplier": "SELECT * FROM supplier",
+        "encdec_nation": "SELECT * FROM nation",
+        "encdec_region": "SELECT * FROM region",
+        "encdec_fused_events": "SELECT * FROM events",
+        "encdec_cluster_lineitem": "SELECT * FROM lineitem",
         # encdec_embeddings / compression_stats / minhash_lsh_pairs / simhash:
         # intentionally omitted (list-typed output / engine metadata /
         # LSH recall < 1 / engine-specific hash) → rows-only check
@@ -435,4 +580,57 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue_c DESC, p.p_partkey
             LIMIT 10
         """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_orders": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "set_ops": """
+            SELECT c_custkey AS custkey FROM customer
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
+        """,
+        "dedup_fingerprint": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+              FROM documents
+            )
+            SELECT doc_id, fp FROM f
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        """,
+        "topk_per_user": """
+            SELECT user_id, event_id, CAST(rnk AS INT) AS rnk FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rnk
+              FROM events
+            ) WHERE rnk <= 3
+        """,
+        "distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        # knn_lsh / media_features / minhash_lsh_pairs / simhash /
+        # compression_stats / encdec_embeddings: rows-only (engine-specific
+        # hashing or stub features or list-typed output)
     }
