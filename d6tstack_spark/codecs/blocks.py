@@ -33,12 +33,18 @@ class Block:
     crc: int
 
 
-def _raw_bytes(values: np.ndarray, ptype: str, n_rows: int) -> int:
-    """Uncompressed size estimate: fixed-width for numerics; 4-byte offsets +
-    data for strings (the Arrow in-memory footprint, SURVEY.md §6)."""
-    if kernels.is_string_ptype(ptype):
-        return int(sum(len(v) for v in values)) + 4 * (n_rows + 1)
-    return n_rows * kernels.dtype_of(ptype).itemsize
+def _string_lens(values: np.ndarray) -> np.ndarray:
+    return np.fromiter((len(v) for v in values), dtype=np.int64, count=len(values))
+
+
+def _plain_size_exact(lens: np.ndarray, ptype: str, n: int) -> int:
+    """Exact encoded size of the 'plain' codec WITHOUT building it."""
+    if not kernels.is_string_ptype(ptype):
+        return n * kernels.dtype_of(ptype).itemsize
+    if len(lens) == 0:
+        return 0
+    width = int(int(lens.max()) - int(lens.min())).bit_length()
+    return (len(lens) * width + 7) // 8 + int(lens.sum())
 
 
 def encode_block(
@@ -55,6 +61,8 @@ def encode_block(
         valid = np.ones(n_rows, dtype=bool)
     null_count = int(n_rows - valid.sum())
     nn = values[valid] if null_count else values
+    is_str = kernels.is_string_ptype(ptype)
+    lens = _string_lens(nn) if is_str else None
     auto = codec is None
     if auto:
         codec = choose_codec(nn, ptype)
@@ -62,20 +70,26 @@ def encode_block(
     if auto and codec != "plain":
         # never-worse-than-plain guarantee: the selector estimates from a
         # sample and can be fooled (e.g. saturated cardinality); plain's
-        # exact size is known, so fall back when the chosen codec loses
-        plain_body, plain_params = kernels.encode_values(nn, ptype, "plain")
-        if len(plain_body) <= len(body):
-            codec, body, cparams = "plain", plain_body, plain_params
+        # exact size is computable without encoding it, so the check is free
+        # and the re-encode happens only on an actual loss
+        if _plain_size_exact(lens, ptype, len(nn)) <= len(body):
+            body, cparams = kernels.encode_values(nn, ptype, "plain")
+            codec = "plain"
     head = np.packbits(valid).tobytes() if null_count else b""
     payload = head + body
     params = json.dumps({"c": cparams, "vb": len(head)}, separators=(",", ":"))
+    raw = (
+        int(lens.sum()) + 4 * (n_rows + 1)  # Arrow footprint: offsets + data
+        if is_str
+        else n_rows * kernels.dtype_of(ptype).itemsize
+    )
     return Block(
         codec=codec,
         params=params,
         payload=payload,
         n_rows=n_rows,
         null_count=null_count,
-        raw_bytes=_raw_bytes(nn, ptype, n_rows),
+        raw_bytes=raw,
         enc_bytes=len(payload),
         crc=zlib.crc32(payload),
     )

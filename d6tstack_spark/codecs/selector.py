@@ -100,7 +100,11 @@ def _estimate_sizes(values: np.ndarray, ptype: str, stats: dict) -> dict[str, fl
         code_w = max((card - 1).bit_length(), 1)
         est["dict"] = min(card * (avg_len + 1.2), n * avg_len) + n * code_w / 8
         est["rle"] = runs * scale * (avg_len + 1.2) + runs * scale * 2
-        est["fsst"] = _fsst_trial_ratio(values) * data_bytes + n * 1.2
+        # fsst trial-encoding costs ~5-10ms per call; only worth it for
+        # text-like columns (long values) — short/categorical strings are
+        # always won by dict/rle/plain anyway
+        if avg_len >= 12:
+            est["fsst"] = _fsst_trial_ratio(values) * data_bytes + n * 1.2
     else:
         item = kernels.dtype_of(ptype).itemsize
         est["plain"] = float(n * item)

@@ -542,6 +542,7 @@ def encode_parquet_files(
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     codec_overrides: dict | None = None,
     row_groups_per_split: int = 2,
+    output_partitions: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Scan-fused encode: the driver plans (file, row-group) splits from
     parquet footers; each task reads its split with pyarrow directly and
@@ -562,8 +563,20 @@ def encode_parquet_files(
         [(fi, p, rg, n) for fi, p, rg, n in splits],
         "file_idx int, path string, rg int, nrg int",
     )
-    blocks = sdf.repartition(len(splits)).mapInArrow(
-        _make_fused_encoder(manifest, codec_overrides, order_cols), BLOCKS_SCHEMA
+    # repartition to 1 split/partition for balance, then coalesce the narrow
+    # pipeline to ~2 tasks/core: each task encodes several splits
+    # sequentially, cutting per-task overhead and output-file count (the
+    # driver-side commit of thousands of tiny files is a serial cost)
+    n_tasks = output_partitions or min(
+        len(splits), max(spark.sparkContext.defaultParallelism * 2, 1)
+    )
+    blocks = (
+        sdf.repartition(len(splits))
+        .mapInArrow(
+            _make_fused_encoder(manifest, codec_overrides, order_cols),
+            BLOCKS_SCHEMA,
+        )
+        .coalesce(n_tasks)
     )
     return blocks, manifest
 
@@ -619,11 +632,26 @@ def _make_decoder(manifest: dict, chunk_rows: int = 65536):
     return decode_fn
 
 
-def decode_table(blocks: DataFrame, manifest: dict) -> DataFrame:
+def decode_table(
+    blocks: DataFrame, manifest: dict, columns: list[str] | None = None
+) -> DataFrame:
     """Inverse of :func:`encode_table`: blocks → original logical columns.
+
+    ``columns`` decodes a projection only: the blocks scan is filtered to
+    those column names (predicate pushdown into the blocks parquet — the
+    column-pruning payoff of the columnar block layout; never touches the
+    other columns' payload bytes).
 
     Row order is unspecified (Spark semantics); the round-trip invariant is
     asserted under stable (conv_id, turn_idx) ordering by callers."""
+    if columns is not None:
+        if not columns:
+            raise ValueError("columns must be non-empty (or None for all)")
+        missing = [c for c in columns if c not in manifest]
+        if missing:
+            raise ValueError(f"columns not in manifest: {missing}")
+        manifest = {k: v for k, v in manifest.items() if k in columns}
+        blocks = blocks.filter(F.col("column").isin(list(columns)))
     phys_schema = T.StructType(
         [
             T.StructField(

@@ -145,6 +145,22 @@ def test_fused_parquet_roundtrip(spark, transcripts_path):
     )
 
 
+def test_partial_column_decode(spark, transcripts_path):
+    """Decode a projection: only the requested columns' blocks are read."""
+    from d6tstack_spark.operators.encode import encode_parquet_files
+
+    blocks, manifest = encode_parquet_files(spark, transcripts_path)
+    dec = decode_table(blocks, manifest, columns=["conv_id", "turn_idx", "role"])
+    assert dec.columns == ["conv_id", "turn_idx", "role"]
+    src = spark.read.parquet(transcripts_path).select("conv_id", "turn_idx", "role")
+    pd.testing.assert_frame_equal(
+        src.orderBy("conv_id", "turn_idx").toPandas(),
+        dec.orderBy("conv_id", "turn_idx").toPandas(),
+    )
+    with pytest.raises(ValueError, match="not in manifest"):
+        decode_table(blocks, manifest, columns=["nope"])
+
+
 def test_empty_table_roundtrip(spark, transcripts_path):
     df = spark.read.parquet(transcripts_path).filter(F.lit(False))
     blocks, manifest = encode_table(df, order_cols=("conv_id", "turn_idx"))
