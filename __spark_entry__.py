@@ -336,6 +336,19 @@ def q_knn_lsh(spark, sf_dir):
     )
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors (seeded k-means lists, n_probe
+    lists scanned) — approximate by design → rows-only check."""
+    from d6tstack_spark.operators.similarity import ivf_index, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    indexed, centroids = ivf_index(emb, n_lists=8)
+    return ivf_search(
+        indexed.filter(F.col("vec_id") != 0), centroids, qvec, 10, n_probe=4
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     from d6tstack_spark.operators.dedup import embedding_neardup_pairs
 
@@ -404,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": q_topk_per_user,
         "distinct_users": q_distinct_users,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
     }

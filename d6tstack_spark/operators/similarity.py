@@ -75,6 +75,57 @@ def hyperplane_signature(
     return df.withColumn("bucket", bucket)
 
 
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF (inverted-file) index: seeded k-means over the embeddings assigns
+    each vector to its nearest centroid's list. Returns (df + ``list_id``,
+    centroids). At scale the indexed table is written partitioned by
+    list_id so a probe scans only its lists."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feat = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(
+        k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__features",
+        predictionCol="list_id",
+    )
+    model = km.fit(feat)
+    indexed = model.transform(feat).drop("__features")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: score only vectors in the ``n_probe``
+    lists whose centroids are closest to the query — O(n·n_probe/n_lists)
+    scan instead of O(n)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:n_probe]]
+    cand = indexed.filter(F.col("list_id").isin(probe))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col), cosine_expr(F.col(vec_col), qcol).alias("cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
 def knn_lsh(
     df: DataFrame,
     query_vec: list[float],

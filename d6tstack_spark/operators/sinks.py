@@ -25,6 +25,13 @@ def to_csv_combine(df: DataFrame, path: str, mode: str = "overwrite", **options)
     df.coalesce(1).write.mode(mode).options(header=True, **options).csv(path)
 
 
+def to_csv_head(
+    df: DataFrame, path: str, n: int = 3, mode: str = "overwrite", **options
+):
+    """Preview sink: first n rows as one CSV (K1, combine_csv.py:383-404)."""
+    df.limit(n).coalesce(1).write.mode(mode).options(header=True, **options).csv(path)
+
+
 def to_csv_align(
     df: DataFrame, path: str, source_col: str = "filename", mode: str = "overwrite",
     **options,

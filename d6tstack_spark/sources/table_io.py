@@ -1,0 +1,58 @@
+"""Table layer interface: Iceberg catalog when the runtime jar is present,
+hash-partitioned parquet + our JSON manifest otherwise (SURVEY.md §7 step 0
+— the sandbox has no iceberg-spark-runtime on the classpath, so the parquet
+fallback is the tested path; the Iceberg branch is the same call surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Read an Iceberg table reference (``catalog.db.table``) or a parquet
+    path — whichever the runtime supports; paths always work."""
+    if "/" not in ref and iceberg_available(spark):
+        return spark.read.table(ref)
+    return spark.read.parquet(ref)
+
+
+def write_table(
+    df: DataFrame, ref: str, mode: str = "append", partition_by: list[str] | None = None
+) -> None:
+    """Append to an Iceberg table (hidden partitioning) or parquet path
+    (explicit partitionBy)."""
+    if "/" not in ref and iceberg_available(df.sparkSession):
+        df.writeTo(ref).append()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(ref)
+
+
+def snapshot_files(spark: SparkSession, ref: str) -> list[str]:
+    """The file listing an encode job plans over: Iceberg snapshot manifest
+    when available, else a parquet directory listing (deterministic order).
+    """
+    if "/" not in ref and iceberg_available(spark):
+        return [
+            r["file_path"]
+            for r in spark.sql(f"SELECT file_path FROM {ref}.files").collect()
+        ]
+    import glob
+    import os
+
+    if os.path.isfile(ref):
+        return [ref]
+    return sorted(glob.glob(os.path.join(ref, "*.parquet")))

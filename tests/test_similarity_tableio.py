@@ -1,0 +1,68 @@
+"""IVF similarity search + table-IO interface + sink heads."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ivf_index_and_search(spark, emb):
+    from d6tstack_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        knn_bruteforce,
+    )
+
+    indexed, centroids = ivf_index(emb, n_lists=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    lists = indexed.groupBy("list_id").count().toPandas()
+    assert lists["count"].sum() == emb.count() and len(lists) == 8
+
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = [r["vec_id"] for r in knn_bruteforce(
+        emb.filter("vec_id != 0"), q, 10).collect()]
+    approx = [r["vec_id"] for r in ivf_search(
+        indexed.filter("vec_id != 0"), centroids, q, 10, n_probe=4).collect()]
+    # approximate: require decent overlap with exact top-10 at half the lists
+    assert len(set(exact) & set(approx)) >= 5, (exact, approx)
+
+    # determinism: same seed → same assignment
+    indexed2, centroids2 = ivf_index(emb, n_lists=8)
+    assert centroids == centroids2
+
+
+def test_table_io_fallback(spark, tmp_path, sf_dir):
+    from d6tstack_spark.sources.table_io import (
+        iceberg_available,
+        read_table,
+        snapshot_files,
+        write_table,
+    )
+
+    assert not iceberg_available(spark)  # sandbox has no iceberg jar
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "t")
+    write_table(df, out, mode="overwrite")
+    assert read_table(spark, out).count() == df.count()
+    files = snapshot_files(spark, out)
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert files == sorted(files)  # deterministic order (O1 discipline)
+
+
+def test_to_csv_head(spark, tmp_path, sf_dir):
+    from d6tstack_spark.operators.sinks import to_csv_head
+
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = str(tmp_path / "head")
+    to_csv_head(df, out, n=3)
+    files = glob.glob(f"{out}/*.csv")
+    assert len(files) == 1
+    lines = open(files[0]).read().strip().splitlines()
+    assert len(lines) == 4  # header + 3 rows
