@@ -105,6 +105,12 @@ def encode_run(cores: int) -> dict:
         blocks.write.mode("overwrite").parquet(out)
         walls.append(time.time() - t0)
     wall = min(walls)
+    # decode throughput: read the blocks back and reconstruct every column
+    from d6tstack_spark.operators.encode import decode_table
+
+    t0 = time.time()
+    n_dec = decode_table(spark.read.parquet(out), manifest).count()
+    dec_wall = time.time() - t0
     stats = (
         spark.read.parquet(out)
         .agg(
@@ -121,6 +127,7 @@ def encode_run(cores: int) -> dict:
         "n_turns": n_turns,
         "wall_sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),
+        "decode_turns_per_sec": round(n_dec / dec_wall, 1),
         "enc_bytes": int(stats["enc"]),
         "raw_bytes": int(stats["raw"]),
         "n_blocks": int(stats["nblocks"]),

@@ -21,6 +21,17 @@ from d6tstack_spark.codecs import kernels
 from d6tstack_spark.codecs.selector import choose_codec
 
 
+WIRE_VERSION = 2  # bump on any payload-layout change
+
+
+def _check_version(p: dict):
+    if p.get("v", 1) != WIRE_VERSION:
+        raise ValueError(
+            f"block wire format v{p.get('v', 1)} != engine v{WIRE_VERSION}; "
+            "re-encode the state (no cross-version decode)"
+        )
+
+
 @dataclass
 class Block:
     codec: str
@@ -77,7 +88,9 @@ def encode_block(
             codec = "plain"
     head = np.packbits(valid).tobytes() if null_count else b""
     payload = head + body
-    params = json.dumps({"c": cparams, "vb": len(head)}, separators=(",", ":"))
+    params = json.dumps(
+        {"v": WIRE_VERSION, "c": cparams, "vb": len(head)}, separators=(",", ":")
+    )
     raw = (
         int(lens.sum()) + 4 * (n_rows + 1)  # Arrow footprint: offsets + data
         if is_str
@@ -95,6 +108,40 @@ def encode_block(
     )
 
 
+def decode_block_arrow(
+    payload: bytes | memoryview,
+    params: str,
+    codec: str,
+    n_rows: int,
+    null_count: int,
+    ptype: str,
+):
+    """String/binary block → Arrow array directly (C++ decode paths; nulls
+    re-inserted via take with null indices). The Spark decode hot path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from d6tstack_spark.codecs.kernels import decode_values_arrow
+
+    p = json.loads(params)
+    _check_version(p)
+    mv = memoryview(payload)
+    vb = p["vb"]
+    if null_count:
+        valid = np.unpackbits(
+            np.frombuffer(mv[:vb], dtype=np.uint8), count=n_rows
+        ).astype(bool)
+    else:
+        valid = None
+    n_valid = n_rows - null_count
+    nn = decode_values_arrow(mv[vb:], p["c"], n_valid, ptype, codec)
+    if null_count == 0:
+        return nn
+    idx = np.cumsum(valid, dtype=np.int64) - 1
+    idx_pa = pa.array(idx, type=pa.int64(), mask=~valid)
+    return pc.take(nn, idx_pa)
+
+
 def decode_block(
     payload: bytes | memoryview,
     params: str,
@@ -106,6 +153,7 @@ def decode_block(
     """Inverse of :func:`encode_block` -> (values, valid). Invalid positions
     hold zero/empty fillers; callers must apply the validity mask."""
     p = json.loads(params)
+    _check_version(p)
     mv = memoryview(payload)
     vb = p["vb"]
     if null_count:

@@ -137,6 +137,22 @@ def _enc_plain(values: np.ndarray, ptype: str):
     return np.ascontiguousarray(values, dtype=_NUM_DTYPES[ptype]).tobytes(), {}
 
 
+def _dec_plain_arrow(payload: memoryview, params: dict, n: int):
+    """Zero-copy-ish arrow decode for plain strings: lengths → offsets →
+    BinaryArray.from_buffers over the payload's data region."""
+    import pyarrow as pa
+
+    lb = params["lb"]
+    lens = _unpack_lengths(bytes(payload[:lb]), params, n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(bytes(payload[lb:]))],
+    )
+
+
 def _dec_plain(payload: memoryview, params: dict, n: int, ptype: str) -> np.ndarray:
     if is_string_ptype(ptype):
         lb = params["lb"]
@@ -318,12 +334,19 @@ def _enc_fsst(values: np.ndarray, ptype: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    lenbuf, lp = _pack_lengths(values)
     if len(values) == 0:
-        return lenbuf, {**lp, "lb": len(lenbuf), "tb": 0, "tp": {}, "nsym": 0,
-                        "ntok": 0, "nlitu": 0, "ldb": 0, "ldp": {}, "liw": 0}
+        return b"", {"tcb": 0, "tw": 0, "tref": 0, "lb": 0, "tb": 0, "tp": {},
+                     "nsym": 0, "ntok": 0, "nlit": 0, "nlitu": 0, "ldb": 0,
+                     "ldp": {}, "liw": 0}
     va = pa.array(values, type=pa.binary())
-    flat = pc.list_flatten(pc.split_pattern(va, pattern=b" "))
+    splits = pc.split_pattern(va, pattern=b" ")
+    # tokens-per-row (not byte lengths): decode rebuilds each row as a C++
+    # binary_join over its token slice — no per-row python
+    tpr = pc.list_value_length(splits).to_numpy(zero_copy_only=False).astype(np.int64)
+    tref = int(tpr.min())
+    tw = _bit_width(int(tpr.max()) - tref)
+    tprbuf = bitpack((tpr - tref).view(np.uint64), tw)
+    flat = pc.list_flatten(splits)
     denc = flat.dictionary_encode()
     idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     dic = denc.dictionary
@@ -351,10 +374,12 @@ def _enc_fsst(values: np.ndarray, ptype: str):
     lit_items = dic.take(pa.array(lit_uniq_ids)).to_numpy(zero_copy_only=False)
     tablebuf, tp = _enc_plain(np.asarray(table_items, dtype=object), "bin")
     litdictbuf, ldp = _enc_plain(np.asarray(lit_items, dtype=object), "bin")
-    payload = lenbuf + tablebuf + litdictbuf + code_stream.tobytes() + lit_ids_buf
+    payload = tprbuf + tablebuf + litdictbuf + code_stream.tobytes() + lit_ids_buf
     return payload, {
-        **lp,
-        "lb": len(lenbuf),
+        "tcb": len(tprbuf),
+        "tw": tw,
+        "tref": tref,
+        "lb": len(tprbuf),  # kept for layout symmetry with other codecs
         "tb": len(tablebuf),
         "tp": tp,
         "nsym": k,
@@ -367,38 +392,44 @@ def _enc_fsst(values: np.ndarray, ptype: str):
     }
 
 
-def _dec_fsst(payload: memoryview, params: dict, n: int, ptype: str) -> np.ndarray:
-    lb, tb, ntok = params["lb"], params["tb"], params["ntok"]
-    lens = _unpack_lengths(bytes(payload[:lb]), params, n)
+def _dec_fsst_arrow(payload: memoryview, params: dict, n: int, ptype: str):
+    """Arrow-native FSST decode: combined-dictionary take → per-row
+    binary_join over token slices. All C++ — no per-row python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ntok = params["ntok"]
     if ntok == 0:
-        out = np.empty(n, dtype=object)
-        out[:] = b""
-        return out
-    pos = lb
-    table_arr = _dec_plain(payload[pos : pos + tb], params["tp"], params["nsym"], "bin")
+        return pa.array([b""] * n, type=pa.binary())
+    pos = params["tcb"]
+    tpr = (
+        bitunpack(bytes(payload[:pos]), params["tw"], n).view(np.int64)
+        + params["tref"]
+    )
+    tb = params["tb"]
+    table_pa = _dec_plain_arrow(payload[pos : pos + tb], params["tp"], params["nsym"])
     pos += tb
     ldb = params["ldb"]
-    lit_arr = _dec_plain(payload[pos : pos + ldb], params["ldp"], params["nlitu"], "bin")
+    lit_pa = _dec_plain_arrow(payload[pos : pos + ldb], params["ldp"], params["nlitu"])
     pos += ldb
     code_stream = np.frombuffer(payload[pos : pos + ntok], dtype=np.uint8)
     pos += ntok
     lit_ids = bitunpack(bytes(payload[pos:]), params["liw"], params["nlit"]).astype(
         np.int64
     )
-    # combined dictionary: [symbols | literal dict]; per-token id → token
-    full = np.concatenate([table_arr, lit_arr]) if len(lit_arr) else table_arr
     ids = code_stream.astype(np.int64)
     lit_mask = code_stream == _FSST_LITERAL
     ids[lit_mask] = params["nsym"] + lit_ids
-    tokens = full[ids]
-    data = b" ".join(tokens.tolist())
-    # value i starts at cumsum(lens)[:i] + i (one separator byte per boundary)
-    out = np.empty(n, dtype=object)
-    dpos = 0
-    for i in range(n):
-        out[i] = data[dpos : dpos + lens[i]]
-        dpos += int(lens[i]) + 1
-    return out
+    full = pa.concat_arrays([table_pa, lit_pa]) if len(lit_pa) else table_pa
+    tokens = pc.take(full, pa.array(ids, type=pa.int64()))
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(tpr, out=offsets[1:])
+    rows = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), tokens)
+    return pc.binary_join(rows, pa.scalar(b" ", type=pa.binary()))
+
+
+def _dec_fsst(payload: memoryview, params: dict, n: int, ptype: str) -> np.ndarray:
+    return _dec_fsst_arrow(payload, params, n, ptype).to_numpy(zero_copy_only=False)
 
 
 # ---------------------------------------------------------------------------
@@ -436,6 +467,48 @@ def encode_values(values: np.ndarray, ptype: str, codec: str) -> tuple[bytes, di
         raise ValueError(f"codec {codec} requires string ptype, got {ptype}")
     enc, _ = CODECS[codec]
     return enc(values, ptype)
+
+
+def _dec_dict_arrow(payload: memoryview, params: dict, n: int, ptype: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    card, width, db = params["card"], params["w"], params["db"]
+    uniques = _dec_plain_arrow(payload[:db], params["dp"], card)
+    codes = bitunpack(bytes(payload[db:]), width, n).astype(np.int64)
+    return pc.take(uniques, pa.array(codes, type=pa.int64()))
+
+
+def _dec_rle_arrow(payload: memoryview, params: dict, n: int, ptype: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    runs, vb = params["runs"], params["vb"]
+    run_values = _dec_plain_arrow(payload[:vb], params["vp"], runs)
+    run_lens = (
+        bitunpack(bytes(payload[vb:]), params["rw"], runs).view(np.int64)
+        + params["rref"]
+    )
+    idx = np.repeat(np.arange(runs, dtype=np.int64), run_lens)
+    return pc.take(run_values, pa.array(idx, type=pa.int64()))
+
+
+_ARROW_STR_DECODERS = {
+    "plain": lambda p, prm, n, t: _dec_plain_arrow(p, prm, n),
+    "dict": _dec_dict_arrow,
+    "rle": _dec_rle_arrow,
+    "fsst": _dec_fsst_arrow,
+}
+
+
+def decode_values_arrow(
+    payload: memoryview | bytes, params: dict, n: int, ptype: str, codec: str
+):
+    """String/binary decode straight to an Arrow BinaryArray (C++ take/join
+    paths, no per-row python) — the hot path for decode_table."""
+    if not is_string_ptype(ptype):
+        raise ValueError("decode_values_arrow is for str/bin ptypes")
+    return _ARROW_STR_DECODERS[codec](memoryview(payload), params, n, ptype)
 
 
 def decode_values(

@@ -587,6 +587,8 @@ def encode_parquet_files(
 
 
 def _decode_one_block(rows: list[dict], manifest: dict) -> pa.Table:
+    from d6tstack_spark.codecs.blocks import decode_block_arrow
+
     by_col = {r["column"]: r for r in rows}
     arrays = {}
     n = None
@@ -597,15 +599,18 @@ def _decode_one_block(rows: list[dict], manifest: dict) -> pa.Table:
         if ptype == "any":
             arrays[name] = _decode_arrow_fallback(r["payload"])
             continue
-        values, valid = decode_block(
-            r["payload"], r["params"], r["codec"], n, r["null_count"], ptype
-        )
-        mask = None if valid.all() else ~valid
         if ptype in ("str", "bin"):
-            arr = pa.array(values, type=pa.binary(), mask=mask)
+            # arrow-native fast path: no per-row python in string decode
+            arr = decode_block_arrow(
+                r["payload"], r["params"], r["codec"], n, r["null_count"], ptype
+            )
             if ptype == "str":
                 arr = arr.cast(pa.string())
         else:
+            values, valid = decode_block(
+                r["payload"], r["params"], r["codec"], n, r["null_count"], ptype
+            )
+            mask = None if valid.all() else ~valid
             arr = pa.array(values, type=_PHYS_ARROW_TYPE[ptype], mask=mask)
         arrays[name] = arr
     return pa.table(arrays)
