@@ -3,11 +3,13 @@
 Default run:
   1. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
      on local[$SPARK_GRAFT_CPUS] — per-query wall seconds;
-  2. transcript-encode scaling: the same encode job at local[8] and
-     local[32] (fresh JVM each, via subprocess) on identical sf0.1-scale
-     transcripts → turns/sec at both + scaling efficiency
-     throughput(4N) / (4 × throughput(N)) — the sandbox evidence for the
-     north rule's N→4N ≥ 0.8 criterion;
+  2. transcript-encode scaling: the same encode job at local[4]/8/16/32
+     (fresh JVM each, via subprocess; interleaved reps, min-of-3 steady
+     state) on identical sf0.5-scale transcripts → turns/sec per level +
+     scaling efficiency throughput(4N) / (4 × throughput(N)) — the sandbox
+     evidence for the north rule's N→4N ≥ 0.8 criterion (primary pair
+     4→16 physical cores; see BENCH/BASELINE.md for why 8→32 hits the
+     single-box DRAM-bandwidth ceiling);
   3. compressed-size gate: engine blocks bytes vs parquet-snappy of the
      same table.
 
@@ -206,6 +208,7 @@ def main():
         "queries": times,
         "sf": 0.1,
         "encode_turns_per_sec": {str(c): scaling[c]["turns_per_sec"] for c in sorted(scaling)},
+        "decode_turns_per_sec": {str(c): scaling[c]["decode_turns_per_sec"] for c in sorted(scaling)},
         "scaling_efficiency_4_to_16": round(eff, 3),
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
         "encoded_bytes": enc["enc_bytes"],
@@ -233,10 +236,11 @@ def _write_baseline_md(scaling, eff, eff_8_32, times, result):
         "",
         "## Scaling (north-rule N→4N evidence)",
         "",
-        "| parallelism | wall (s) | turns/sec |",
-        "|---|---|---|",
+        "| parallelism | encode wall (s) | encode turns/sec | decode turns/sec |",
+        "|---|---|---|---|",
     ] + [
-        f"| local[{c}] | {scaling[c]['wall_sec']} | {scaling[c]['turns_per_sec']} |"
+        f"| local[{c}] | {scaling[c]['wall_sec']} | {scaling[c]['turns_per_sec']} "
+        f"| {scaling[c]['decode_turns_per_sec']} |"
         for c in sorted(scaling)
     ] + [
         "",
