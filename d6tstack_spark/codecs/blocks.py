@@ -108,6 +108,62 @@ def encode_block(
     )
 
 
+def encode_block_arrow(arr, ptype: str, codec: str | None = None) -> Block:
+    """Encode one string/binary column slice straight from an Arrow array —
+    no python-object materialization (the encode hot path).
+
+    Same Block/wire output as :func:`encode_block`."""
+    import pyarrow.compute as pc
+
+    from d6tstack_spark.codecs.kernels import encode_values_arrow
+
+    n_rows = len(arr)
+    null_count = arr.null_count
+    if null_count:
+        valid = np.asarray(arr.is_valid())
+        nn = arr.drop_null()
+    else:
+        valid = np.ones(n_rows, dtype=bool)
+        nn = arr
+    lens = (
+        pc.binary_length(nn).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nn)
+        else np.zeros(0, dtype=np.int64)
+    )
+    auto = codec is None
+    if auto:
+        # sniff on a small CONTIGUOUS head sample (contiguity preserves run
+        # structure; cardinality saturation is handled by the selector's
+        # extrapolation). Only ≤4096 values ever become python objects.
+        sample = nn.slice(0, 4096)
+        sample_np = np.asarray(sample.to_numpy(zero_copy_only=False), dtype=object)
+        from d6tstack_spark.codecs.selector import choose_codec, sniff_stats
+
+        stats = sniff_stats(sample_np, ptype)
+        stats["n_total"] = len(nn)
+        codec = choose_codec(sample_np, ptype, stats)
+    body, cparams = encode_values_arrow(nn, ptype, codec)
+    if auto and codec != "plain":
+        if _plain_size_exact(lens, ptype, len(nn)) <= len(body):
+            body, cparams = encode_values_arrow(nn, ptype, "plain")
+            codec = "plain"
+    head = np.packbits(valid).tobytes() if null_count else b""
+    payload = head + body
+    params = json.dumps(
+        {"v": WIRE_VERSION, "c": cparams, "vb": len(head)}, separators=(",", ":")
+    )
+    return Block(
+        codec=codec,
+        params=params,
+        payload=payload,
+        n_rows=n_rows,
+        null_count=null_count,
+        raw_bytes=int(lens.sum()) + 4 * (n_rows + 1),
+        enc_bytes=len(payload),
+        crc=zlib.crc32(payload),
+    )
+
+
 def decode_block_arrow(
     payload: bytes | memoryview,
     params: str,

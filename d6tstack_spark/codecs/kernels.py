@@ -469,6 +469,153 @@ def encode_values(values: np.ndarray, ptype: str, codec: str) -> tuple[bytes, di
     return enc(values, ptype)
 
 
+# ---------------------------------------------------------------------------
+# arrow-native string encode (no python-object materialization)
+# ---------------------------------------------------------------------------
+
+
+def _arrow_lens_and_data(arr) -> tuple[np.ndarray, bytes]:
+    """(byte lengths, contiguous value blob) of a no-null Arrow binary array."""
+    import pyarrow.compute as pc
+
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.int64), b""
+    lens = pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    # offsets buffer accounts for arr.offset; slice the data region exactly
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = arr.buffers()[2]
+    blob = bytes(memoryview(data)[int(offsets[0]) : int(offsets[-1])]) if len(arr) else b""
+    return lens, blob
+
+
+def _enc_plain_arrow(arr) -> tuple[bytes, dict]:
+    lens, blob = _arrow_lens_and_data(arr)
+    if len(lens) == 0:
+        return b"", {"lw": 0, "lref": 0, "lb": 0}
+    ref = int(lens.min())
+    width = _bit_width(int(lens.max()) - ref)
+    lenbuf = bitpack((lens - ref).view(np.uint64), width)
+    return lenbuf + blob, {"lw": width, "lref": ref, "lb": len(lenbuf)}
+
+
+def _enc_dict_arrow(arr) -> tuple[bytes, dict]:
+    denc = arr.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    dic = denc.dictionary
+    width = _bit_width(len(dic) - 1) if len(dic) > 1 else 0
+    dictbuf, dp = _enc_plain_arrow(dic)
+    return dictbuf + bitpack(codes, width), {
+        "card": len(dic),
+        "w": width,
+        "db": len(dictbuf),
+        "dp": dp,
+    }
+
+
+def _enc_rle_arrow(arr) -> tuple[bytes, dict]:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    if n == 0:
+        vbuf, vp = _enc_plain_arrow(arr)
+        return vbuf, {"runs": 0, "vb": len(vbuf), "vp": vp, "rw": 0, "rref": 0}
+    changed = np.ones(n, dtype=bool)
+    if n > 1:
+        neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+        changed[1:] = neq.to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(changed).astype(np.int64)
+    run_values = pc.take(arr, pa.array(starts, type=pa.int64()))
+    run_lens = np.diff(np.append(starts, n)).astype(np.int64)
+    vbuf, vp = _enc_plain_arrow(run_values)
+    ref = int(run_lens.min())
+    width = _bit_width(int(run_lens.max()) - ref)
+    lbuf = bitpack((run_lens - ref).view(np.uint64), width)
+    return vbuf + lbuf, {
+        "runs": len(starts),
+        "vb": len(vbuf),
+        "vp": vp,
+        "rw": width,
+        "rref": ref,
+    }
+
+
+def _enc_fsst_from_arrow(arr) -> tuple[bytes, dict]:
+    """The _enc_fsst body starting from an Arrow binary array (shared by the
+    object-API wrapper below and the arrow-native block path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(arr) == 0:
+        return b"", {"tcb": 0, "tw": 0, "tref": 0, "lb": 0, "tb": 0, "tp": {},
+                     "nsym": 0, "ntok": 0, "nlit": 0, "nlitu": 0, "ldb": 0,
+                     "ldp": {}, "liw": 0}
+    splits = pc.split_pattern(arr, pattern=b" ")
+    tpr = pc.list_value_length(splits).to_numpy(zero_copy_only=False).astype(np.int64)
+    tref = int(tpr.min())
+    tw = _bit_width(int(tpr.max()) - tref)
+    tprbuf = bitpack((tpr - tref).view(np.uint64), tw)
+    flat = pc.list_flatten(splits)
+    denc = flat.dictionary_encode()
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = denc.dictionary
+    counts = np.bincount(idx, minlength=len(dic))
+    dlens = pc.binary_length(dic).to_numpy(zero_copy_only=False).astype(np.int64)
+    gain = counts * (dlens + 1)
+    gain = np.where(counts <= 1, 0, gain)
+    order = np.argsort(-gain, kind="stable")
+    k = min(_FSST_MAX_SYMBOLS, int((gain[order] > 0).sum()))
+    sym = np.full(len(dic), -1, dtype=np.int64)
+    sym[order[:k]] = np.arange(k)
+    tok_syms = sym[idx]
+    code_stream = tok_syms.copy()
+    code_stream[code_stream < 0] = _FSST_LITERAL
+    code_stream = code_stream.astype(np.uint8)
+    lit_uniq_ids = np.flatnonzero(sym < 0)
+    lit_local = np.full(len(dic), -1, dtype=np.int64)
+    lit_local[lit_uniq_ids] = np.arange(len(lit_uniq_ids))
+    lit_occ = tok_syms < 0
+    lit_ids = lit_local[idx[lit_occ]]
+    lw = _bit_width(len(lit_uniq_ids) - 1) if len(lit_uniq_ids) > 1 else 0
+    lit_ids_buf = bitpack(lit_ids.view(np.uint64), lw)
+    tablebuf, tp = _enc_plain_arrow(dic.take(pa.array(order[:k])))
+    litdictbuf, ldp = _enc_plain_arrow(dic.take(pa.array(lit_uniq_ids)))
+    payload = tprbuf + tablebuf + litdictbuf + code_stream.tobytes() + lit_ids_buf
+    return payload, {
+        "tcb": len(tprbuf),
+        "tw": tw,
+        "tref": tref,
+        "lb": len(tprbuf),
+        "tb": len(tablebuf),
+        "tp": tp,
+        "nsym": k,
+        "ntok": len(idx),
+        "nlit": int(lit_occ.sum()),
+        "nlitu": len(lit_uniq_ids),
+        "ldb": len(litdictbuf),
+        "ldp": ldp,
+        "liw": lw,
+    }
+
+
+_ARROW_STR_ENCODERS = {
+    "plain": _enc_plain_arrow,
+    "dict": _enc_dict_arrow,
+    "rle": _enc_rle_arrow,
+    "fsst": _enc_fsst_from_arrow,
+}
+
+
+def encode_values_arrow(arr, ptype: str, codec: str) -> tuple[bytes, dict]:
+    """Encode a no-null Arrow binary array directly — the encode hot path
+    (skips python-object materialization entirely)."""
+    if not is_string_ptype(ptype):
+        raise ValueError("encode_values_arrow is for str/bin ptypes")
+    return _ARROW_STR_ENCODERS[codec](arr)
+
+
 def _dec_dict_arrow(payload: memoryview, params: dict, n: int, ptype: str):
     import pyarrow as pa
     import pyarrow.compute as pc

@@ -226,12 +226,19 @@ def _extract_values(arr: pa.Array, ptype: str) -> tuple[np.ndarray, np.ndarray |
 def _encode_one_block(
     tbl: pa.Table, block_id: int, manifest: dict, codec_overrides: dict
 ) -> list[dict]:
+    from d6tstack_spark.codecs.blocks import encode_block_arrow
+
     rows = []
     for name, m in manifest.items():
         arr = tbl.column(name).combine_chunks()
         ptype = m["ptype"]
         if ptype == "any":
             blk = _encode_arrow_fallback(arr)
+        elif ptype in ("str", "bin"):
+            # arrow-native fast path: the column never becomes python objects
+            blk = encode_block_arrow(
+                arr.cast(pa.binary()), ptype, codec_overrides.get(name)
+            )
         else:
             values, valid = _extract_values(arr, ptype)
             blk = encode_block(values, valid, ptype, codec_overrides.get(name))
