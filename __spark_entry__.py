@@ -336,6 +336,28 @@ def q_knn_lsh(spark, sf_dir):
     )
 
 
+def q_roundtrip_compare(spark, sf_dir):
+    """Encode→decode orders, then the distributed multiset compare against
+    the source — the golden-equality pattern as a query."""
+    from d6tstack_spark.operators.encode import decode_table, encode_table
+    from d6tstack_spark.operators.verify import compare_tables
+
+    src = _t(spark, sf_dir, "orders")
+    blocks, manifest = encode_table(src, order_cols=("o_orderkey",))
+    return compare_tables(src, decode_table(blocks, manifest))
+
+
+def q_zstd_roundtrip(spark, sf_dir):
+    """Optional heavy codec profile: documents.text forced to zstd."""
+    from d6tstack_spark.operators.encode import decode_table, encode_table
+
+    src = _t(spark, sf_dir, "documents")
+    blocks, manifest = encode_table(
+        src, order_cols=("doc_id",), codec_overrides={"text": "zstd"}
+    )
+    return decode_table(blocks, manifest)
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF approximate nearest neighbors (seeded k-means lists, n_probe
     lists scanned) — approximate by design → rows-only check."""
@@ -418,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "roundtrip_compare": q_roundtrip_compare,
+        "zstd_roundtrip": q_zstd_roundtrip,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
     }
@@ -443,6 +467,13 @@ def oracle_sql() -> dict[str, str]:
         "encdec_region": "SELECT * FROM region",
         "encdec_fused_events": "SELECT * FROM events",
         "encdec_cluster_lineitem": "SELECT * FROM lineitem",
+        "zstd_roundtrip": "SELECT * FROM documents",
+        "roundtrip_compare": """
+            SELECT (SELECT COUNT(*) FROM orders) AS n_a,
+                   (SELECT COUNT(*) FROM orders) AS n_b,
+                   CAST(0 AS BIGINT) AS n_only_a,
+                   CAST(0 AS BIGINT) AS n_only_b
+        """,
         # encdec_embeddings / compression_stats / minhash_lsh_pairs / simhash:
         # intentionally omitted (list-typed output / engine metadata /
         # LSH recall < 1 / engine-specific hash) → rows-only check

@@ -433,6 +433,45 @@ def _dec_fsst(payload: memoryview, params: dict, n: int, ptype: str) -> np.ndarr
 
 
 # ---------------------------------------------------------------------------
+# zstd — OPTIONAL heavy container codec (not in the auto-selector's default
+# lightweight set, per the north rule; reachable via codec_overrides for the
+# "zstd as stretch comparison" profile, BASELINE.md §targets)
+# ---------------------------------------------------------------------------
+
+
+def _enc_zstd(values: np.ndarray, ptype: str):
+    import pyarrow as pa
+
+    inner, ip = _enc_plain(values, ptype)
+    buf = pa.Codec("zstd").compress(inner, asbytes=True)
+    return buf, {"ip": ip, "dsize": len(inner)}
+
+
+def _dec_zstd(payload: memoryview, params: dict, n: int, ptype: str) -> np.ndarray:
+    import pyarrow as pa
+
+    inner = pa.Codec("zstd").decompress(
+        bytes(payload), params["dsize"], asbytes=True
+    )
+    return _dec_plain(memoryview(inner), params["ip"], n, ptype)
+
+
+def _enc_zstd_arrow(arr):
+    import pyarrow as pa
+
+    inner, ip = _enc_plain_arrow(arr)
+    buf = pa.Codec("zstd").compress(inner, asbytes=True)
+    return buf, {"ip": ip, "dsize": len(inner)}
+
+
+def _dec_zstd_arrow(payload: memoryview, params: dict, n: int, ptype: str):
+    import pyarrow as pa
+
+    inner = pa.Codec("zstd").decompress(bytes(payload), params["dsize"], asbytes=True)
+    return _dec_plain_arrow(memoryview(inner), params["ip"], n)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -444,6 +483,7 @@ CODECS = {
     "bitpack": (_enc_bitpack, _dec_bitpack),
     "delta": (_enc_delta, _dec_delta),
     "fsst": (_enc_fsst, _dec_fsst),
+    "zstd": (_enc_zstd, _dec_zstd),
 }
 
 _INT_ONLY = {"for", "bitpack", "delta"}
@@ -608,6 +648,13 @@ _ARROW_STR_ENCODERS = {
 }
 
 
+def _register_zstd_arrow():
+    # registered after definitions below (zstd arrow variants are defined
+    # later in the file); called at import bottom
+    _ARROW_STR_ENCODERS["zstd"] = _enc_zstd_arrow
+    _ARROW_STR_DECODERS["zstd"] = _dec_zstd_arrow
+
+
 def encode_values_arrow(arr, ptype: str, codec: str) -> tuple[bytes, dict]:
     """Encode a no-null Arrow binary array directly — the encode hot path
     (skips python-object materialization entirely)."""
@@ -663,3 +710,6 @@ def decode_values(
 ) -> np.ndarray:
     _, dec = CODECS[codec]
     return dec(memoryview(payload), params, n, ptype)
+
+
+_register_zstd_arrow()
