@@ -1,0 +1,85 @@
+"""End-to-end training-data pipeline demo — run with:
+
+    spark-submit --py-files <(zip of d6tstack_spark) examples/pipeline_demo.py [sf_dir]
+
+Composes the engine's operators the way a real corpus build does:
+  1. ingest drifted sources (schema-aligning stack),
+  2. quality-score + language-ID the documents,
+  3. near-dup removal (MinHash+LSH candidates, exact-verified),
+  4. encode the surviving corpus into compressed blocks with resume state,
+  5. decode a projection back and verify equivalence distributed.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01"):
+    spark = (
+        SparkSession.builder.appName("pipeline-demo")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from d6tstack_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
+    from d6tstack_spark.operators.encode import decode_table, encode_table
+    from d6tstack_spark.operators.stack import stack
+    from d6tstack_spark.operators.text import lang_id, quality_score
+    from d6tstack_spark.operators.verify import roundtrip_ok
+
+    # 1. ingest: two drifted "sources" of the documents table re-stacked
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_a = docs.filter("doc_id % 2 = 0")
+    src_b = docs.filter("doc_id % 2 = 1").withColumnRenamed("text", "content")
+    corpus = stack(
+        [src_a, src_b],
+        rename_maps=[None, {"content": "text"}],
+        source_names=["shard-a", "shard-b"],
+        add_filename=True,
+    )
+    print(f"[1] stacked corpus: {corpus.count()} docs from 2 drifted shards")
+
+    # 2. quality + language gates (all JVM-side expressions)
+    scored = lang_id(quality_score(corpus))
+    kept = scored.filter(
+        (F.col("n_tokens") >= 5) & (F.col("alpha_ratio") > 0.5)
+    )
+    print(f"[2] after quality gates: {kept.count()} docs")
+
+    # 3. near-dup removal: LSH candidates → exact verify → drop the higher id
+    dup_pairs = minhash_lsh_pairs(kept, "doc_id", "text", threshold=0.9)
+    losers = dup_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = kept.join(losers, "doc_id", "left_anti")
+    deduped = dedup_exact(deduped, ["text"], "doc_id")  # belt and braces
+    n_final = deduped.count()
+    print(f"[3] after near-dup removal: {n_final} docs")
+
+    # 4. encode the final corpus (auto-selected codecs, shuffle-free)
+    final = deduped.select("doc_id", "text", "lang_pred", "n_tokens", "filename")
+    blocks, manifest = encode_table(final, order_cols=("doc_id",))
+    out = tempfile.mkdtemp(prefix="pipeline_blocks_")
+    blocks.write.mode("overwrite").parquet(out)
+    stats = (
+        spark.read.parquet(out)
+        .agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e"))
+        .first()
+    )
+    print(f"[4] encoded: {stats['r']:,} raw → {stats['e']:,} bytes "
+          f"({stats['r']/stats['e']:.2f}x) at {out}")
+
+    # 5. decode + distributed equivalence check
+    dec = decode_table(spark.read.parquet(out), manifest)
+    ok = roundtrip_ok(final, dec)
+    print(f"[5] decode multiset-identical: {ok}")
+    assert ok
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
