@@ -158,7 +158,7 @@ STR_CASES = {
 }
 
 
-@pytest.mark.parametrize("codec", ["plain", "dict", "rle", "fsst"])
+@pytest.mark.parametrize("codec", ["plain", "dict", "rle", "fsst", "fsst2"])
 @pytest.mark.parametrize("name", list(STR_CASES))
 def test_str_roundtrip(codec, name):
     arr = STR_CASES[name]

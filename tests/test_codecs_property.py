@@ -39,7 +39,7 @@ def test_int_codecs_roundtrip(values, codec):
 
 
 @settings(max_examples=60, deadline=None)
-@given(texts, st.sampled_from(["plain", "dict", "rle", "fsst"]))
+@given(texts, st.sampled_from(["plain", "dict", "rle", "fsst", "fsst2"]))
 def test_str_codecs_roundtrip(values, codec):
     arr = _obj(values)
     payload, params = kernels.encode_values(arr, "str", codec)
