@@ -460,7 +460,7 @@ def build_manifest_arrow(schema: pa.Schema) -> dict:
                 "ptype": "i64",
                 "logical": "ts" if f.type.tz else "ts_ntz",
             }
-        elif pa.types.is_date32(f.type):
+        elif pa.types.is_date32(f.type) or pa.types.is_date64(f.type):
             manifest[f.name] = {"ptype": "i32", "logical": "date"}
         elif pa.types.is_boolean(f.type):
             manifest[f.name] = {"ptype": "i8", "logical": "bool"}
@@ -485,15 +485,25 @@ def _spark_type_str(t: pa.DataType) -> str:
     raise ValueError(f"unsupported arrow type for fused encode: {t}")
 
 
-def plan_parquet_splits(paths: list[str], row_groups_per_split: int = 2) -> list[tuple]:
+def plan_parquet_splits(
+    paths: list[str],
+    row_groups_per_split: int = 2,
+    file_indices: dict[str, int] | None = None,
+) -> list[tuple]:
     """Driver-side split planning from parquet footers: deterministic
     (sorted paths — the d6tstack np.sort(fname_list) discipline,
     reference combine_csv.py:62), one split = N row groups. On Iceberg this
-    is the snapshot's file+split list instead."""
+    is the snapshot's file+split list instead.
+
+    ``file_indices`` pins each path's file_idx (checkpoint/resume persists
+    this map so block ids stay stable when files are added between runs);
+    default = position in the sorted path list."""
     import pyarrow.parquet as pq
 
     splits = []
     for fi, p in enumerate(sorted(paths)):
+        if file_indices is not None:
+            fi = file_indices[p]
         nrg = pq.ParquetFile(p).metadata.num_row_groups
         for rg in range(0, nrg, row_groups_per_split):
             splits.append((fi, p, rg, min(row_groups_per_split, nrg - rg)))
@@ -527,9 +537,14 @@ def _make_fused_encoder(manifest: dict, codec_overrides: dict | None,
                 for name, m in manifest.items():
                     arr = t.column(name)
                     if m["logical"] in ("ts", "ts_ntz"):
-                        arr = arr.cast(pa.int64())
+                        # normalize the source unit first: parquet files may
+                        # carry ns (pandas default) or ms timestamps, and a
+                        # bare int64 cast would keep that unit while decode
+                        # restores with timestamp_micros — silently 1000x off
+                        tz = arr.type.tz if hasattr(arr.type, "tz") else None
+                        arr = arr.cast(pa.timestamp("us", tz=tz)).cast(pa.int64())
                     elif m["logical"] == "date":
-                        arr = arr.cast(pa.int32())
+                        arr = arr.cast(pa.date32()).cast(pa.int32())
                     elif m["logical"] == "bool":
                         arr = arr.cast(pa.int8())
                     cols[name] = arr

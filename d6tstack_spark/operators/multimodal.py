@@ -33,8 +33,13 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
 
 def _fake_decode(buf: bytes) -> tuple[int, int]:
     """Deterministic fake 'decode': pretend dimensions derived from a hash
-    of the bytes. STUB — replace with PIL/ffmpeg in a real deployment."""
-    h = hash(buf) & 0x7FFFFFFF
+    of the bytes. STUB — replace with PIL/ffmpeg in a real deployment.
+
+    Uses crc32, not builtin hash(): hash(bytes) is salted per Python process
+    (PYTHONHASHSEED) and would differ across executors and retries."""
+    import zlib
+
+    h = zlib.crc32(buf) & 0x7FFFFFFF
     return 16 + h % 1024, 16 + (h >> 10) % 1024
 
 

@@ -44,6 +44,44 @@ def _manifest_path(state_dir: str) -> str:
     return os.path.join(state_dir, "manifest.json")
 
 
+def _files_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "files.json")
+
+
+def _assign_file_indices(state_dir: str, paths: list[str]) -> dict[str, int]:
+    """Stable path → file_idx map persisted in the state dir.
+
+    Block ids embed file_idx, so the assignment must survive resume even
+    when files are added between runs (a positional index would shift every
+    id and make the left_anti resume join skip the wrong blocks). New paths
+    extend the map; a previously-recorded path missing from this run fails
+    loudly — its blocks are in the state and silently ignoring that would
+    desync state from input."""
+    fmap: dict[str, int] = {}
+    fp = _files_path(state_dir)
+    if os.path.exists(fp):
+        with open(fp) as f:
+            fmap = json.load(f)
+    missing = sorted(set(fmap) - set(paths))
+    if missing:
+        raise ValueError(
+            f"state dir {state_dir} was built from files not in this run "
+            f"(first: {missing[0]}); pass the full original file list or "
+            "use a fresh state dir"
+        )
+    nxt = max(fmap.values(), default=-1) + 1
+    for p in sorted(paths):
+        if p not in fmap:
+            fmap[p] = nxt
+            nxt += 1
+    tmp = fp + ".tmp"
+    os.makedirs(state_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(fmap, f, indent=1)
+    os.replace(tmp, fp)
+    return fmap
+
+
 def completed_block_ids(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Distinct block ids already present in the state dir (None if fresh)."""
     bd = _blocks_dir(state_dir)
@@ -71,7 +109,18 @@ def encode_resume(
     if isinstance(paths, str):
         paths = [paths]
     manifest = build_manifest_arrow(pq.read_schema(paths[0]))
-    splits = plan_parquet_splits(paths, row_groups_per_split)
+    if os.path.exists(_manifest_path(state_dir)):
+        prior = load_manifest(state_dir)
+        if prior != manifest:
+            raise ValueError(
+                f"schema drift vs state dir {state_dir}: stored manifest "
+                "differs from this run's input schema; re-encode into a "
+                "fresh state dir"
+            )
+    fmap = _assign_file_indices(state_dir, paths)
+    with open(_manifest_path(state_dir), "w") as f:
+        json.dump(manifest, f, indent=1)
+    splits = plan_parquet_splits(paths, row_groups_per_split, file_indices=fmap)
     sdf = spark.createDataFrame(
         [(fi, p, rg, n) for fi, p, rg, n in splits],
         "file_idx int, path string, rg int, nrg int",
@@ -122,8 +171,6 @@ def encode_resume(
         .withColumn("run_duration_sec", F.lit(round(duration, 3)))
     )
     lineage.write.mode("overwrite").parquet(_lineage_dir(state_dir))
-    with open(_manifest_path(state_dir), "w") as f:
-        json.dump(manifest, f, indent=1)
     summary["duration_sec"] = round(duration, 3)
     return summary
 

@@ -47,13 +47,16 @@ def start_encode_stream(
             target_block_rows=target_block_rows,
         )
         # offset the deterministic (partitionId, seq) block ids by epoch so
-        # batches never collide; Spark's checkpoint guarantees each epoch is
-        # delivered once to a successful writer
+        # batches never collide. foreachBatch is at-least-once: a retried
+        # epoch re-runs the writer, so each epoch lands in its own
+        # OVERWRITTEN subdirectory — the re-commit is idempotent (same
+        # epoch → same dir → same deterministic block ids), which upgrades
+        # the sink to effectively-once.
         from pyspark.sql import functions as F
 
         blocks.withColumn(
             "block_id", F.col("block_id") + F.lit(int(epoch_id) << 48)
-        ).write.mode("append").parquet(blocks_dir)
+        ).write.mode("overwrite").parquet(f"{blocks_dir}/epoch={int(epoch_id)}")
 
     return (
         stream.writeStream.foreachBatch(encode_batch)

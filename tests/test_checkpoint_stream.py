@@ -65,6 +65,63 @@ def test_encode_resume_partial(spark, multi_parquet, tmp_path):
     ).count()
 
 
+def test_encode_resume_added_file_keeps_ids_stable(spark, multi_parquet, tmp_path):
+    """A file added between runs must not shift existing block ids: the
+    path→file_idx map is persisted in the state dir (files.json), so the
+    resume anti-join still targets the right blocks."""
+    state = str(tmp_path / "state3")
+    # first run sees only the LAST file alphabetically…
+    encode_resume(spark, multi_parquet[2:], state)
+    # …then earlier-sorting files appear; a positional index would renumber
+    s2 = encode_resume(spark, multi_parquet, state)
+    assert s2["skipped"] > 0 and s2["encoded"] > 0
+    src = spark.read.parquet(*multi_parquet)
+    dec = decode_state(spark, state)
+    assert dec.count() == src.count()
+    pd.testing.assert_frame_equal(
+        src.orderBy("conv_id", "turn_idx").toPandas(),
+        dec.orderBy("conv_id", "turn_idx").toPandas(),
+    )
+    # a recorded file missing from the run fails loudly
+    with pytest.raises(ValueError, match="not in this run"):
+        encode_resume(spark, multi_parquet[:1], state)
+
+
+def test_fused_encode_normalizes_ns_ms_timestamps(spark, tmp_path):
+    """Parquet with ns (pandas default) and ms timestamps must decode to the
+    same instants — the fused encoder normalizes units to µs before the
+    int64 cast (a bare cast would silently be 1000x off)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from d6tstack_spark.operators.encode import decode_table, encode_parquet_files
+
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00:00.123456", "2026-01-02 12:34:56.654321"]
+    )
+    for unit in ("ns", "ms"):
+        t = pa.table(
+            {
+                "conv_id": pa.array(["a", "b"]),
+                "turn_idx": pa.array([0, 1], type=pa.int32()),
+                "ts": pa.array(ts).cast(pa.timestamp(unit), safe=False),
+            }
+        )
+        p = str(tmp_path / f"ts_{unit}.parquet")
+        pq.write_table(t, p)
+        blocks, manifest = encode_parquet_files(spark, p, order_cols=("conv_id",))
+        got = (
+            decode_table(blocks, manifest)
+            .orderBy("conv_id")
+            .select(F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+            .toPandas()["us"]
+            .tolist()
+        )
+        want = [v // 1000 * 1000 if unit == "ms" else v
+                for v in (ts.asi8 // 1000).tolist()]
+        assert got == want, unit
+
+
 def test_streaming_encode(spark, multi_parquet, tmp_path):
     from d6tstack_spark.operators.encode import decode_table
     from d6tstack_spark.plans.checkpoint import load_manifest
