@@ -49,19 +49,29 @@ def _q_encdec(table: str, order_cols: tuple, bucket: str):
 
 
 def q_encdec_embeddings(spark, sf_dir):
-    return _encdec(spark, sf_dir, "embeddings", ("vec_id",), "vec_id")
+    """Embeddings encode→decode round-trip (fplist codec), projected through
+    posexplode so the driver's canonicalizer sees scalar columns — every
+    float of every vector is value-checked against the source."""
+    dec = _encdec(spark, sf_dir, "embeddings", ("vec_id",), "vec_id")
+    return dec.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    )
 
 
 def q_compression_stats(spark, sf_dir):
-    """Per-column codec + compression rollup of the events table (engine
-    metadata — no SQL oracle; driver records a rows-only check)."""
+    """Per-column accounting invariants of the encoded events table: every
+    source row appears in exactly one block of every column, and no column's
+    encoded bytes exceed its raw (arrow-footprint) bytes — the
+    never-worse-than-plain guarantee, oracle-pinned."""
     from d6tstack_spark.operators.encode import encode_table
-    from d6tstack_spark.plans.metrics import compression_rollup
 
     blocks, _ = encode_table(
         _t(spark, sf_dir, "events"), order_cols=("event_id",), bucket_col="user_id"
     )
-    return compression_rollup(blocks)
+    return blocks.groupBy(F.col("column").alias("col_name")).agg(
+        F.sum("n_rows").alias("n_rows"),
+        (F.sum("enc_bytes") <= F.sum("raw_bytes")).alias("compressed_le_raw"),
+    )
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -384,7 +394,9 @@ def q_embedding_neardup(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents text bytes as opaque media content →
-    metadata + stub feature vectors (engine-specific → rows-only check)."""
+    metadata + stub feature vectors. Arrays are projected to oracle-checkable
+    scalars: byte size and sha256 are exact (DuckDB computes both), and the
+    feature vector's validity (dim + unit L1 mass) is a pinned boolean."""
     from d6tstack_spark.operators.multimodal import (
         attach_media_metadata,
         media_feature_vector,
@@ -395,8 +407,18 @@ def q_media_features(spark, sf_dir):
         F.lit("text").alias("kind"),
         F.encode("text", "utf-8").alias("content"),
     )
-    return media_feature_vector(attach_media_metadata(d), dim=8).select(
-        "media_id", "n_bytes", "content_sha", "features"
+    m = media_feature_vector(attach_media_metadata(d), dim=8)
+    feat_sum = F.aggregate(
+        "features", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return m.select(
+        "media_id",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        "content_sha",
+        F.size("features").alias("feat_dim"),
+        F.when(F.col("features").isNull(), F.lit(None).cast("boolean"))
+        .otherwise((F.abs(feat_sum - 1.0) < 1e-3))
+        .alias("feat_ok"),
     )
 
 
@@ -474,9 +496,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_only_a,
                    CAST(0 AS BIGINT) AS n_only_b
         """,
-        # encdec_embeddings / compression_stats / minhash_lsh_pairs / simhash:
-        # intentionally omitted (list-typed output / engine metadata /
-        # LSH recall < 1 / engine-specific hash) → rows-only check
+        "encdec_embeddings": """
+            SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                   unnest(embedding) AS val
+            FROM embeddings
+        """,
+        "compression_stats": """
+            SELECT c.col_name,
+                   (SELECT COUNT(*) FROM events) AS n_rows,
+                   TRUE AS compressed_le_raw
+            FROM (VALUES ('event_id'), ('ts'), ('user_id'), ('event_type'),
+                         ('value'), ('props')) c(col_name)
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   sha256(text) AS content_sha,
+                   CASE WHEN text IS NULL THEN NULL ELSE 8 END AS feat_dim,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN octet_length(encode(text)) = 0 THEN FALSE
+                        ELSE TRUE END AS feat_ok
+            FROM documents
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -164,6 +164,97 @@ def encode_block_arrow(arr, ptype: str, codec: str | None = None) -> Block:
     )
 
 
+_FLOATLIST_NP = {"f32list": ("f32", np.dtype("<f4")), "f64list": ("f64", np.dtype("<f8"))}
+
+
+def encode_block_floatlist(arr, ptype: str) -> Block:
+    """Encode a list<float32|float64> column (embeddings): list-level
+    validity bitmap + FOR-bitpacked lengths + fpsplit over the flat values.
+
+    The flat value stream is where an LLM-data table's bytes live; fpsplit
+    (sign/exponent/mantissa field split) compresses it losslessly where
+    whole-value zstd gets ~nothing on near-random floats. Lists with null
+    ELEMENTS don't take this path (caller falls back to the arrow container).
+    """
+    scalar_ptype, dt = _FLOATLIST_NP[ptype]
+    n_rows = len(arr)
+    null_count = arr.null_count
+    if null_count:
+        valid = np.asarray(arr.is_valid())
+        nn = arr.drop_null()
+    else:
+        valid = np.ones(n_rows, dtype=bool)
+        nn = arr
+    import pyarrow.compute as pc
+
+    lens = (
+        pc.list_value_length(nn).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nn)
+        else np.zeros(0, dtype=np.int64)
+    )
+    flat = nn.flatten().to_numpy(zero_copy_only=False).astype(dt, copy=False)
+    lref = int(lens.min()) if len(lens) else 0
+    lw = int(int(lens.max()) - lref).bit_length() if len(lens) else 0
+    lens_b = kernels.bitpack((lens - lref).view(np.uint64), lw)
+    body, cparams = kernels.encode_values(flat, scalar_ptype, "fpsplit")
+    head = np.packbits(valid).tobytes() if null_count else b""
+    payload = head + lens_b + body
+    params = json.dumps(
+        {"v": WIRE_VERSION, "c": cparams, "vb": len(head), "lw": lw,
+         "lref": lref, "lb": len(lens_b), "nv": int(lens.sum())},
+        separators=(",", ":"),
+    )
+    raw = len(flat) * dt.itemsize + 4 * (n_rows + 1)  # Arrow: values + offsets
+    return Block(
+        codec="fplist",
+        params=params,
+        payload=payload,
+        n_rows=n_rows,
+        null_count=null_count,
+        raw_bytes=raw,
+        enc_bytes=len(payload),
+        crc=zlib.crc32(payload),
+    )
+
+
+def decode_block_floatlist(
+    payload: bytes | memoryview,
+    params: str,
+    n_rows: int,
+    null_count: int,
+    ptype: str,
+):
+    """Inverse of :func:`encode_block_floatlist` → Arrow list array."""
+    import pyarrow as pa
+
+    scalar_ptype, dt = _FLOATLIST_NP[ptype]
+    p = json.loads(params)
+    _check_version(p)
+    mv = memoryview(payload)
+    vb, lb = p["vb"], p["lb"]
+    if null_count:
+        valid = np.unpackbits(
+            np.frombuffer(mv[:vb], dtype=np.uint8), count=n_rows
+        ).astype(bool)
+    else:
+        valid = np.ones(n_rows, dtype=bool)
+    n_valid = n_rows - null_count
+    lens = (
+        kernels.bitunpack(bytes(mv[vb : vb + lb]), p["lw"], n_valid).view(np.int64)
+        + p["lref"]
+    )
+    flat = kernels.CODECS["fpsplit"][1](mv[vb + lb :], p["c"], p["nv"], scalar_ptype)
+    full_lens = np.zeros(n_rows, dtype=np.int64)
+    full_lens[valid] = lens
+    offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(full_lens).astype(np.int32)
+    # a null in the offsets array marks that slot's list as null
+    off_mask = np.concatenate([~valid, [False]])
+    off_arr = pa.array(offsets, type=pa.int32(), mask=off_mask)
+    values = pa.array(flat, type=pa.from_numpy_dtype(dt))
+    return pa.ListArray.from_arrays(off_arr, values)
+
+
 def decode_block_arrow(
     payload: bytes | memoryview,
     params: str,

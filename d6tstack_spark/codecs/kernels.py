@@ -472,6 +472,74 @@ def _dec_zstd_arrow(payload: memoryview, params: dict, n: int, ptype: str):
 
 
 # ---------------------------------------------------------------------------
+# fpsplit: sign / exponent / mantissa field split for float columns
+# ---------------------------------------------------------------------------
+#
+# IEEE floats in real data have near-random mantissas (incompressible) but
+# low-entropy exponents and a free-standing sign bit. Splitting the fields
+# and encoding each at its own entropy beats whole-value compression:
+#   sign      → packbits (1 bit/value, irreducible)
+#   exponent  → zstd over the byte/short stream (~2-4 bits/value typical)
+#   mantissa  → bitpacked at full field width (exact, no waste from the
+#               sign/exponent bits that a plain copy would carry)
+# Bit-identical round-trip for every payload including NaN/Inf/-0.0:
+# the three fields reassemble the exact original bit pattern.
+
+_FP_LAYOUT = {
+    "f32": (np.uint32, 31, 23, 0xFF, np.uint8),
+    "f64": (np.uint64, 63, 52, 0x7FF, np.uint16),
+}
+
+
+def _enc_fpsplit(values: np.ndarray, ptype: str):
+    import pyarrow as pa
+
+    utype, sign_shift, mant_bits, exp_mask, exp_store = _FP_LAYOUT[ptype]
+    u = np.ascontiguousarray(values, dtype=dtype_of(ptype)).view(utype)
+    u64 = u.astype(np.uint64)
+    sign = (u64 >> np.uint64(sign_shift)).astype(np.uint8)
+    exp = ((u64 >> np.uint64(mant_bits)) & np.uint64(exp_mask)).astype(exp_store)
+    mant = u64 & np.uint64((1 << mant_bits) - 1)
+    sign_b = np.packbits(sign).tobytes()
+    exp_raw = exp.tobytes()
+    exp_b = pa.Codec("zstd").compress(exp_raw, asbytes=True)
+    mant_b = bitpack(mant, mant_bits)
+    return sign_b + exp_b + mant_b, {"sb": len(sign_b), "eb": len(exp_b),
+                                     "er": len(exp_raw)}
+
+
+def float_exponent_entropy(values: np.ndarray, ptype: str) -> float:
+    """Empirical entropy (bits/value) of the exponent field — the selector's
+    size-model input for fpsplit."""
+    if len(values) == 0 or ptype not in _FP_LAYOUT:
+        return 8.0
+    utype, _sign_shift, mant_bits, exp_mask, _store = _FP_LAYOUT[ptype]
+    u = np.ascontiguousarray(values, dtype=dtype_of(ptype)).view(utype)
+    exp = ((u.astype(np.uint64) >> np.uint64(mant_bits))
+           & np.uint64(exp_mask)).astype(np.int64)
+    freq = np.bincount(exp)
+    p = freq[freq > 0] / len(exp)
+    return float(-(p * np.log2(p)).sum())
+
+
+def _dec_fpsplit(payload: memoryview, params: dict, n: int, ptype: str) -> np.ndarray:
+    import pyarrow as pa
+
+    utype, sign_shift, mant_bits, _exp_mask, exp_store = _FP_LAYOUT[ptype]
+    sb, eb = params["sb"], params["eb"]
+    sign = np.unpackbits(
+        np.frombuffer(payload[:sb], dtype=np.uint8), count=n
+    ).astype(np.uint64)
+    exp_raw = pa.Codec("zstd").decompress(
+        bytes(payload[sb : sb + eb]), params["er"], asbytes=True
+    )
+    exp = np.frombuffer(exp_raw, dtype=exp_store).astype(np.uint64)
+    mant = bitunpack(bytes(payload[sb + eb :]), mant_bits, n)
+    u64 = (sign << np.uint64(sign_shift)) | (exp << np.uint64(mant_bits)) | mant
+    return u64.astype(utype).view(dtype_of(ptype)).copy()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -488,10 +556,12 @@ CODECS = {
         _dec_fsst,
     ),
     "zstd": (_enc_zstd, _dec_zstd),
+    "fpsplit": (_enc_fpsplit, _dec_fpsplit),
 }
 
 _INT_ONLY = {"for", "bitpack", "delta"}
 _STR_ONLY = {"fsst", "fsst2"}
+_FLOAT_ONLY = {"fpsplit"}
 
 
 def valid_codecs(ptype: str) -> list[str]:
@@ -499,7 +569,7 @@ def valid_codecs(ptype: str) -> list[str]:
         return ["plain", "dict", "rle", "fsst"]
     if is_int_ptype(ptype):
         return ["plain", "dict", "rle", "for", "bitpack", "delta"]
-    return ["plain", "dict", "rle"]  # floats
+    return ["plain", "dict", "rle", "fpsplit"]  # floats
 
 
 def encode_values(values: np.ndarray, ptype: str, codec: str) -> tuple[bytes, dict]:
@@ -509,6 +579,8 @@ def encode_values(values: np.ndarray, ptype: str, codec: str) -> tuple[bytes, di
         raise ValueError(f"codec {codec} requires integer ptype, got {ptype}")
     if codec in _STR_ONLY and not is_string_ptype(ptype):
         raise ValueError(f"codec {codec} requires string ptype, got {ptype}")
+    if codec in _FLOAT_ONLY and ptype not in _FLOAT_DTYPES:
+        raise ValueError(f"codec {codec} requires float ptype, got {ptype}")
     enc, _ = CODECS[codec]
     return enc(values, ptype)
 

@@ -18,7 +18,8 @@ _SAMPLE_CAP = 4096  # values sampled for stats (fixed stride → deterministic)
 _FSST_TRIAL_CAP = 512  # strings trial-encoded to estimate the fsst ratio
 
 # ties → cheapest decode wins (plain is a memcpy; fsst needs a token scan)
-_DECODE_COST_ORDER = ["plain", "for", "bitpack", "delta", "dict", "rle", "fsst"]
+_DECODE_COST_ORDER = ["plain", "for", "bitpack", "delta", "dict", "rle",
+                      "fpsplit", "fsst"]
 _RANK = {c: i for i, c in enumerate(_DECODE_COST_ORDER)}
 
 
@@ -74,6 +75,8 @@ def sniff_stats(values: np.ndarray, ptype: str) -> dict:
             stats["delta_width"] = int(int(zz.max()).bit_length())
         else:
             stats["delta_width"] = 0
+    elif ptype in ("f32", "f64"):
+        stats["exp_ent"] = kernels.float_exponent_entropy(s, ptype)
     return stats
 
 
@@ -118,6 +121,14 @@ def _estimate_sizes(values: np.ndarray, ptype: str, stats: dict) -> dict[str, fl
             # explicit codec= requests
             est["for"] = n * stats.get("for_width", item * 8) / 8 + 16
             est["delta"] = n * stats.get("delta_width", item * 8) / 8 + 16
+        elif ptype in ("f32", "f64"):
+            # sign (1 bit) + mantissa (full width) + exponent near its
+            # sampled entropy (zstd on the exponent stream gets close)
+            mant_bits = 23 if ptype == "f32" else 52
+            exp_ent = stats.get("exp_ent", 8.0)
+            est["fpsplit"] = (
+                n * (1 + mant_bits) / 8 + n * exp_ent / 8 * 1.1 + 64
+            )
     return est
 
 

@@ -90,6 +90,8 @@ _PHYS_SPARK_TYPE = {
     "i64": T.LongType(),
     "f32": T.FloatType(),
     "f64": T.DoubleType(),
+    "f32list": T.ArrayType(T.FloatType()),
+    "f64list": T.ArrayType(T.DoubleType()),
 }
 
 _PHYS_ARROW_TYPE = {
@@ -101,6 +103,8 @@ _PHYS_ARROW_TYPE = {
     "i64": pa.int64(),
     "f32": pa.float32(),
     "f64": pa.float64(),
+    "f32list": pa.list_(pa.float32()),
+    "f64list": pa.list_(pa.float64()),
 }
 
 
@@ -113,6 +117,10 @@ def build_manifest(schema: T.StructType) -> dict:
         s = f.dataType.simpleString()
         if s in _PTYPE_OF_SPARK:
             manifest[f.name] = {"ptype": _PTYPE_OF_SPARK[s], "logical": None}
+        elif s == "array<float>":
+            manifest[f.name] = {"ptype": "f32list", "logical": None}
+        elif s == "array<double>":
+            manifest[f.name] = {"ptype": "f64list", "logical": None}
         elif s == "timestamp":
             manifest[f.name] = {"ptype": "i64", "logical": "ts"}
         elif s == "timestamp_ntz":
@@ -234,6 +242,17 @@ def _encode_one_block(
         ptype = m["ptype"]
         if ptype == "any":
             blk = _encode_arrow_fallback(arr)
+        elif ptype in ("f32list", "f64list"):
+            from d6tstack_spark.codecs.blocks import encode_block_floatlist
+
+            # null ELEMENTS inside lists are rare enough that the arrow
+            # container carries them; null lists ride the validity bitmap
+            if len(arr) and arr.flatten().null_count:
+                blk = _encode_arrow_fallback(arr)
+            else:
+                blk = encode_block_floatlist(
+                    arr.cast(_PHYS_ARROW_TYPE[ptype]), ptype
+                )
         elif ptype in ("str", "bin"):
             # arrow-native fast path: the column never becomes python objects
             blk = encode_block_arrow(
@@ -455,6 +474,12 @@ def build_manifest_arrow(schema: pa.Schema) -> dict:
     for f in schema:
         if f.type in _MAP:
             manifest[f.name] = {"ptype": _MAP[f.type], "logical": None}
+        elif (pa.types.is_list(f.type) or pa.types.is_large_list(f.type)) and (
+            pa.types.is_float32(f.type.value_type)
+            or pa.types.is_float64(f.type.value_type)
+        ):
+            ptype = "f32list" if pa.types.is_float32(f.type.value_type) else "f64list"
+            manifest[f.name] = {"ptype": ptype, "logical": None}
         elif pa.types.is_timestamp(f.type):
             manifest[f.name] = {
                 "ptype": "i64",
@@ -618,8 +643,15 @@ def _decode_one_block(rows: list[dict], manifest: dict) -> pa.Table:
         r = by_col[name]
         ptype = m["ptype"]
         n = r["n_rows"]
-        if ptype == "any":
+        if ptype == "any" or r["codec"] == "arrow":
             arrays[name] = _decode_arrow_fallback(r["payload"])
+            continue
+        if ptype in ("f32list", "f64list"):
+            from d6tstack_spark.codecs.blocks import decode_block_floatlist
+
+            arrays[name] = decode_block_floatlist(
+                r["payload"], r["params"], n, r["null_count"], ptype
+            )
             continue
         if ptype in ("str", "bin"):
             # arrow-native fast path: no per-row python in string decode

@@ -239,8 +239,8 @@ def test_selector_picks_expected_codecs():
     # monotone timestamps with small steps → delta
     ts = np.cumsum(RNG.integers(1_000_000, 120_000_000, 10000)).astype(np.int64)
     assert choose_codec(ts, "i64") == "delta"
-    # random doubles → plain
-    assert choose_codec(RNG.normal(size=5000), "f64") == "plain"
+    # random doubles → fpsplit (sign/exp/mantissa split beats whole-value plain)
+    assert choose_codec(RNG.normal(size=5000), "f64") == "fpsplit"
 
 
 def test_selector_deterministic():

@@ -69,15 +69,47 @@ def test_lineitem_roundtrip(spark, sf_dir):
     assert_roundtrip(df, ("l_orderkey", "l_linenumber"), bucket_col="l_orderkey")
 
 
-def test_embeddings_roundtrip_arrow_fallback(spark, sf_dir):
-    # list<float> rides the Arrow-IPC container codec
+def test_embeddings_roundtrip_fplist(spark, sf_dir):
+    # list<float> takes the fplist codec (lengths + sign/exp/mantissa split)
+    # and must actually COMPRESS, not just round-trip
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     blocks, manifest = encode_table(df, order_cols=("vec_id",), bucket_col="vec_id")
-    assert manifest["embedding"]["ptype"] == "any"
-    dec = decode_table(blocks, manifest)
+    assert manifest["embedding"]["ptype"] == "f32list"
+    pb = blocks.toPandas()
+    emb = pb[pb["column"] == "embedding"]
+    assert set(emb["codec"]) == {"fplist"}
+    ratio = emb["raw_bytes"].sum() / emb["enc_bytes"].sum()
+    assert ratio > 1.2, f"embedding compression ratio {ratio:.3f} <= 1.2"
+    dec = decode_table(spark.createDataFrame(pb), manifest)
     src = df.orderBy("vec_id").toPandas()
     out = dec.orderBy("vec_id").toPandas()
     pd.testing.assert_frame_equal(src, out)
+
+
+def test_floatlist_null_lists_and_null_elements_roundtrip(spark):
+    import pandas as pd_
+
+    rows = [
+        (0, [1.5, -0.0, 3.25]),
+        (1, None),
+        (2, []),
+        (3, [float("nan")] * 4),
+        (4, [0.1, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    blocks, manifest = encode_table(df, order_cols=("id",))
+    dec = decode_table(blocks, manifest).orderBy("id").toPandas()
+    src = df.orderBy("id").toPandas()
+    pd_.testing.assert_frame_equal(src, dec)
+
+    # null ELEMENTS inside a list → arrow container fallback, still exact
+    rows2 = [(0, [1.0, None, 2.0]), (1, [3.0])]
+    df2 = spark.createDataFrame(rows2, "id long, v array<double>")
+    blocks2, manifest2 = encode_table(df2, order_cols=("id",))
+    pb2 = blocks2.toPandas()
+    assert "arrow" in set(pb2[pb2["column"] == "v"]["codec"])
+    dec2 = decode_table(spark.createDataFrame(pb2), manifest2).orderBy("id").toPandas()
+    pd_.testing.assert_frame_equal(df2.orderBy("id").toPandas(), dec2)
 
 
 def test_codec_override(spark, transcripts_path):
