@@ -158,10 +158,15 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH near-dup pairs in md5 hash mode: every stage (shingling, minhash
+    permutations, band hashes, bucket cap, exact-Jaccard verify) is
+    bit-replicated by the DuckDB oracle — a full-pipeline value check, not
+    rows-only."""
     from d6tstack_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.82
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.82,
+        hash_fn="md5",
     )
 
 
@@ -337,12 +342,15 @@ def q_distinct_users(spark, sf_dir):
 
 
 def q_knn_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k. The hyperplanes are deterministic
+    seeded literals, so the DuckDB oracle embeds the SAME plane constants
+    and replicates bucket assignment + cosine ranking exactly."""
     from d6tstack_spark.operators.similarity import knn_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     return knn_lsh(emb.filter(F.col("vec_id") != 0), list(qvec), 10, bits=6).select(
-        "vec_id", "cos"
+        "vec_id"
     )
 
 
@@ -370,14 +378,29 @@ def q_zstd_roundtrip(spark, sf_dir):
 
 def q_knn_ivf(spark, sf_dir):
     """IVF approximate nearest neighbors (seeded k-means lists, n_probe
-    lists scanned) — approximate by design → rows-only check."""
-    from d6tstack_spark.operators.similarity import ivf_index, ivf_search
+    lists scanned). k-means itself is not SQL-expressible, so the query
+    emits a self-verifying recall row: all k results must sit inside the
+    EXACT brute-force top-50 (computed Spark-side), which the oracle pins —
+    a semantic guarantee, stronger than a rows-only check."""
+    from d6tstack_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        knn_bruteforce,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    indexed, centroids = ivf_index(emb, n_lists=8)
-    return ivf_search(
+    indexed, centroids = ivf_index(emb, n_lists=8, deterministic=True)
+    res = ivf_search(
         indexed.filter(F.col("vec_id") != 0), centroids, qvec, 10, n_probe=4
+    ).select("vec_id")
+    exact50 = knn_bruteforce(
+        emb.filter(F.col("vec_id") != 0), qvec, 50
+    ).select("vec_id")
+    hit = exact50.withColumn("hit", F.lit(1))
+    return res.join(hit, "vec_id", "left").agg(
+        F.count("*").alias("k_returned"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_in_exact_top50"),
     )
 
 
@@ -474,6 +497,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _STOP = r"\b(the|a|of|and|to|in|is|it|that|for)\b"
+
+
+def _minhash_lsh_oracle(
+    threshold: float = 0.82, num_perm: int = 32, bands: int = 8,
+    max_bucket: int = 1024,
+) -> str:
+    """DuckDB replication of minhash_lsh_pairs(hash_fn='md5'): same
+    shingles, same md5 permutations (min over hex strings), same band
+    hashes, same hot-bucket drop, same exact-Jaccard verify."""
+    rpb = num_perm // bands
+    mins = ",\n                   ".join(
+        f"min(md5('{i}:' || g)) AS h{i}" for i in range(num_perm)
+    )
+    band_rows = "\n              UNION ALL\n              ".join(
+        "SELECT id, {b} AS band, md5({cc}) AS bh FROM sig".format(
+            b=b, cc=" || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(bands)
+    )
+    return f"""
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                     ELSE [array_to_string(t, ' ')] END AS s
+              FROM t
+            ), ex AS (
+              SELECT id, unnest(s) AS g FROM sh WHERE s IS NOT NULL
+            ), sig AS (
+              SELECT id, {mins}
+              FROM ex WHERE g IS NOT NULL GROUP BY id
+            ), bands AS (
+              {band_rows}
+            ), hot AS (
+              SELECT band, bh FROM bands GROUP BY band, bh
+              HAVING COUNT(*) > {max_bucket}
+            ), kept AS (
+              SELECT b.* FROM bands b
+              WHERE NOT EXISTS (SELECT 1 FROM hot h
+                                WHERE h.band = b.band AND h.bh = b.bh)
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM kept a JOIN kept b
+                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(sa.s, sb.s)) AS INT) AS inter_n,
+                   CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS INT) AS union_n
+            FROM cand c
+            JOIN sh sa ON sa.id = c.id_a
+            JOIN sh sb ON sb.id = c.id_b
+            WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  >= {threshold} * CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+    """
+
+
+def _simhash_oracle() -> str:
+    """DuckDB replication of operators.dedup.simhash — the bit and assembly
+    SQL snippets are the very strings the Spark plan compiles (F.expr)."""
+    from d6tstack_spark.operators.dedup import simhash_hex_sql, simhash_vote_sql
+
+    votes = ",\n                     ".join(simhash_vote_sql(i) for i in range(64))
+    return f"""
+            WITH toks AS (
+              SELECT doc_id AS id, unnest(
+                list_distinct(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x != ''))) AS tok
+              FROM documents
+            ), v AS (
+              SELECT id, {votes}
+              FROM toks GROUP BY id
+            )
+            SELECT id, {simhash_hex_sql()} AS simhash FROM v
+    """
+
+
+def _knn_lsh_oracle(bits: int = 6, seed: int = 42, dim: int = 64, k: int = 10) -> str:
+    """DuckDB replication of knn_lsh: the SAME seeded hyperplane constants
+    are inlined as SQL literals (they're deterministic numpy draws), so
+    bucket assignment and cosine ranking replicate exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(bits, dim))
+    plane_lits = [
+        "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]" for i in range(bits)
+    ]
+
+    def bucket_terms(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), "
+            f"{plane_lits[i]}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+
+    return f"""
+            WITH q AS (
+              SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+              SELECT vec_id,
+                     {bucket_terms("embedding")} AS bucket,
+                     list_cosine_similarity(embedding, (SELECT qv FROM q)) AS cos
+              FROM embeddings WHERE vec_id != 0
+            ), qb AS (
+              SELECT {bucket_terms("qv")} AS b FROM q
+            )
+            SELECT vec_id FROM scored
+            WHERE bucket = (SELECT b FROM qb)
+            ORDER BY cos DESC, vec_id
+            LIMIT {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -717,7 +858,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
-        # knn_lsh / media_features / minhash_lsh_pairs / simhash /
-        # compression_stats / encdec_embeddings: rows-only (engine-specific
-        # hashing or stub features or list-typed output)
+        "minhash_lsh_pairs": _minhash_lsh_oracle(),
+        "simhash": _simhash_oracle(),
+        "knn_lsh": _knn_lsh_oracle(),
+        # knn_ivf: k-means is not SQL-expressible; the query emits a
+        # self-verifying recall row whose expected value is pinned
+        "knn_ivf": """
+            SELECT CAST(10 AS BIGINT) AS k_returned,
+                   CAST(10 AS BIGINT) AS n_in_exact_top50
+        """,
     }

@@ -89,11 +89,24 @@ def jaccard_pairs(
     )
 
 
+def _minhash_expr(i: int, hash_fn: str):
+    """Permutation i's hash of a shingle column ``sh``. ``xxhash64`` is the
+    fast JVM path; ``md5`` is bit-replicable in ANSI SQL (DuckDB oracle) —
+    min over the hex strings is a valid random permutation either way."""
+    if hash_fn == "md5":
+        return F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))
+    return F.xxhash64(F.col("sh"), F.lit(i))
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_perm: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per document: shingles = distinct word 3-grams; permutation
-    i's hash = xxhash64(shingle, i); signature[i] = min over shingles.
+    """MinHash signature per document: shingles = distinct word 3-grams;
+    signature[i] = min over shingles of permutation i's hash.
 
     Pure built-ins: explode → groupBy(id) with min-of-hash aggregates —
     one shuffle, partial aggregation applies. num_perm hashes per shingle
@@ -106,9 +119,14 @@ def minhash_signatures(
     shingled = shingles_df(df, id_col, text_col).select(
         "id", F.explode("s").alias("sh")
     )
+    return _signatures_from_shingled(shingled, num_perm, hash_fn)
+
+
+def _signatures_from_shingled(
+    shingled: DataFrame, num_perm: int, hash_fn: str
+) -> DataFrame:
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min(_minhash_expr(i, hash_fn)).alias(f"h{i}") for i in range(num_perm)
     ]
     return shingled.groupBy("id").agg(*aggs)
 
@@ -120,40 +138,68 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_perm: int = 32,
     bands: int = 8,
+    hash_fn: str = "xxhash64",
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
 
     bands × rows_per_band = num_perm; a pair is a candidate iff any band's
-    row-slice hashes equal. Candidates then verify with exact word-set
+    row-slice hashes equal. Candidates then verify with exact shingle-set
     Jaccard ≥ threshold, so output precision is exact (recall is the LSH
     probability 1-(1-s^r)^b ≈ 0.985 at s=threshold=0.8 with the default
     32 permutations × 8 bands). The band join is an equi-join on
-    (band_id, band_hash) — broadcastable/shuffle-hash, skew-safe because
-    bucket keys are 64-bit hashes."""
+    (band_id, band_hash) — broadcastable/shuffle-hash.
+
+    Skew discipline for 100 TB corpora: band buckets larger than
+    ``max_bucket`` are DROPPED before the self-join (a corpus with thousands
+    of identical/near-empty docs would otherwise put them all in one bucket
+    and the join goes quadratic). Identical documents belong to exact dedup
+    (dedup_exact / dedup by fingerprint), which runs before LSH in the
+    pipeline — see examples/pipeline_demo.py. The hot-bucket list is tiny by
+    construction and broadcast to an anti-join.
+
+    The shingle table feeds both the signature aggregation and the verify
+    join; it is persisted so the text is scanned and tokenized once, not
+    twice."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm)
+    sets = shingles_df(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col),
+        id_col,
+        text_col,
+    ).persist()
+    # null shingles (null text) drop out: a doc with no tokenizable text can
+    # never be a near-duplicate and a null hash would poison the band hash
+    shingled = sets.select("id", F.explode("s").alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+    sigs = _signatures_from_shingled(shingled, num_perm, hash_fn)
+
+    def band_hash(b: int):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bh"),
-        )
+        F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
         for b in range(bands)
     ]
     buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    hot = (
+        buckets.groupBy("band", "bh")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select("band", "bh")
+    )
+    kept = buckets.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-    )
-    sets = shingles_df(
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col),
-        id_col, text_col,
     )
     j = (
         cand.join(sets.withColumnsRenamed({"id": "id_a", "s": "sa"}), "id_a")
@@ -172,32 +218,50 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over word tokens, pure built-ins: explode tokens,
-    per-bit ±1 votes from xxhash64(token) bits, groupBy-sum, sign → bits.
+# SimHash bit/assembly expressions as ANSI-SQL text shared verbatim between
+# the Spark plan (F.expr) and the DuckDB oracle — md5/substr/instr/floor/%
+# behave identically in both engines, so the oracle is a true bit-level
+# replication, not a rows-only check.
 
-    One shuffle (groupBy id), partial-agg friendly."""
+_HEXABC = "0123456789abcdef"
+
+
+def simhash_bit_sql(i: int, hash_expr: str = "md5(tok)") -> str:
+    """SQL for bit ``i`` (0..63) of a 64-bit hash rendered as 32 hex chars:
+    nibble = position of hex char i//4 in the alphabet; bit = (nibble >> i%4) & 1,
+    spelled with floor()/% so it parses in both engines."""
+    nib = f"(instr('{_HEXABC}', substr({hash_expr}, {1 + i // 4}, 1)) - 1)"
+    return f"(CAST(floor({nib} / {1 << (i % 4)}) AS INT) % 2)"
+
+
+def simhash_vote_sql(i: int) -> str:
+    return f"SUM(CASE WHEN {simhash_bit_sql(i)} = 1 THEN 1 ELSE -1 END) AS b{i}"
+
+
+def simhash_hex_sql() -> str:
+    """Assemble the 16-hex-char simhash from the 64 vote columns b0..b63
+    (bit j of nibble k = sign of vote b[4k+j])."""
+    chars = []
+    for k in range(16):
+        val = " + ".join(
+            f"(CASE WHEN b{4 * k + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(4)
+        )
+        chars.append(f"substr('{_HEXABC}', ({val}) + 1, 1)")
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over distinct word tokens as a 16-hex-char string:
+    explode tokens, per-bit ±1 votes from md5(token) bits, groupBy-sum,
+    sign → bits → hex. One shuffle (groupBy id), partial-agg friendly; the
+    64 vote aggregates are pure JVM expressions (whole-stage codegen)."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(_word_set(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy("id").agg(*votes)
-    bit_terms = [
-        F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * F.lit(2 ** i if i < 63 else -(2 ** 63))).otherwise(0)
-        for i in range(64)
-    ]
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
-    return agg.select("id", total.alias("simhash"))
+    )
+    agg = toks.groupBy("id").agg(*[F.expr(simhash_vote_sql(i)) for i in range(64)])
+    return agg.select("id", F.expr(simhash_hex_sql()).alias("simhash"))
 
 
 def embedding_neardup_pairs(

@@ -81,11 +81,17 @@ def ivf_index(
     n_lists: int = 16,
     seed: int = 42,
     max_iter: int = 10,
+    deterministic: bool = False,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF (inverted-file) index: seeded k-means over the embeddings assigns
     each vector to its nearest centroid's list. Returns (df + ``list_id``,
     centroids). At scale the indexed table is written partitioned by
-    list_id so a probe scans only its lists."""
+    list_id so a probe scans only its lists.
+
+    ``deterministic=True`` fits k-means on a single partition so the
+    floating-point aggregation order (and hence the centroids) is identical
+    across parallelism levels — used by the correctness gate; index BUILDS
+    at scale leave it off (the recall difference is noise)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
@@ -94,7 +100,7 @@ def ivf_index(
         k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__features",
         predictionCol="list_id",
     )
-    model = km.fit(feat)
+    model = km.fit(feat.coalesce(1) if deterministic else feat)
     indexed = model.transform(feat).drop("__features")
     centroids = [c.tolist() for c in model.clusterCenters()]
     return indexed, centroids
