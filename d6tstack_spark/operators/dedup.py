@@ -63,13 +63,39 @@ def shingles_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    max_bruteforce: int = 20_000,
 ) -> DataFrame:
-    """Exact n-gram(word) Jaccard similar pairs — brute-force baseline.
+    """Exact word-set Jaccard similar pairs. Output: (id_a, id_b, inter_n,
+    union_n) with id_a < id_b; the ratio is left as exact ints so the DuckDB
+    oracle matches bit-for-bit.
 
-    O(n²) pairs: only for small n / oracle checks. Output: (id_a, id_b,
-    inter_n, union_n) with id_a < id_b; the ratio is left as exact ints so
-    the DuckDB oracle matches bit-for-bit."""
+    Inputs up to ``max_bruteforce`` rows use the all-pairs non-equi join
+    (exact recall — the oracle baseline). Above that the cartesian product
+    is a scale-killer, so pairs route through the MinHash band candidate
+    set instead: identical precision (candidates are re-verified with the
+    exact word-set Jaccard below), LSH recall (≈0.985 at s=threshold)."""
+    n = df.count()
+    if n > max_bruteforce:
+        cand = minhash_lsh_pairs(
+            df, id_col, text_col, threshold=0.0
+        ).select("id_a", "id_b")
+        sets_ = df.select(F.col(id_col).alias("id"), _word_set(text_col).alias("s"))
+        j = (
+            cand.join(sets_.withColumnsRenamed({"id": "id_a", "s": "sa"}), "id_a")
+            .join(sets_.withColumnsRenamed({"id": "id_b", "s": "sb"}), "id_b")
+        )
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+        return j.select(
+            "id_a", "id_b", inter.alias("inter_n"), union.alias("union_n")
+        ).filter(
+            F.col("inter_n").cast("double")
+            >= F.lit(threshold) * F.col("union_n").cast("double")
+        )
     sets = df.select(F.col(id_col).alias("id"), _word_set(text_col).alias("s"))
     a, b = sets.alias("a"), sets.alias("b")
     pairs = a.join(b, F.col("a.id") < F.col("b.id"))
@@ -265,13 +291,40 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_bruteforce: int = 20_000,
+    lsh_bits: int = 10,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force baseline; the scale
-    path reuses the LSH bucketing of similarity.py)."""
-    from d6tstack_spark.operators.similarity import cosine_expr
+    """Embedding-cosine near-duplicate pairs.
+
+    Up to ``max_bruteforce`` rows: exact all-pairs (the oracle baseline).
+    Above: hyperplane-LSH bucketing (similarity.hyperplane_signature) turns
+    the cartesian join into an equi-join on bucket id — candidates share all
+    ``lsh_bits`` hyperplane signs, then verify with exact cosine, so
+    precision stays exact and recall is the LSH collision probability
+    (high for near-duplicate-grade cosine)."""
+    from d6tstack_spark.operators.similarity import cosine_expr, hyperplane_signature
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    n = v.count()
+    if n > max_bruteforce:
+        dim = len(v.select("v").first()["v"])
+        sig = hyperplane_signature(v, "v", bits=lsh_bits, dim=dim)
+        a, b = sig.alias("a"), sig.alias("b")
+        sim = cosine_expr(F.col("a.v"), F.col("b.v"))
+        return (
+            a.join(b, "bucket")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                sim.alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
     a, b = v.alias("a"), v.alias("b")
     sim = cosine_expr(F.col("a.v"), F.col("b.v"))
     return (

@@ -40,6 +40,69 @@ def _is_number(tok: str) -> bool:
         return False
 
 
+_DATE_RE = None
+
+
+def _token_type(tok: str) -> str | None:
+    """Type of one CSV token for driver-side schema inference (None=empty)."""
+    global _DATE_RE
+    tok = tok.strip()
+    if tok == "":
+        return None
+    try:
+        int(tok)
+        return "bigint"
+    except ValueError:
+        pass
+    try:
+        float(tok)
+        return "double"
+    except ValueError:
+        pass
+    if _DATE_RE is None:
+        import re
+
+        _DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}")
+    if _DATE_RE.fullmatch(tok):
+        return "date"
+    return "string"
+
+
+def _merge_types(a: str | None, b: str | None) -> str | None:
+    if a is None:
+        return b
+    if b is None or a == b:
+        return a
+    if {a, b} == {"bigint", "double"}:
+        return "double"
+    return "string"
+
+
+def infer_schema_from_sample(
+    lines: list[str], delim: str, skiprows: int, has_header: bool
+) -> str:
+    """Spark DDL schema string inferred from the sniff sample — the
+    reference's nrows_preview discipline (combine_csv.py:128-131) applied to
+    types. At scale this replaces ``inferSchema=True``, which costs a FULL
+    extra pass over every CSV file; the sample was already read for dialect
+    detection, so schema inference is free."""
+    data_lines = [ln for ln in lines[skiprows:] if delim in ln]
+    first = data_lines[0].split(delim)
+    names = (
+        [c.strip() for c in first]
+        if has_header
+        else [f"_c{i}" for i in range(len(first))]
+    )
+    rows = data_lines[1:] if has_header else data_lines
+    types: list[str | None] = [None] * len(names)
+    for ln in rows:
+        for i, tok in enumerate(ln.split(delim)[: len(names)]):
+            types[i] = _merge_types(types[i], _token_type(tok))
+    return ", ".join(
+        f"`{n}` {t or 'string'}" for n, t in zip(names, types)
+    )
+
+
 def sniff_file(spark: SparkSession, path: str, n_lines: int = 20) -> dict:
     """Dialect of one file: {'delim','skiprows','has_header','n_columns'}."""
     lines = _sample_lines(spark, path, n_lines)
@@ -72,6 +135,7 @@ def sniff_file(spark: SparkSession, path: str, n_lines: int = 20) -> dict:
         "has_header": has_header,
         "n_columns": len(first),
         "consistent_width": consistent,
+        "_lines": lines,  # sniff sample, reused for schema inference
     }
 
 
@@ -105,24 +169,35 @@ def read_csv_stacked(
     from d6tstack_spark.operators.stack import stack
 
     settings = sniff_settings_csv(spark, paths, n_lines)
+    delim, skiprows = settings["delim"], settings["skiprows"]
+    has_header = settings["has_header"]
     dfs = []
     for p in sorted(paths):
-        reader = (
-            spark.read.option("sep", settings["delim"])
-            .option("header", settings["has_header"])
-            .option("inferSchema", True)
-        )
-        if settings["skiprows"]:
-            # drop preamble lines: read as text, skip, re-parse
+        lines = settings["per_file"][p]["_lines"]
+        schema = infer_schema_from_sample(lines, delim, skiprows, has_header)
+        if skiprows:
+            # JVM-only preamble drop: by the sniffer's own definition the
+            # preamble is exactly the lines WITHOUT the delimiter, so a
+            # contains() filter removes it (and any malformed delimiter-less
+            # row) without ordering assumptions, Python lambdas, or RDDs;
+            # parsing happens in whole-stage codegen via from_csv against
+            # the sample-inferred schema
             from pyspark.sql import functions as F
 
-            txt = spark.read.text(p).withColumn(
-                "__rn", F.monotonically_increasing_id()
-            )
-            body = txt.filter(F.col("__rn") >= settings["skiprows"]).select("value")
-            df = reader.csv(body.rdd.map(lambda r: r[0]))
+            body = spark.read.text(p).filter(F.col("value").contains(delim))
+            if has_header:
+                header_line = lines[skiprows]
+                body = body.filter(F.col("value") != header_line)
+            df = body.select(
+                F.from_csv(F.col("value"), schema, {"sep": delim}).alias("r")
+            ).select("r.*")
         else:
-            df = reader.csv(p)
+            df = (
+                spark.read.schema(schema)
+                .option("sep", delim)
+                .option("header", has_header)
+                .csv(p)
+            )
         dfs.append(df)
     return stack(
         dfs,

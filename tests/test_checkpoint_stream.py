@@ -177,8 +177,9 @@ def test_sniff_dialects(spark, csv_files):
     from d6tstack_spark.sources.csv_sniffer import sniff_file, sniff_settings_csv
 
     s = sniff_file(spark, csv_files["clean"])
-    assert s == {"delim": ",", "skiprows": 0, "has_header": True,
-                 "n_columns": 3, "consistent_width": True}
+    assert {k: v for k, v in s.items() if not k.startswith("_")} == {
+        "delim": ",", "skiprows": 0, "has_header": True,
+        "n_columns": 3, "consistent_width": True}
     assert sniff_file(spark, csv_files["piped"])["delim"] == "|"
     assert sniff_file(spark, csv_files["noheader"])["has_header"] is False
     assert sniff_file(spark, csv_files["preamble"])["skiprows"] == 2
@@ -199,6 +200,24 @@ def test_read_csv_stacked(spark, csv_files, tmp_path):
     assert set(p.columns) == {"date", "sales", "cost", "profit", "filename"}
     assert p["cost"].isna().sum() == 1 and p["profit"].isna().sum() == 2
     assert set(p["filename"]) == {"jan.csv", "may.csv"}
+
+
+def test_read_csv_stacked_skiprows_jvm_only(spark, csv_files):
+    """Preamble files parse via a JVM-side contains() filter + from_csv —
+    values exact, and the plan contains no Python row evaluation and no RDD
+    scan (the 100 TB requirement for the one distributed sniffer path)."""
+    from d6tstack_spark.sources.csv_sniffer import read_csv_stacked
+
+    out = read_csv_stacked(spark, [csv_files["preamble"]])
+    p = out.toPandas()
+    assert len(p) == 1
+    assert int(p["sales"].iloc[0]) == 600 and int(p["cost"].iloc[0]) == -40
+    assert str(p["date"].iloc[0])[:10] == "2026-04-01"
+    plan_str = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan_str
+    assert "ExistingRDD" not in plan_str
 
 
 # ----------------------------------------------------------------- multimodal

@@ -1,0 +1,88 @@
+"""Scale guards on the dedup operators: cartesian baselines must switch to
+candidate-set joins above the brute-force threshold, and LSH must survive a
+planted hot bucket (thousands of identical docs) without going quadratic."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from d6tstack_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _docs(spark, n=60):
+    rows = [(i, f"doc number {i} talks about topic {i % 7} in some detail") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_pairs_routes_through_lsh_above_threshold(spark):
+    d = _docs(spark)
+    guarded = jaccard_pairs(d, "doc_id", "text", 0.8, max_bruteforce=10)
+    p = _plan(guarded)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # below the threshold the exact all-pairs baseline is used
+    exact = jaccard_pairs(d, "doc_id", "text", 0.8, max_bruteforce=10_000)
+    assert "BroadcastNestedLoopJoin" in _plan(exact) or "CartesianProduct" in _plan(exact)
+    # identical docs are found by both paths (same ids mod 7 → same text? no —
+    # plant a true duplicate instead)
+    dup = d.unionByName(
+        d.filter(F.col("doc_id") == 3).withColumn("doc_id", F.lit(1003))
+    )
+    got = jaccard_pairs(dup, "doc_id", "text", 0.99, max_bruteforce=10).toPandas()
+    assert {(3, 1003)} <= set(zip(got["id_a"], got["id_b"]))
+
+
+def test_embedding_neardup_bucketed_above_threshold(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    # plant a duplicate pair
+    rows.append((1000, rows[5][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    guarded = embedding_neardup_pairs(df, "vec_id", "embedding", 0.999,
+                                      max_bruteforce=10)
+    p = _plan(guarded)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    got = guarded.toPandas()
+    assert (5, 1000) in set(zip(got["id_a"], got["id_b"]))
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A planted block of identical docs (one degenerate band bucket) must
+    not explode the candidate join: with the bucket cap those docs produce
+    no LSH pairs (exact dedup owns identical docs), and distinct near-dup
+    pairs elsewhere still surface."""
+    base = [(i, f"unique document {i} with topic {i} and extra words {i * 13}")
+            for i in range(50)]
+    hot = [(1000 + i, "exactly the same text in every planted duplicate row")
+           for i in range(400)]
+    near = [(9001, "a very similar pair document about spark encode engines"),
+            (9002, "a very similar pair document about spark encode engines")]
+    df = spark.createDataFrame(base + hot + near, "doc_id long, text string")
+    t0 = time.time()
+    got = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.9, max_bucket=100
+    ).toPandas()
+    wall = time.time() - t0
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (9001, 9002) in pairs
+    # the 400-identical-doc bucket (79800 potential pairs) was dropped
+    assert not any(1000 <= a < 2000 and 1000 <= b < 2000 for a, b in pairs)
+    assert len(got) < 1000
+    assert wall < 60
