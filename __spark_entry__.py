@@ -151,6 +151,22 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp")
 
 
+def q_token_count_bpe(spark, sf_dir):
+    from d6tstack_spark.operators.text import token_count_bpe
+
+    return token_count_bpe(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens_bpe"
+    )
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    from d6tstack_spark.operators.text import rolling_fingerprint
+
+    return rolling_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "rolling_fp"
+    )
+
+
 def q_jaccard_pairs(spark, sf_dir):
     from d6tstack_spark.operators.dedup import jaccard_pairs
 
@@ -445,6 +461,43 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_excel_roundtrip(spark, sf_dir):
+    """Excel source family in the gate: 50 documents → .xlsx (one file per
+    10 docs) → sniff → distributed stacked read → values compared to the
+    source table (Excel carries strings; ids cast back for the compare)."""
+    import os
+    import tempfile
+
+    from d6tstack_spark.sources.excel import (
+        read_excel_stacked,
+        sniff_xls,
+        write_xlsx_minimal,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="xlsq_")
+    paths = []
+    for i in range(0, len(docs), 10):
+        p = os.path.join(d, f"docs_{i:03d}.xlsx")
+        rows = [["doc_id", "lang", "text"]] + [
+            [r["doc_id"], r["lang"], r["text"]] for r in docs[i : i + 10]
+        ]
+        write_xlsx_minimal(p, {"Sheet1": rows})
+        paths.append(p)
+    s = sniff_xls(paths)
+    assert s["all_same_names"], "sheet drift"
+    out = read_excel_stacked(spark, paths, add_filename=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "encdec_events": _q_encdec("events", ("event_id",), "user_id"),
@@ -467,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "token_count_bpe": q_token_count_bpe,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -487,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "roundtrip_compare": q_roundtrip_compare,
         "zstd_roundtrip": q_zstd_roundtrip,
+        "excel_roundtrip": q_excel_roundtrip,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
     }
@@ -734,6 +790,23 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
             FROM documents
         """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS INT)
+                     AS n_tokens_bpe
+            FROM documents
+        """,
+        "rolling_fingerprint": """
+            SELECT doc_id,
+                   CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      x -> CAST(ascii(x) AS BIGINT))),
+                     (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT)
+                     AS rolling_fp
+            FROM documents
+        """,
         "jaccard_pairs": r"""
             WITH sets AS (
               SELECT doc_id AS id,
@@ -857,6 +930,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "excel_roundtrip": """
+            SELECT doc_id, lang, text FROM documents WHERE doc_id < 50
         """,
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "simhash": _simhash_oracle(),

@@ -67,3 +67,21 @@ def check_valid_files(fname_list: list[str], valid=(".csv", ".txt", ".tsv", ".pa
 def basename(path: str) -> str:
     """Filename part, windows-path tolerant (ntpath, combine_csv.py:103-105)."""
     return ntpath.basename(path)
+
+
+def compare_versions(version1: str, version2: str) -> int:
+    """Dotted-version compare (SURVEY §2.8 F5, reference helpers.py:118-125):
+    1 if v1>v2, -1 if v1<v2, 0 if equal. Non-numeric segments compare as 0
+    (the reference normalizes with a digit filter)."""
+
+    def norm(v: str) -> list[int]:
+        out = []
+        for seg in v.split("."):
+            digits = "".join(ch for ch in seg if ch.isdigit())
+            out.append(int(digits) if digits else 0)
+        while out and out[-1] == 0:
+            out.pop()
+        return out
+
+    a, b = norm(version1), norm(version2)
+    return (a > b) - (a < b)

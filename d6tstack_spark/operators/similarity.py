@@ -58,9 +58,9 @@ def hyperplane_signature(
     dim: int = 64,
 ) -> DataFrame:
     """LSH bucket id from random-hyperplane signs. Hyperplanes are a
-    deterministic seeded pseudo-random matrix generated from xxhash64 of
-    (seed, bit, dim-index) — identical on every executor with no broadcast.
-    """
+    deterministic seeded numpy draw embedded in the plan as LITERALS — every
+    executor compiles the same constants, no broadcast, and the correctness
+    oracle can inline the identical values (see __spark_entry__)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)

@@ -63,11 +63,18 @@ def to_jdbc(
 
 
 def write_blocks(
-    blocks: DataFrame, path: str, mode: str = "overwrite", compression: str = "snappy"
+    blocks: DataFrame, path: str, mode: str = "overwrite",
+    compression: str = "uncompressed",
 ):
     """Encoded-blocks sink: parquet of binary payloads + codec manifest
     columns. Partitioned by nothing on purpose — block_id pruning happens
-    via parquet min/max stats on the sorted block_id column."""
+    via parquet min/max stats on the sorted block_id column.
+
+    Default compression is ``uncompressed``: the payloads are already
+    entropy-coded by the engine's own codecs, so snappy on top buys <2%
+    bytes for a measurable CPU/bandwidth cost on every write AND read —
+    at 100 TB that tax is the difference between a write-bound and an
+    encode-bound job."""
     blocks.sortWithinPartitions("block_id").write.mode(mode).option(
         "compression", compression
     ).parquet(path)

@@ -73,6 +73,39 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum-non-space marks — explicit ASCII classes so Java (Spark) and
+# RE2-style (DuckDB) regex engines agree symbol-for-symbol
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Subword-style token count: the BPE pre-tokenization split (letter
+    runs / digit runs / punctuation marks) — the standard proxy for LLM
+    token budgets when no tokenizer model ships with the job. Pure JVM
+    regexp (whole-stage codegen); null text → null."""
+    n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+    return df.withColumn("n_tokens_bpe", n.cast("int"))
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", base: int = 31, mod: int = 1_000_000_007
+) -> DataFrame:
+    """Polynomial rolling hash (Rabin-Karp) over the text's code points:
+    h = Σ c_i · base^(n-i) mod p, computed as a fold — an order-sensitive
+    content fingerprint (md5-based ``fingerprint`` is normalization-keyed;
+    this one is exact-sequence-keyed and cheap to maintain incrementally).
+    The mod keeps every intermediate inside int64 in BOTH engines (DuckDB
+    errors on bigint overflow — never rely on wraparound)."""
+    codes = F.transform(F.split(F.col(text_col), ""), lambda x: F.ascii(x))
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x.cast("long")) % F.lit(mod),
+    )
+    return df.withColumn("rolling_fp", h)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: lowercase, collapse non-alnum runs to
     single spaces, trim, md5. Identical md5 exists in DuckDB → oracle-exact.

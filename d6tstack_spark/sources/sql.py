@@ -1,0 +1,135 @@
+"""SQL read/write surface (SURVEY.md §2.1 S11/S12, §2.11 K6-K12).
+
+The reference's SQL story is two-sided:
+- reads via pandas ``read_sql`` (utils.py:17-65);
+- writes via native bulk loads — ``pd_to_psql`` COPY FROM / ``pd_to_mysql``
+  LOAD DATA, its ONE measured benchmark (28 s → 4.65 s, examples-sql.ipynb).
+
+Spark-first equivalents:
+- ``read_jdbc``: ``spark.read.jdbc`` with partitioned scans (predicate-split
+  parallel read — the distributed generalization of read_sql);
+- ``to_jdbc`` (operators.sinks): Spark's batched JDBC writer;
+- ``to_sql_dbapi``: per-partition DBAPI bulk insert for engines without a
+  JDBC driver on the classpath — each task opens its own connection and
+  bulk-inserts its partition, which is exactly the reference's
+  "bulk native beats per-row" insight, fanned out. Driven in tests against
+  DuckDB (the in-image SQL engine).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    **options,
+) -> DataFrame:
+    """JDBC scan (table or pushed-down query). With ``partition_column`` +
+    bounds the read is SPLIT into ``num_partitions`` range predicates that
+    scan in parallel — without it a JDBC read is one connection on one task,
+    which at 100 TB is not a scan, it's a straw. Requires the driver jar on
+    the classpath (absent in this image; tests skip)."""
+    if (table is None) == (query is None):
+        raise ValueError("pass exactly one of table= or query=")
+    reader = spark.read.format("jdbc").option("url", url)
+    if query is not None:
+        reader = reader.option("query", query)
+    else:
+        reader = reader.option("dbtable", table)
+    if partition_column is not None:
+        if query is not None:
+            raise ValueError("partitioned reads need table=, not query=")
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column needs lower_bound, upper_bound, num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def _ddl_type(dtype) -> str:
+    k = dtype.kind if hasattr(dtype, "kind") else "O"
+    return {"i": "BIGINT", "u": "BIGINT", "f": "DOUBLE", "b": "BOOLEAN",
+            "M": "TIMESTAMP"}.get(k, "VARCHAR")
+
+
+def to_sql_dbapi(
+    df: DataFrame,
+    connect_fn: Callable[[], object],
+    table: str,
+    mode: str = "append",
+    batch_rows: int = 10_000,
+) -> int:
+    """Bulk-insert a DataFrame through any DBAPI driver, one connection per
+    partition (each task loads its own slice — the reference's bulk-load
+    speedup, distributed). ``connect_fn`` must be picklable (a module-level
+    function or functools.partial). ``mode='overwrite'`` recreates the
+    table first (driver-side, once). Returns rows written.
+
+    Note: single-writer engines (DuckDB, SQLite) need ``df.coalesce(1)``;
+    server databases (Postgres, MySQL) take the parallel fan-in."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be 'append' or 'overwrite'")
+    cols = df.columns
+    if mode == "overwrite":
+        head = df.limit(0).toPandas()
+        ddl = ", ".join(f'"{c}" {_ddl_type(head[c].dtype)}' for c in cols)
+        con = connect_fn()
+        try:
+            cur = con.cursor()
+            try:
+                cur.execute(f'DROP TABLE IF EXISTS "{table}"')
+                cur.execute(f'CREATE TABLE "{table}" ({ddl})')
+                con.commit()
+            finally:
+                # some drivers (duckdb) implement cursor() as a duplicate
+                # CONNECTION: it must close too or the file lock outlives us
+                cur.close()
+        finally:
+            con.close()
+
+    placeholders = ", ".join(["?"] * len(cols))
+    collist = ", ".join(f'"{c}"' for c in cols)
+    insert = f'INSERT INTO "{table}" ({collist}) VALUES ({placeholders})'
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        con = connect_fn()
+        n = 0
+        try:
+            cur = con.cursor()
+            try:
+                for b in batches:
+                    rows = list(b[cols].itertuples(index=False, name=None))
+                    for i in range(0, len(rows), batch_rows):
+                        cur.executemany(insert, rows[i : i + batch_rows])
+                    n += len(rows)
+                con.commit()
+            finally:
+                cur.close()
+        finally:
+            con.close()
+        yield pd.DataFrame({"n": [n]})
+
+    out = df.mapInPandas(write, "n long")
+    from pyspark.sql import functions as F
+
+    return int(out.agg(F.coalesce(F.sum("n"), F.lit(0))).first()[0])

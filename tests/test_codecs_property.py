@@ -48,12 +48,48 @@ def test_str_codecs_roundtrip(values, codec):
 
 
 @settings(max_examples=40, deadline=None)
-@given(floats, st.sampled_from(["plain", "dict", "rle"]))
+@given(floats, st.sampled_from(["plain", "dict", "rle", "fpsplit"]))
 def test_float_codecs_bit_identical(values, codec):
     arr = np.array(values, dtype=np.float64)
     payload, params = kernels.encode_values(arr, "f64", codec)
     out = kernels.decode_values(payload, params, len(arr), "f64", codec)
     np.testing.assert_array_equal(arr.view(np.uint64), np.asarray(out).view(np.uint64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.floats(allow_nan=True, allow_infinity=True, width=32),
+                min_size=0, max_size=12,
+            ),
+        ),
+        min_size=0, max_size=60,
+    )
+)
+def test_floatlist_block_bit_identical(lists):
+    import pyarrow as pa
+
+    from d6tstack_spark.codecs.blocks import (
+        decode_block_floatlist,
+        encode_block_floatlist,
+    )
+
+    arr = pa.array(lists, type=pa.list_(pa.float32()))
+    blk = encode_block_floatlist(arr, "f32list")
+    out = decode_block_floatlist(
+        blk.payload, blk.params, blk.n_rows, blk.null_count, "f32list"
+    )
+    # bit-level compare (NaN payloads included) via the uint32 view
+    for a, b in zip(arr.to_pylist(), out.to_pylist()):
+        if a is None or b is None:
+            assert a is None and b is None
+            continue
+        av = np.array(a, dtype=np.float32).view(np.uint32)
+        bv = np.array(b, dtype=np.float32).view(np.uint32)
+        np.testing.assert_array_equal(av, bv)
 
 
 @settings(max_examples=40, deadline=None)

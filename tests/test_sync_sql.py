@@ -1,0 +1,118 @@
+"""File-tree sync (S13) and the SQL surface (S11/S12, K6-K12): the DBAPI
+bulk sink is DRIVEN against DuckDB; the JDBC wrapper is exercised up to the
+driver-jar boundary and skips cleanly where no jar exists."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    (src / "sub").mkdir(parents=True)
+    dst.mkdir()
+    (src / "a.txt").write_text("alpha")
+    (src / "b.txt").write_text("bravo-bigger")
+    (src / "sub" / "c.txt").write_text("charlie")
+    # dst already has an identical a.txt, a drifted b.txt, and an extra file
+    (dst / "a.txt").write_text("alpha")
+    (dst / "b.txt").write_text("old")
+    (dst / "extra.txt").write_text("not in src")
+    return str(src), str(dst)
+
+
+def test_files_to_sync_and_sync_dirs(spark, tree):
+    from d6tstack_spark.sources.sync import files_to_sync, list_files, sync_dirs
+
+    src, dst = tree
+    lst = list_files(spark, src).toPandas()
+    assert set(lst["relpath"]) == {"a.txt", "b.txt", "sub/c.txt"}
+
+    todo = files_to_sync(spark, src, dst).toPandas()
+    assert set(todo["relpath"]) == {"sub/c.txt", "b.txt"}  # missing + drifted
+    todo2 = files_to_sync(spark, src, dst, include_size_mismatch=False).toPandas()
+    assert set(todo2["relpath"]) == {"sub/c.txt"}
+
+    s = sync_dirs(spark, src, dst)
+    assert s["n_files"] == 2 and s["total_bytes"] == len("charlie") + len(
+        "bravo-bigger"
+    )
+    assert open(os.path.join(dst, "b.txt")).read() == "bravo-bigger"
+    assert open(os.path.join(dst, "sub/c.txt")).read() == "charlie"
+    # extra dst file untouched (one-way sync, like the reference)
+    assert os.path.isfile(os.path.join(dst, "extra.txt"))
+    # idempotent: second run copies nothing
+    assert sync_dirs(spark, src, dst)["n_files"] == 0
+
+
+def test_list_files_plan_prunes_content(spark, tree):
+    from d6tstack_spark.sources.sync import list_files
+
+    df = list_files(spark, tree[0])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "content" not in read_schema  # metadata-only listing
+
+
+def test_to_sql_dbapi_duckdb_roundtrip(spark, tmp_path):
+    import duckdb
+
+    from d6tstack_spark.sources.sql import to_sql_dbapi
+
+    db_path = str(tmp_path / "sink.duckdb")
+
+    # a closure, not a module-level function: cloudpickle ships it by VALUE,
+    # so executors don't need the test module on their import path
+    def _connect(p=db_path):
+        import duckdb as _d
+
+        return _d.connect(p)
+
+    df = spark.range(100).selectExpr(
+        "id", "cast(id * 1.5 as double) AS v", "concat('row-', id) AS s"
+    )
+    n = to_sql_dbapi(df.coalesce(1), _connect, "t1", mode="overwrite")
+    assert n == 100
+    # duckdb is single-process-exclusive: close the assert connection before
+    # the next distributed write or the executors can't take the file lock
+    con = duckdb.connect(db_path)
+    assert con.sql('SELECT COUNT(*), SUM(v) FROM "t1"').fetchone() == (100, 7425.0)
+    con.close()
+    # append doubles it
+    n = to_sql_dbapi(df.coalesce(1), _connect, "t1", mode="append")
+    assert n == 100
+    con = duckdb.connect(db_path)
+    assert con.sql('SELECT COUNT(*) FROM "t1"').fetchone()[0] == 200
+    con.close()
+
+    with pytest.raises(ValueError, match="append"):
+        to_sql_dbapi(df, _connect, "t1", mode="upsert")
+
+
+def test_read_jdbc_surface(spark):
+    from d6tstack_spark.sources.sql import read_jdbc
+
+    with pytest.raises(ValueError, match="exactly one"):
+        read_jdbc(spark, "jdbc:x", table="t", query="SELECT 1")
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(spark, "jdbc:x", table="t", partition_column="id")
+    # no JDBC driver jar in this image: the load must fail with the
+    # driver-resolution error (proving the option plumbing is reached),
+    # which on a real cluster is where the jar takes over
+    try:
+        read_jdbc(
+            spark, "jdbc:postgresql://localhost/x", table="t",
+            partition_column="id", lower_bound=0, upper_bound=10,
+            num_partitions=2,
+        ).count()
+    except Exception as e:
+        msg = str(e)
+        assert "driver" in msg.lower() or "No suitable driver" in msg
+    else:  # pragma: no cover
+        pytest.skip("a JDBC driver is on the classpath here")
