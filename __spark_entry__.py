@@ -560,18 +560,27 @@ def _minhash_lsh_oracle(
     max_bucket: int = 1024,
 ) -> str:
     """DuckDB replication of minhash_lsh_pairs(hash_fn='md5'): same
-    shingles, same md5 permutations (min over hex strings), same band
-    hashes, same hot-bucket drop, same exact-Jaccard verify."""
+    shingles, same 2-universal md5 permutation family
+    h_i = (h1 + i·h2) mod P, same band keys, same hot-bucket drop, same
+    exact-Jaccard verify."""
+    from d6tstack_spark.operators.dedup import MINHASH_P as P
+
     rpb = num_perm // bands
     mins = ",\n                   ".join(
-        f"min(md5('{i}:' || g)) AS h{i}" for i in range(num_perm)
+        f"min((u1 + {i} * u2) % {P}) AS h{i}" for i in range(num_perm)
     )
     band_rows = "\n              UNION ALL\n              ".join(
-        "SELECT id, {b} AS band, md5({cc}) AS bh FROM sig".format(
-            b=b, cc=" || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        "SELECT id, {b} AS band, {ks} FROM sig".format(
+            b=b,
+            ks=", ".join(
+                f"h{b * rpb + r} AS k{r}" for r in range(rpb)
+            ),
         )
         for b in range(bands)
     )
+    keq = " AND ".join(f"a.k{r} = b.k{r}" for r in range(rpb))
+    kheq = " AND ".join(f"h.k{r} = b.k{r}" for r in range(rpb))
+    kgrp = ", ".join(f"k{r}" for r in range(rpb))
     return f"""
             WITH t AS (
               SELECT doc_id AS id,
@@ -587,22 +596,29 @@ def _minhash_lsh_oracle(
               FROM t
             ), ex AS (
               SELECT id, unnest(s) AS g FROM sh WHERE s IS NOT NULL
+            ), ex2 AS (
+              SELECT id,
+                     CAST(('0x' || substr(md5('a:' || g), 1, 15)) AS BIGINT)
+                       % {P} AS u1,
+                     CAST(('0x' || substr(md5('b:' || g), 1, 15)) AS BIGINT)
+                       % {P} AS u2
+              FROM ex WHERE g IS NOT NULL
             ), sig AS (
               SELECT id, {mins}
-              FROM ex WHERE g IS NOT NULL GROUP BY id
+              FROM ex2 GROUP BY id
             ), bands AS (
               {band_rows}
             ), hot AS (
-              SELECT band, bh FROM bands GROUP BY band, bh
+              SELECT band, {kgrp} FROM bands GROUP BY band, {kgrp}
               HAVING COUNT(*) > {max_bucket}
             ), kept AS (
               SELECT b.* FROM bands b
               WHERE NOT EXISTS (SELECT 1 FROM hot h
-                                WHERE h.band = b.band AND h.bh = b.bh)
+                                WHERE h.band = b.band AND {kheq})
             ), cand AS (
               SELECT DISTINCT a.id AS id_a, b.id AS id_b
               FROM kept a JOIN kept b
-                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+                ON a.band = b.band AND {keq} AND a.id < b.id
             )
             SELECT c.id_a, c.id_b,
                    CAST(len(list_intersect(sa.s, sb.s)) AS INT) AS inter_n,

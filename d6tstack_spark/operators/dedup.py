@@ -115,13 +115,20 @@ def jaccard_pairs(
     )
 
 
-def _minhash_expr(i: int, hash_fn: str):
-    """Permutation i's hash of a shingle column ``sh``. ``xxhash64`` is the
-    fast JVM path; ``md5`` is bit-replicable in ANSI SQL (DuckDB oracle) —
-    min over the hex strings is a valid random permutation either way."""
-    if hash_fn == "md5":
-        return F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))
-    return F.xxhash64(F.col("sh"), F.lit(i))
+# modulus of the 2-universal md5 permutation family (~2^30: i·(h%P) stays
+# far inside int64 for any sane num_perm; per-pair collision odds 2^-30)
+MINHASH_P = 1_000_000_007
+
+# 60-bit int from an md5 hex prefix — the exact same expression text parses
+# in Spark SQL (conv) and is mirrored by DuckDB's '0x' cast in the oracle
+_H1_SQL = (
+    f"CAST(conv(substr(md5(concat('a:', sh)), 1, 15), 16, 10) AS BIGINT)"
+    f" % {MINHASH_P}"
+)
+_H2_SQL = (
+    f"CAST(conv(substr(md5(concat('b:', sh)), 1, 15), 16, 10) AS BIGINT)"
+    f" % {MINHASH_P}"
+)
 
 
 def minhash_signatures(
@@ -151,8 +158,27 @@ def minhash_signatures(
 def _signatures_from_shingled(
     shingled: DataFrame, num_perm: int, hash_fn: str
 ) -> DataFrame:
+    """num_perm min-hash aggregates over exploded shingles.
+
+    ``xxhash64``: one seeded 64-bit JVM hash per permutation (fast path).
+    ``md5``: a 2-universal family h_i = (h1 + i·h2) mod P built from TWO
+    md5-derived 60-bit ints — SQL-replicable (the oracle computes the same
+    integers) and only 2 md5 evaluations per shingle instead of num_perm.
+    Both are one partial-agg-friendly groupBy."""
+    if hash_fn == "md5":
+        pre = shingled.withColumn("u1", F.expr(_H1_SQL)).withColumn(
+            "u2", F.expr(_H2_SQL)
+        )
+        aggs = [
+            F.min(
+                (F.col("u1") + F.lit(i) * F.col("u2")) % F.lit(MINHASH_P)
+            ).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+        return pre.groupBy("id").agg(*aggs)
     aggs = [
-        F.min(_minhash_expr(i, hash_fn)).alias(f"h{i}") for i in range(num_perm)
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
     ]
     return shingled.groupBy("id").agg(*aggs)
 
@@ -200,14 +226,16 @@ def minhash_lsh_pairs(
     )
     sigs = _signatures_from_shingled(shingled, num_perm, hash_fn)
 
-    def band_hash(b: int):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if hash_fn == "md5":
-            return F.md5(F.concat_ws("|", *cols))
-        return F.xxhash64(*cols)
+    def band_key(b: int):
+        # the band's row-slice AS a struct — an equi-join key needs no hash
+        cols = [
+            F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
+            for r in range(rows_per_band)
+        ]
+        return F.struct(*cols)
 
     band_cols = [
-        F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
         for b in range(bands)
     ]
     buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(

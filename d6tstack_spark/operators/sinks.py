@@ -74,10 +74,12 @@ def write_blocks(
     entropy-coded by the engine's own codecs, so snappy on top buys <2%
     bytes for a measurable CPU/bandwidth cost on every write AND read —
     at 100 TB that tax is the difference between a write-bound and an
-    encode-bound job."""
+    encode-bound job. Parquet dictionary encoding is off for the same
+    reason: payloads are unique multi-MB blobs — the writer would hash
+    every page into a dictionary only to abandon it."""
     blocks.sortWithinPartitions("block_id").write.mode(mode).option(
         "compression", compression
-    ).parquet(path)
+    ).option("parquet.enable.dictionary", "false").parquet(path)
 
 
 def read_blocks(spark: SparkSession, path: str) -> DataFrame:
