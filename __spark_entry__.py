@@ -461,6 +461,26 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (union+window formulation, no range join): each event gets
+    the value of the user's most recent click at-or-before its timestamp.
+    Right side deduped on (user_id, ts) so the match is well-defined; DuckDB
+    verifies with its NATIVE ASOF JOIN."""
+    from d6tstack_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), clicks,
+        on="ts", by="user_id", right_cols=["click_value"], suffix="",
+    )
+    return out.select("event_id", "click_value")
+
+
 def q_excel_roundtrip(spark, sf_dir):
     """Excel source family in the gate: 50 documents → .xlsx (one file per
     10 docs) → sniff → distributed stacked read → values compared to the
@@ -543,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_compare": q_roundtrip_compare,
         "zstd_roundtrip": q_zstd_roundtrip,
         "excel_roundtrip": q_excel_roundtrip,
+        "asof_join": q_asof_join,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
     }
@@ -949,6 +970,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "excel_roundtrip": """
             SELECT doc_id, lang, text FROM documents WHERE doc_id < 50
+        """,
+        "asof_join": """
+            WITH r AS (
+              SELECT user_id, ts, max(value) AS click_value
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            )
+            SELECT e.event_id, r.click_value
+            FROM events e
+            ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
         """,
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "simhash": _simhash_oracle(),
