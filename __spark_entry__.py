@@ -74,6 +74,35 @@ def q_compression_stats(spark, sf_dir):
     )
 
 
+def q_encdec_projection(spark, sf_dir):
+    """Columnar payoff in the gate: decode ONLY (event_id, user_id) from the
+    encoded events blocks — the other columns' payloads are never touched
+    (block scan filtered on column name; plan-asserted in tests)."""
+    from d6tstack_spark.operators.encode import decode_table, encode_table
+
+    blocks, manifest = encode_table(
+        _t(spark, sf_dir, "events"), order_cols=("event_id",)
+    )
+    return decode_table(blocks, manifest, columns=["event_id", "user_id"])
+
+
+def q_compression_stats_embeddings(spark, sf_dir):
+    """The embedding-bytes story as a pinned gate row: the fplist codec must
+    beat raw arrow by >1.2x on the embeddings table (sign/exp/mantissa split
+    — near the entropy floor for random mantissas), while accounting every
+    row."""
+    from d6tstack_spark.operators.encode import encode_table
+
+    blocks, _ = encode_table(
+        _t(spark, sf_dir, "embeddings"), order_cols=("vec_id",)
+    )
+    emb = blocks.filter(F.col("column") == "embedding")
+    return emb.agg(
+        F.sum("n_rows").alias("n_rows"),
+        (F.sum("raw_bytes") > 1.2 * F.sum("enc_bytes")).alias("ratio_gt_1_2"),
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
@@ -481,6 +510,27 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "click_value")
 
 
+def q_interval_join(spark, sf_dir):
+    """Bucketed range join (no nested-loop): every event inside the 30-min
+    window after a signup by the same user. DuckDB verifies with the plain
+    BETWEEN join."""
+    from d6tstack_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    out = interval_join(
+        ev.select("event_id", "user_id", "ts"), signups,
+        point_ts="ts", start_col="w_start", end_col="w_end",
+        by="user_id", bucket_width=1800,
+    )
+    return out.select("event_id", "signup_id")
+
+
 def q_excel_roundtrip(spark, sf_dir):
     """Excel source family in the gate: 50 documents → .xlsx (one file per
     10 docs) → sniff → distributed stacked read → values compared to the
@@ -532,7 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encdec_fused_events": q_encdec_fused_events,
         "encdec_cluster_lineitem": q_encdec_cluster_lineitem,
         "encdec_embeddings": q_encdec_embeddings,
+        "encdec_projection": q_encdec_projection,
         "compression_stats": q_compression_stats,
+        "compression_stats_embeddings": q_compression_stats_embeddings,
         "tpch_q1": q_tpch_q1,
         "stack_drift_orders": q_stack_drift_orders,
         "dedup_exact": q_dedup_exact,
@@ -564,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zstd_roundtrip": q_zstd_roundtrip,
         "excel_roundtrip": q_excel_roundtrip,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
     }
@@ -735,6 +788,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
                    unnest(embedding) AS val
             FROM embeddings
+        """,
+        "encdec_projection": "SELECT event_id, user_id FROM events",
+        "compression_stats_embeddings": """
+            SELECT COUNT(*) AS n_rows, TRUE AS ratio_gt_1_2 FROM embeddings
         """,
         "compression_stats": """
             SELECT c.col_name,
@@ -970,6 +1027,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "excel_roundtrip": """
             SELECT doc_id, lang, text FROM documents WHERE doc_id < 50
+        """,
+        "interval_join": """
+            SELECT e.event_id, s.event_id AS signup_id
+            FROM events e
+            JOIN (SELECT user_id, event_id, ts AS w_start,
+                         ts + INTERVAL 30 MINUTE AS w_end
+                  FROM events WHERE event_type = 'signup') s
+              ON e.user_id = s.user_id
+             AND e.ts BETWEEN s.w_start AND s.w_end
         """,
         "asof_join": """
             WITH r AS (

@@ -185,8 +185,11 @@ def main():
     # primary N→4N evidence at 4→16 physical cores; 8→32 reported too (the
     # sandbox VM's memory bandwidth saturates near 32 — see BENCH/BASELINE.md)
     scaling = {}
-    # primary pair (4,16) gets 4 interleaved reps; context pair (8,32) one
-    for rep, levels in enumerate([(4, 16, 8, 32), (4, 16), (16, 4), (4, 16)]):
+    # primary pair (4,16) gets 4 interleaved reps; context pair (8,32) two —
+    # a single rep can land entirely inside a shared-VM slow epoch
+    for rep, levels in enumerate(
+        [(4, 16, 8, 32), (4, 16), (16, 4, 32, 8), (4, 16)]
+    ):
         for cores in levels:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--encode-run", str(cores)],

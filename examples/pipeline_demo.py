@@ -4,10 +4,12 @@
 
 Composes the engine's operators the way a real corpus build does:
   1. ingest drifted sources (schema-aligning stack),
-  2. quality-score + language-ID the documents,
-  3. near-dup removal (MinHash+LSH candidates, exact-verified),
-  4. encode the surviving corpus into compressed blocks with resume state,
-  5. decode a projection back and verify equivalence distributed.
+  2. quality-score + language-ID + token-budget the documents,
+  3. near-dup removal (MinHash+LSH candidates, exact-verified, capped
+     band buckets),
+  4. embedding near-dup pass over the embeddings table (fplist-compressed),
+  5. encode the surviving corpus into compressed blocks with resume state,
+  6. decode a projection back and verify equivalence distributed.
 """
 
 from __future__ import annotations
@@ -45,12 +47,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     )
     print(f"[1] stacked corpus: {corpus.count()} docs from 2 drifted shards")
 
-    # 2. quality + language gates (all JVM-side expressions)
-    scored = lang_id(quality_score(corpus))
+    # 2. quality + language + token-budget gates (all JVM-side expressions)
+    from d6tstack_spark.operators.text import token_count_bpe
+
+    scored = token_count_bpe(lang_id(quality_score(corpus)))
     kept = scored.filter(
         (F.col("n_tokens") >= 5) & (F.col("alpha_ratio") > 0.5)
     )
-    print(f"[2] after quality gates: {kept.count()} docs")
+    budget = kept.agg(F.sum("n_tokens_bpe")).first()[0]
+    print(f"[2] after quality gates: {kept.count()} docs, ~{budget:,} BPE tokens")
 
     # 3. near-dup removal: LSH candidates → exact verify → drop the higher id
     dup_pairs = minhash_lsh_pairs(kept, "doc_id", "text", threshold=0.9)
@@ -59,6 +64,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     deduped = dedup_exact(deduped, ["text"], "doc_id")  # belt and braces
     n_final = deduped.count()
     print(f"[3] after near-dup removal: {n_final} docs")
+
+    # 3b. embedding near-dup pass (hyperplane-LSH above the brute-force
+    # threshold; exact cosine verify either way) + fplist compression stats
+    from d6tstack_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    near = embedding_neardup_pairs(emb, "vec_id", "embedding", 0.45).count()
+    eblocks, _ = encode_table(emb, order_cols=("vec_id",))
+    es = eblocks.filter(F.col("column") == "embedding").agg(
+        F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")
+    ).first()
+    print(f"[3b] embedding near-dup pairs: {near}; fplist ratio "
+          f"{es['r']/es['e']:.2f}x on the embedding column")
 
     # 4. encode the final corpus (auto-selected codecs, shuffle-free)
     final = deduped.select("doc_id", "text", "lang_pred", "n_tokens", "filename")
