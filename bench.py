@@ -259,7 +259,9 @@ def _write_baseline_md(scaling, eff, eff_8_32, times, result):
     ] + [
         "",
         f"**Primary evidence (N=4 → 4N=16 physical cores): efficiency = "
-        f"throughput(4N)/(4·throughput(N)) = {eff:.3f}** (target ≥ 0.8).",
+        f"throughput(4N)/(4·throughput(N)) = {eff:.3f}** (target ≥ 0.8). "
+        "Separate-JVM executor-mode evidence (local-cluster 1→4 executors, "
+        "same job): see BENCH/EXECUTOR_MODE.md.",
         f"8→32 efficiency = {eff_8_32:.3f} — the sandbox VM saturates DRAM "
         "bandwidth near 32 cores (pure-CPU spin scales to 32×, the "
         "allocation-heavy encode path does not). On a real multi-executor "
