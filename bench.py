@@ -114,14 +114,14 @@ def encode_run(cores: int) -> dict:
         write_blocks(blocks, out)
         walls.append(time.time() - t0)
     wall = min(walls)
-    # decode throughput: read the blocks back and reconstruct every column
+    # decode throughput via the shuffle-free per-file bulk path
     # (min-of-2 — a single sample can land in a VM-noise spike)
-    from d6tstack_spark.operators.encode import decode_table
+    from d6tstack_spark.operators.encode import decode_parquet_blocks
 
     dec_walls = []
     for _ in range(2):
         t0 = time.time()
-        n_dec = decode_table(spark.read.parquet(out), manifest).count()
+        n_dec = decode_parquet_blocks(spark, out, manifest).count()
         dec_walls.append(time.time() - t0)
     dec_wall = min(dec_walls)
     stats = (

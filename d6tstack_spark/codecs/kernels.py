@@ -756,10 +756,21 @@ def _enc_fsst_from_arrow(arr, bigrams: bool = False) -> tuple[bytes, dict]:
     code_stream_full = np.where(codes >= 0, codes, _FSST_LITERAL)
     code_stream = code_stream_full[emit].astype(np.uint8)
 
-    # --- literals: emitted positions with no symbol
+    # --- literals: emitted positions with no symbol. pd.factorize is the
+    # O(n) hash-based uniquing (np.unique sorts — measured 10x slower on
+    # the literal stream); first-occurrence order is deterministic given
+    # the block content, which is all decode needs (ids are positional).
     lit_positions = emit & (codes < 0)
     lit_occ_ids = idx[lit_positions]
-    lit_uniq_ids, lit_ids = np.unique(lit_occ_ids, return_inverse=True)
+    if len(lit_occ_ids):
+        import pandas as _pd
+
+        lit_ids, lit_uniq_ids = _pd.factorize(lit_occ_ids)
+        lit_ids = lit_ids.astype(np.int64)
+        lit_uniq_ids = np.asarray(lit_uniq_ids, dtype=np.int64)
+    else:
+        lit_ids = np.zeros(0, dtype=np.int64)
+        lit_uniq_ids = np.zeros(0, dtype=np.int64)
     lw = _bit_width(len(lit_uniq_ids) - 1) if len(lit_uniq_ids) > 1 else 0
     lit_ids_buf = bitpack(lit_ids.view(np.uint64), lw)
 

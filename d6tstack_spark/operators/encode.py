@@ -691,6 +691,73 @@ def _make_decoder(manifest: dict, chunk_rows: int = 65536):
     return decode_fn
 
 
+def decode_parquet_blocks(
+    spark,
+    blocks_dir: str,
+    manifest: dict,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Shuffle-free bulk decode — the inverse twin of
+    :func:`encode_parquet_files`.
+
+    :func:`decode_table` must repartition by block_id so each task owns
+    complete blocks — a full shuffle of the PAYLOAD bytes. But the blocks
+    sink (sinks.write_blocks / checkpoint state) writes whole blocks into
+    single files, so a per-FILE task already owns complete blocks: the
+    driver plans one task per blocks file, each task reads it with pyarrow
+    directly and decodes — zero shuffle, no JVM↔Python payload transfer,
+    the 100 TB decode path. ``columns`` prunes at the parquet row level
+    (only the selected columns' payload rows are materialized)."""
+    import glob as _glob
+    import os
+
+    if columns is not None:
+        missing = [c for c in columns if c not in manifest]
+        if missing:
+            raise ValueError(f"columns not in manifest: {missing}")
+        manifest = {k: v for k, v in manifest.items() if k in columns}
+    paths = sorted(
+        _glob.glob(os.path.join(blocks_dir, "**", "*.parquet"), recursive=True)
+    )
+    if not paths:
+        raise ValueError(f"no blocks parquet files under {blocks_dir}")
+    sdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths)
+    )
+    col_filter = list(manifest) if columns is not None else None
+    decoder = _make_decoder(manifest)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        for b in batches:
+            for p in b.column("path").to_pylist():
+                t = pq.read_table(
+                    p,
+                    use_threads=False,
+                    filters=(
+                        [("column", "in", col_filter)] if col_filter else None
+                    ),
+                )
+                yield from decoder(t.to_batches())
+
+    phys_schema = T.StructType(
+        [
+            T.StructField(
+                name,
+                _PHYS_SPARK_TYPE[m["ptype"]]
+                if m["ptype"] != "any"
+                else T._parse_datatype_string(m["logical"]),
+                True,
+            )
+            for name, m in manifest.items()
+        ]
+    )
+    return _restore_logical(sdf.mapInArrow(run, phys_schema), manifest)
+
+
 def decode_table(
     blocks: DataFrame, manifest: dict, columns: list[str] | None = None
 ) -> DataFrame:

@@ -112,6 +112,48 @@ def test_floatlist_null_lists_and_null_elements_roundtrip(spark):
     pd_.testing.assert_frame_equal(df2.orderBy("id").toPandas(), dec2)
 
 
+def test_decode_parquet_blocks_shuffle_free(spark, transcripts_path, tmp_path):
+    """The per-file bulk decode equals the shuffle decode and the source,
+    with zero Exchange nodes in its plan; column pruning decodes a
+    projection only."""
+    import pandas as pd_
+    from pyspark.sql import functions as F_
+
+    from d6tstack_spark.operators.encode import (
+        decode_parquet_blocks,
+        encode_parquet_files,
+    )
+    from d6tstack_spark.operators.sinks import write_blocks
+
+    blocks, manifest = encode_parquet_files(spark, transcripts_path)
+    out = str(tmp_path / "blocks")
+    write_blocks(blocks, out)
+    dec = decode_parquet_blocks(spark, out, manifest)
+    p = dec._sc._jvm.PythonSQLUtils.explainString(
+        dec._jdf.queryExecution(), "formatted"
+    )
+    # the only Exchange is the round-robin of PATH STRINGS (bytes of
+    # metadata); the payload bytes never shuffle — they go straight from
+    # each task's pyarrow file read into the decoder
+    assert p.count("+- Exchange") == 1
+    # ...and it sits BELOW MapInArrow, i.e. it distributes the path list,
+    # not the decoded rows
+    assert p.index("MapInArrow") < p.index("+- Exchange")
+    src = spark.read.parquet(transcripts_path)
+    pd_.testing.assert_frame_equal(
+        src.orderBy("conv_id", "turn_idx").toPandas(),
+        dec.orderBy("conv_id", "turn_idx").toPandas(),
+    )
+    # pruned decode: only two columns materialize
+    two = decode_parquet_blocks(spark, out, manifest,
+                                columns=["conv_id", "turn_idx"])
+    assert two.columns == ["conv_id", "turn_idx"]
+    assert two.count() == src.count()
+    assert two.agg(F_.sum("turn_idx")).first()[0] == src.agg(
+        F_.sum("turn_idx")
+    ).first()[0]
+
+
 def test_codec_override(spark, transcripts_path):
     df = spark.read.parquet(transcripts_path).select("conv_id", "turn_idx", "role")
     blocks, manifest = encode_table(
