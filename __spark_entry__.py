@@ -531,6 +531,45 @@ def q_interval_join(spark, sf_dir):
     return out.select("event_id", "signup_id")
 
 
+def q_csv_stacked(spark, sf_dir):
+    """The CombinerCSV chain in the gate: 200 events → 2 CSV 'files' (one
+    with a 2-line preamble), dialect + skiprows + header sniffed, schema
+    inferred from the sample (no second pass), preamble dropped JVM-side,
+    stacked with provenance — values compared against the source table."""
+    import os
+    import tempfile
+
+    from d6tstack_spark.sources.csv_sniffer import read_csv_stacked
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="csvq_")
+    paths = [os.path.join(d, "f0.csv"), os.path.join(d, "f1.csv")]
+    preamble = "report preamble line\nanother preamble line\n"
+    for i, p in enumerate(paths):
+        lines = ["event_id,user_id,value"] + [
+            f"{r['event_id']},{r['user_id']},{r['value']!r}"
+            for r in rows
+            if r["event_id"] % 2 == i
+        ]
+        with open(p, "w") as f:
+            # same preamble in both files: the consensus sniffer requires
+            # one dialect (incl. skiprows) across the file set
+            f.write(preamble + "\n".join(lines) + "\n")
+    out = read_csv_stacked(spark, paths)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+        "filename",
+    )
+
+
 def q_excel_roundtrip(spark, sf_dir):
     """Excel source family in the gate: 50 documents → .xlsx (one file per
     10 docs) → sniff → distributed stacked read → values compared to the
@@ -615,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_compare": q_roundtrip_compare,
         "zstd_roundtrip": q_zstd_roundtrip,
         "excel_roundtrip": q_excel_roundtrip,
+        "csv_stacked": q_csv_stacked,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "embedding_neardup": q_embedding_neardup,
@@ -1027,6 +1067,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "excel_roundtrip": """
             SELECT doc_id, lang, text FROM documents WHERE doc_id < 50
+        """,
+        "csv_stacked": """
+            SELECT event_id, user_id, value,
+                   CASE WHEN event_id % 2 = 0 THEN 'f0.csv' ELSE 'f1.csv' END
+                     AS filename
+            FROM events WHERE event_id < 200
         """,
         "interval_join": """
             SELECT e.event_id, s.event_id AS signup_id
