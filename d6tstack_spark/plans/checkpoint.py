@@ -181,9 +181,11 @@ def load_manifest(state_dir: str) -> dict:
 
 
 def decode_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Decode everything in a state dir back to the original table."""
-    from d6tstack_spark.operators.encode import decode_table
+    """Decode everything in a state dir back to the original table via the
+    shuffle-free per-file bulk path (state files contain complete blocks
+    by construction — every write here is one task's whole partition)."""
+    from d6tstack_spark.operators.encode import decode_parquet_blocks
 
-    return decode_table(
-        spark.read.parquet(_blocks_dir(state_dir)), load_manifest(state_dir)
+    return decode_parquet_blocks(
+        spark, _blocks_dir(state_dir), load_manifest(state_dir)
     )

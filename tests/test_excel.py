@@ -160,6 +160,63 @@ def test_convert_xlsx_to_csv_skip_replace(spark, tmp_path, xlsx_single):
     assert not s3["skipped"].any()
 
 
+def test_parser_reads_shared_strings_files(tmp_path):
+    """Files written by pandas/openpyxl use the sharedStrings table, not
+    inline strings — build one by hand and parse it."""
+    import zipfile
+
+    from d6tstack_spark.sources.excel import read_sheet_cells
+
+    p = str(tmp_path / "shared.xlsx")
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats'
+            '.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.'
+            'openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        zf.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/relationships">'
+            f'<Relationship Id="rId1" Type="{rns}/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>',
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook {ns} xmlns:r="{rns}"><sheets>'
+            '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/relationships">'
+            f'<Relationship Id="rId1" Type="{rns}/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        # rich-text run in entry 1 must concatenate
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            f'<?xml version="1.0"?><sst {ns} count="2" uniqueCount="2">'
+            "<si><t>name</t></si>"
+            "<si><r><t>Al</t></r><r><t>ice</t></r></si></sst>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>7</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c>'
+            '<c r="B2" t="b"><v>1</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    cells = read_sheet_cells(p, 0)
+    assert cells == [["name", 7], ["Alice", True]]
+
+
 def test_xls_biff_raises_without_xlrd(tmp_path):
     p = tmp_path / "old.xls"
     p.write_bytes(b"\xd0\xcf\x11\xe0fakebiff")
