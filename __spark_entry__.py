@@ -231,6 +231,14 @@ def q_knn_bruteforce(spark, sf_dir):
     )
 
 
+def q_knn_join(spark, sf_dir):
+    """All-pairs 5-NN over the embeddings table (exact path at gate scale;
+    the operator flips to LSH-bucketed candidates above 20k rows)."""
+    from d6tstack_spark.operators.similarity import knn_join
+
+    return knn_join(_t(spark, sf_dir, "embeddings"), k=5)
+
+
 def q_mode_event_type(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
@@ -637,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_join": q_knn_join,
         "mode_event_type": q_mode_event_type,
         "event_runs": q_event_runs,
         "sessionize": q_sessionize,
@@ -966,6 +975,16 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY sim DESC, e.vec_id
               LIMIT 10
             )
+        """,
+        "knn_join": """
+            SELECT id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+              SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                                DESC, b.vec_id) AS rank
+              FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            ) WHERE rank <= 5
         """,
         "mode_event_type": """
             SELECT user_id, event_type AS top_type, c AS n FROM (

@@ -132,6 +132,49 @@ def ivf_search(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
 
 
+def knn_join(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bruteforce: int = 20_000,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs k-nearest-neighbors: for EVERY vector, its k most cosine-
+    similar other vectors — the hard-negative-mining / embedding-dedup
+    primitive. Output: (id, rank, neighbor_id), rank 1..k.
+
+    Up to ``max_bruteforce`` rows: exact — one self-join + a per-query
+    top-k window (the oracle baseline). Above: hyperplane-LSH bucketing
+    turns the self-join into an equi-join on bucket id (candidates share
+    all ``bits`` hyperplane signs), exact cosine ranking within candidates —
+    precision exact, recall the LSH collision probability."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    n = v.count()
+    if n > max_bruteforce:
+        dim = len(v.select("v").first()["v"])
+        sig = hyperplane_signature(v, "v", bits=bits, seed=seed, dim=dim)
+        a, b = sig.alias("a"), sig.alias("b")
+        pairs = a.join(b, "bucket").filter(F.col("a.id") != F.col("b.id"))
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.join(b, F.col("a.id") != F.col("b.id"))
+    from pyspark.sql import Window
+
+    scored = pairs.select(
+        F.col("a.id").alias("id"),
+        F.col("b.id").alias("neighbor_id"),
+        cosine_expr(F.col("a.v"), F.col("b.v")).alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", F.col("rank").cast("int").alias("rank"), "neighbor_id")
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     query_vec: list[float],

@@ -63,6 +63,33 @@ def test_embedding_neardup_bucketed_above_threshold(spark):
     assert (5, 1000) in set(zip(got["id_a"], got["id_b"]))
 
 
+def test_knn_join_bucketed_above_threshold(spark):
+    import numpy as np
+
+    from d6tstack_spark.operators.similarity import knn_join
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    guarded = knn_join(df, k=3, max_bruteforce=10, bits=4)
+    p = _plan(guarded)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    got = guarded.toPandas()
+    assert (got.groupby("id")["rank"].max() <= 3).all()
+    # exact path agrees with numpy on the full ranking
+    exact = knn_join(df, k=3, max_bruteforce=10_000).toPandas()
+    sims = vecs @ vecs.T
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = sims / np.outer(norms, norms)
+    np.fill_diagonal(sims, -np.inf)
+    for qid in range(30):
+        want = list(np.argsort(-sims[qid], kind="stable")[:3])
+        got_n = exact[exact["id"] == qid].sort_values("rank")["neighbor_id"]
+        assert list(got_n) == want, qid
+
+
 def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     """A planted block of identical docs (one degenerate band bucket) must
     not explode the candidate join: with the bucket cap those docs produce
