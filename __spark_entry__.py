@@ -202,6 +202,21 @@ def q_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", 0.82)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment: exact-Jaccard pair graph → distributed
+    min-label propagation (connected components). The oracle recomputes the
+    same graph and labels it with a recursive CTE — an iterative
+    distributed algorithm checked against recursive SQL."""
+    from d6tstack_spark.operators.dedup import connected_components, jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", 0.82)
+    cc = connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """LSH near-dup pairs in md5 hash mode: every stage (shingling, minhash
     permutations, band hashes, bucket cap, exact-Jaccard verify) is
@@ -642,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "rolling_fingerprint": q_rolling_fingerprint,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1111,6 +1127,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, r.click_value
             FROM events e
             ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE sets AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x != '')) AS s
+              FROM documents
+            ), p AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM sets a JOIN sets b ON a.id < b.id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    >= 0.82 * CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+            ), edges AS (
+              SELECT id_a AS st, id_b AS d FROM p
+              UNION
+              SELECT id_b AS st, id_a AS d FROM p
+            ), reach(nd, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.d, reach.r FROM reach JOIN edges e ON e.st = reach.nd
+            )
+            SELECT nd AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY nd
         """,
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "simhash": _simhash_oracle(),

@@ -318,6 +318,67 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("id", F.expr(simhash_hex_sql()).alias("simhash"))
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    node_col: str = "id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster ids from near-duplicate pairs: every node gets the MINIMUM
+    node id reachable through the pair graph (deterministic canonical
+    labels; singletons label themselves). The step a dedup pipeline needs
+    after pair mining — keep one doc per CLUSTER, not per pair.
+
+    Distributed min-label propagation: each round joins current labels
+    across the (symmetrized) edge set and takes the per-node min — O(graph
+    diameter) rounds of one join + one partial-agg groupBy each; near-dup
+    graphs are clique-ish, so 2-4 rounds in practice. The driver only ever
+    sees a per-round change COUNT (no graph state); labels are persisted
+    per round and lineage is cut by the persist, so the plan does not grow
+    unboundedly. Returns (node_col, cluster_id)."""
+    n = nodes.select(F.col(node_col).alias("n")).distinct()
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = n.withColumn("lbl", F.col("n")).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select("n", "lbl"), edges.d == F.col("n"))
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        nxt = (
+            labels.select("n", "lbl")
+            .join(nbr_min, F.col("n") == nbr_min.s, "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.col("nmin") < F.col("lbl")).alias("__chg"),
+            )
+            .persist()
+        )
+        # the count MATERIALIZES nxt's cache; only then is it safe to drop
+        # the previous round's cache (nxt must not recompute through it)
+        changed = nxt.filter(F.col("__chg")).count()
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("n").alias(node_col), F.col("lbl").alias("cluster_id")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -90,6 +90,20 @@ def test_knn_join_bucketed_above_threshold(spark):
         assert list(got_n) == want, qid
 
 
+def test_connected_components_labels(spark):
+    from d6tstack_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # components: {0,1,2,3} via a chain, {5,6} via one edge, {4},{7} singletons
+    pairs = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (5, 6)], "id_a long, id_b long"
+    )
+    got = dict(
+        connected_components(nodes, pairs).orderBy("id").collect()
+    )
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
 def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     """A planted block of identical docs (one degenerate band bucket) must
     not explode the candidate join: with the bucket cap those docs produce
