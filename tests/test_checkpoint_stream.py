@@ -154,6 +154,14 @@ def test_streaming_encode(spark, multi_parquet, tmp_path):
         src.orderBy("conv_id", "turn_idx").toPandas(),
         dec.orderBy("conv_id", "turn_idx").toPandas(),
     )
+    # the shuffle-free bulk decode walks the epoch=N subdirs too
+    from d6tstack_spark.operators.encode import decode_parquet_blocks
+
+    bulk = decode_parquet_blocks(spark, blocks_dir, manifest)
+    pd.testing.assert_frame_equal(
+        src.orderBy("conv_id", "turn_idx").toPandas(),
+        bulk.orderBy("conv_id", "turn_idx").toPandas(),
+    )
 
 
 # ---------------------------------------------------------------- csv sniffer

@@ -154,6 +154,26 @@ def test_decode_parquet_blocks_shuffle_free(spark, transcripts_path, tmp_path):
     ).first()[0]
 
 
+def test_encode_bitwise_deterministic_across_runs(spark, transcripts_path):
+    """Two independent encodes of the same input produce byte-identical
+    blocks (codec choice, dictionaries, literal order — everything): the
+    property that makes Spark task RETRIES safe (a re-executed task
+    overwrites itself) and resume states reproducible."""
+    from d6tstack_spark.operators.encode import encode_parquet_files
+
+    def fingerprint():
+        blocks, _ = encode_parquet_files(spark, transcripts_path)
+        return sorted(
+            (r["block_id"], r["column"], r["codec"], r["crc"], r["enc_bytes"])
+            for r in blocks.select(
+                "block_id", "column", "codec", "crc", "enc_bytes"
+            ).collect()
+        )
+
+    a, b = fingerprint(), fingerprint()
+    assert a == b and len(a) > 0
+
+
 def test_codec_override(spark, transcripts_path):
     df = spark.read.parquet(transcripts_path).select("conv_id", "turn_idx", "role")
     blocks, manifest = encode_table(
