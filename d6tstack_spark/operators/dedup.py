@@ -68,33 +68,41 @@ def jaccard_pairs(
     text_col: str,
     threshold: float,
     max_bruteforce: int = 20_000,
+    exact: bool | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard similar pairs. Output: (id_a, id_b, inter_n,
     union_n) with id_a < id_b; the ratio is left as exact ints so the DuckDB
     oracle matches bit-for-bit.
 
-    Inputs up to ``max_bruteforce`` rows use the all-pairs non-equi join
-    (exact recall — the oracle baseline). Above that the cartesian product
-    is a scale-killer, so pairs route through the MinHash band candidate
-    set instead: identical precision (candidates are re-verified with the
-    exact word-set Jaccard below), LSH recall (≈0.985 at s=threshold)."""
-    n = df.count()
-    if n > max_bruteforce:
-        cand = minhash_lsh_pairs(
-            df, id_col, text_col, threshold=0.0
-        ).select("id_a", "id_b")
-        sets_ = df.select(F.col(id_col).alias("id"), _word_set(text_col).alias("s"))
-        j = (
-            cand.join(sets_.withColumnsRenamed({"id": "id_a", "s": "sa"}), "id_a")
-            .join(sets_.withColumnsRenamed({"id": "id_b", "s": "sb"}), "id_b")
-        )
-        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-        union = F.size(F.array_union(F.col("sa"), F.col("sb")))
-        return j.select(
-            "id_a", "id_b", inter.alias("inter_n"), union.alias("union_n")
-        ).filter(
-            F.col("inter_n").cast("double")
-            >= F.lit(threshold) * F.col("union_n").cast("double")
+    ``exact=None`` (default): inputs up to ``max_bruteforce`` rows use the
+    all-pairs non-equi join (exact recall — the oracle baseline); above that
+    the cartesian product is a scale-killer, so the computation flips to the
+    approximate path WITH A WARNING. ``exact=True`` forces the all-pairs join
+    regardless of size (caller accepts the O(n²) cost); ``exact=False``
+    forces the LSH path.
+
+    The approximate path is minhash_lsh_pairs over ``shingle_n=1`` — i.e. the
+    MinHash candidates are generated from the SAME word-set features the
+    threshold is defined over (3-gram-shingle candidates would under-recall
+    pairs with high word overlap but different word order), and the verify
+    stage's exact Jaccard on word sets IS this function's semantics, so
+    precision stays exact and recall is the LSH collision probability
+    (≈0.985 at s=threshold with the default 32 permutations × 8 bands)."""
+    if exact is None:
+        exact = df.count() <= max_bruteforce
+        if not exact:
+            import warnings
+
+            warnings.warn(
+                f"jaccard_pairs: input exceeds max_bruteforce={max_bruteforce}"
+                " rows; flipping to MinHash-LSH candidates (exact precision,"
+                " approximate recall). Pass exact=True to force the O(n^2)"
+                " all-pairs join, or exact=False to silence this.",
+                stacklevel=2,
+            )
+    if not exact:
+        return minhash_lsh_pairs(
+            df, id_col, text_col, threshold=threshold, shingle_n=1
         )
     sets = df.select(F.col(id_col).alias("id"), _word_set(text_col).alias("s"))
     a, b = sets.alias("a"), sets.alias("b")
@@ -192,8 +200,13 @@ def minhash_lsh_pairs(
     bands: int = 8,
     hash_fn: str = "xxhash64",
     max_bucket: int = 1024,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
+
+    ``shingle_n`` sets the shingle feature: word n-grams (default 3 — the
+    standard near-dup unit) or 1 for plain word sets (used by jaccard_pairs
+    so candidate features match its threshold features exactly).
 
     bands × rows_per_band = num_perm; a pair is a candidate iff any band's
     row-slice hashes equal. Candidates then verify with exact shingle-set
@@ -218,6 +231,7 @@ def minhash_lsh_pairs(
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col),
         id_col,
         text_col,
+        n=shingle_n,
     ).persist()
     # null shingles (null text) drop out: a doc with no tokenizable text can
     # never be a near-duplicate and a null hash would poison the band hash
@@ -335,9 +349,15 @@ def connected_components(
     across the (symmetrized) edge set and takes the per-node min — O(graph
     diameter) rounds of one join + one partial-agg groupBy each; near-dup
     graphs are clique-ish, so 2-4 rounds in practice. The driver only ever
-    sees a per-round change COUNT (no graph state); labels are persisted
-    per round and lineage is cut by the persist, so the plan does not grow
-    unboundedly. Returns (node_col, cluster_id)."""
+    sees a per-round change COUNT (no graph state).
+
+    Each round's labels are eagerly localCheckpoint-ed: iterative self-joins
+    DOUBLE the logical plan per round (persist caches the data but does NOT
+    truncate the plan — analysis goes exponential past ~8 rounds), while
+    localCheckpoint cuts lineage outright. The checkpointed state is only
+    (node, label) pairs — tiny next to payloads; for fault-tolerant
+    production runs set a spark.checkpoint.dir and swap in .checkpoint().
+    Returns (node_col, cluster_id)."""
     n = nodes.select(F.col(node_col).alias("n")).distinct()
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
@@ -345,9 +365,10 @@ def connected_components(
             pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = n.withColumn("lbl", F.col("n")).persist()
+    labels = n.withColumn("lbl", F.col("n")).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.select("n", "lbl"), edges.d == F.col("n"))
@@ -364,16 +385,22 @@ def connected_components(
                 ).alias("lbl"),
                 (F.col("nmin") < F.col("lbl")).alias("__chg"),
             )
-            .persist()
+            .localCheckpoint(eager=True)  # materializes AND truncates lineage
         )
-        # the count MATERIALIZES nxt's cache; only then is it safe to drop
-        # the previous round's cache (nxt must not recompute through it)
         changed = nxt.filter(F.col("__chg")).count()
-        labels.unpersist()
         labels = nxt
         if changed == 0:
             break
-    edges.unpersist()
+    if changed > 0:
+        # min-label propagation needs O(graph diameter) rounds: a long
+        # path-shaped near-dup chain (> max_iter hops) would otherwise return
+        # silently SPLIT clusters — partially-propagated labels are wrong, so
+        # fail loudly rather than hand back plausible garbage
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter}"
+            f" rounds ({changed} labels still changing): the pair graph has"
+            " a component with diameter > max_iter. Raise max_iter."
+        )
     return labels.select(
         F.col("n").alias(node_col), F.col("lbl").alias("cluster_id")
     )

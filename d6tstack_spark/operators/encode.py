@@ -691,6 +691,29 @@ def _make_decoder(manifest: dict, chunk_rows: int = 65536):
     return decode_fn
 
 
+def _hadoop_list_files(spark, root: str, suffix: str) -> list[str]:
+    """Recursive file listing via the JVM Hadoop FileSystem API — resolves
+    any scheme the cluster's Hadoop configuration knows (file://, hdfs://,
+    s3a://, ...), unlike a driver-side glob which only sees local paths.
+    Local file:-scheme results are stripped back to plain paths so pyarrow
+    on the executors opens them without URI plumbing; other schemes pass
+    through as URIs for pyarrow's filesystem resolution."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    it = fs.listFiles(path, True)
+    out: list[str] = []
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if p.endswith(suffix):
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            out.append(p)
+    return out
+
+
 def decode_parquet_blocks(
     spark,
     blocks_dir: str,
@@ -707,18 +730,20 @@ def decode_parquet_blocks(
     driver plans one task per blocks file, each task reads it with pyarrow
     directly and decodes — zero shuffle, no JVM↔Python payload transfer,
     the 100 TB decode path. ``columns`` prunes at the parquet row level
-    (only the selected columns' payload rows are materialized)."""
-    import glob as _glob
-    import os
+    (only the selected columns' payload rows are materialized).
 
+    Listing goes through the Hadoop FileSystem API (scheme-agnostic:
+    file://, hdfs://, s3a://, ... — whatever the cluster's Hadoop conf can
+    resolve), and executors read via pyarrow URI resolution. The per-file
+    complete-block invariant is enforced at write time (sinks.write_blocks
+    rejects a nonzero spark.sql.files.maxRecordsPerFile) and re-checked at
+    decode (incomplete blocks raise)."""
     if columns is not None:
         missing = [c for c in columns if c not in manifest]
         if missing:
             raise ValueError(f"columns not in manifest: {missing}")
         manifest = {k: v for k, v in manifest.items() if k in columns}
-    paths = sorted(
-        _glob.glob(os.path.join(blocks_dir, "**", "*.parquet"), recursive=True)
-    )
+    paths = sorted(_hadoop_list_files(spark, blocks_dir, ".parquet"))
     if not paths:
         raise ValueError(f"no blocks parquet files under {blocks_dir}")
     sdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(

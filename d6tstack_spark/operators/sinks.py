@@ -76,7 +76,22 @@ def write_blocks(
     at 100 TB that tax is the difference between a write-bound and an
     encode-bound job. Parquet dictionary encoding is off for the same
     reason: payloads are unique multi-MB blobs — the writer would hash
-    every page into a dictionary only to abandon it."""
+    every page into a dictionary only to abandon it.
+
+    The shuffle-free bulk decode (encode.decode_parquet_blocks) relies on
+    every block's column-rows living in ONE file; a nonzero
+    spark.sql.files.maxRecordsPerFile would let the writer split a block
+    across files, so it is rejected here rather than failing at decode."""
+    max_rec = blocks.sparkSession.conf.get(
+        "spark.sql.files.maxRecordsPerFile", "0"
+    )
+    if int(max_rec or 0) > 0:
+        raise ValueError(
+            "write_blocks requires spark.sql.files.maxRecordsPerFile=0: a "
+            f"per-file record cap (currently {max_rec}) can split one "
+            "block's column-rows across files, breaking the per-file "
+            "complete-block invariant the shuffle-free decode path depends on"
+        )
     blocks.sortWithinPartitions("block_id").write.mode(mode).option(
         "compression", compression
     ).option("parquet.enable.dictionary", "false").parquet(path)

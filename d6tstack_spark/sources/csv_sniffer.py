@@ -21,6 +21,8 @@ operators.stack (the d6tstack combine pipeline end-to-end).
 
 from __future__ import annotations
 
+import csv
+import io
 from collections import Counter
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +32,17 @@ DELIM_CANDIDATES = [",", ";", "\t", "|"]
 
 def _sample_lines(spark: SparkSession, path: str, n: int) -> list[str]:
     return [r[0] for r in spark.read.text(path).limit(n).collect()]
+
+
+def _split_line(ln: str, delim: str) -> list[str]:
+    """Quote-aware split of one sampled CSV line (stdlib csv, so quoted
+    delimiters don't inflate the column count during sniffing/inference).
+    Quoted embedded newlines are NOT supported on this path: the sample is
+    read line-wise by spark.read.text."""
+    try:
+        return next(csv.reader(io.StringIO(ln), delimiter=delim))
+    except (csv.Error, StopIteration):
+        return ln.split(delim)
 
 
 def _is_number(tok: str) -> bool:
@@ -87,7 +100,7 @@ def infer_schema_from_sample(
     extra pass over every CSV file; the sample was already read for dialect
     detection, so schema inference is free."""
     data_lines = [ln for ln in lines[skiprows:] if delim in ln]
-    first = data_lines[0].split(delim)
+    first = _split_line(data_lines[0], delim)
     names = (
         [c.strip() for c in first]
         if has_header
@@ -96,7 +109,7 @@ def infer_schema_from_sample(
     rows = data_lines[1:] if has_header else data_lines
     types: list[str | None] = [None] * len(names)
     for ln in rows:
-        for i, tok in enumerate(ln.split(delim)[: len(names)]):
+        for i, tok in enumerate(_split_line(ln, delim)[: len(names)]):
             types[i] = _merge_types(types[i], _token_type(tok))
     return ", ".join(
         f"`{n}` {t or 'string'}" for n, t in zip(names, types)
@@ -125,9 +138,9 @@ def sniff_file(spark: SparkSession, path: str, n_lines: int = 20) -> dict:
             break
         skiprows += 1
     data_lines = [ln for ln in lines[skiprows:] if delim in ln]
-    widths = {len(ln.split(delim)) for ln in data_lines}
+    widths = {len(_split_line(ln, delim)) for ln in data_lines}
     consistent = len(widths) == 1
-    first = data_lines[0].split(delim)
+    first = _split_line(data_lines[0], delim)
     has_header = not any(_is_number(t) for t in first)
     return {
         "delim": delim,
@@ -161,11 +174,23 @@ def read_csv_stacked(
     rename_maps: list[dict | None] | None = None,
     add_filename: bool = True,
     n_lines: int = 20,
+    mode: str = "FAILFAST",
     **stack_kwargs,
 ) -> DataFrame:
     """The CombinerCSV pipeline end-to-end: sniff dialect → distributed
     spark.read.csv per file → rename/align/stack with provenance
-    (reference combine_csv.py:93-106 + 351-360, Spark-first)."""
+    (reference combine_csv.py:93-106 + 351-360, Spark-first).
+
+    ``mode`` is the Spark CSV parse mode and defaults to FAILFAST: the schema
+    is inferred from a small sniff sample, so any later value that doesn't fit
+    the sampled type (``N/A`` after numeric rows, a timestamp after date-shaped
+    samples) must ERROR, not silently become null — pass ``mode="PERMISSIVE"``
+    to opt into null-on-drift explicitly.
+
+    Caveat: quoted embedded newlines are unsupported when ``skiprows > 0``
+    (that path reads line-wise); for skiprows == 0 use Spark's multiLine
+    option via ``spark.read.csv`` directly.
+    """
     from d6tstack_spark.operators.stack import stack
 
     settings = sniff_settings_csv(spark, paths, n_lines)
@@ -176,26 +201,37 @@ def read_csv_stacked(
         lines = settings["per_file"][p]["_lines"]
         schema = infer_schema_from_sample(lines, delim, skiprows, has_header)
         if skiprows:
-            # JVM-only preamble drop: by the sniffer's own definition the
-            # preamble is exactly the lines WITHOUT the delimiter, so a
-            # contains() filter removes it (and any malformed delimiter-less
-            # row) without ordering assumptions, Python lambdas, or RDDs;
-            # parsing happens in whole-stage codegen via from_csv against
-            # the sample-inferred schema
+            # JVM-only preamble drop, bounded to the file head: drop exactly
+            # the first `skiprows` physical lines (+ the header line). Line
+            # numbers come from monotonically_increasing_id: for a text scan
+            # of ONE file, partition 0 is the byte range starting at offset 0
+            # and its ids are 0..k-1 in file order, while every later
+            # partition's ids start at >= 1<<33 — so `id >= n_drop` removes
+            # only head lines and can never drop data rows that merely lack
+            # the delimiter or textually repeat the header (the r2 path
+            # filtered on contains(delim)/!= header and lost such rows).
+            # Parsing stays in whole-stage codegen via from_csv.
             from pyspark.sql import functions as F
 
-            body = spark.read.text(p).filter(F.col("value").contains(delim))
-            if has_header:
-                header_line = lines[skiprows]
-                body = body.filter(F.col("value") != header_line)
+            n_drop = skiprows + (1 if has_header else 0)
+            body = (
+                spark.read.text(p)
+                .select(
+                    F.monotonically_increasing_id().alias("_line_id"), "value"
+                )
+                .filter(F.col("_line_id") >= n_drop)
+            )
             df = body.select(
-                F.from_csv(F.col("value"), schema, {"sep": delim}).alias("r")
+                F.from_csv(
+                    F.col("value"), schema, {"sep": delim, "mode": mode}
+                ).alias("r")
             ).select("r.*")
         else:
             df = (
                 spark.read.schema(schema)
                 .option("sep", delim)
                 .option("header", has_header)
+                .option("mode", mode)
                 .csv(p)
             )
         dfs.append(df)

@@ -211,7 +211,7 @@ def test_read_csv_stacked(spark, csv_files, tmp_path):
 
 
 def test_read_csv_stacked_skiprows_jvm_only(spark, csv_files):
-    """Preamble files parse via a JVM-side contains() filter + from_csv —
+    """Preamble files parse via a JVM-side bounded head-drop + from_csv —
     values exact, and the plan contains no Python row evaluation and no RDD
     scan (the 100 TB requirement for the one distributed sniffer path)."""
     from d6tstack_spark.sources.csv_sniffer import read_csv_stacked
@@ -226,6 +226,62 @@ def test_read_csv_stacked_skiprows_jvm_only(spark, csv_files):
     )
     assert "BatchEvalPython" not in plan_str
     assert "ExistingRDD" not in plan_str
+
+
+def test_read_csv_stacked_preamble_edge_rows(spark, tmp_path):
+    """Data rows that textually repeat the header line or lack the delimiter
+    must survive: the head-drop is bounded to the first skiprows+header
+    physical lines (the r2 contains(delim)/!=header filters lost such rows)."""
+    from d6tstack_spark.sources.csv_sniffer import read_csv_stacked
+
+    import pytest as _pytest
+
+    f = tmp_path / "jun.csv"
+    f.write_text("report june\nnightly\nname,note\nalice,hi\nname,note\nbob,yo\n")
+    p = read_csv_stacked(spark, [str(f)]).orderBy("name").toPandas()
+    assert len(p) == 3  # alice, header-identical row, bob — all data
+    assert list(p["name"]) == ["alice", "bob", "name"]
+    assert p.loc[p["name"] == "name", "note"].iloc[0] == "note"
+
+    # a delimiter-less (under-length) row is malformed: FAILFAST surfaces it
+    # loudly (r2 silently DROPPED it); PERMISSIVE keeps it null-padded
+    g = tmp_path / "jul.csv"
+    g.write_text("report july\nnightly\nname,note\nalice,hi\nsolo\nbob,yo\n")
+    with _pytest.raises(Exception, match="(?i)malformed"):
+        read_csv_stacked(spark, [str(g)]).toPandas()
+    q = read_csv_stacked(spark, [str(g)], mode="PERMISSIVE").orderBy("name").toPandas()
+    assert list(q["name"]) == ["alice", "bob", "solo"]
+    assert q.loc[q["name"] == "solo", "note"].isna().all()
+
+
+def test_read_csv_stacked_failfast_on_type_drift(spark, tmp_path):
+    """Schema comes from a 20-line sniff sample, so a later value that does
+    not fit the sampled type must ERROR by default (FAILFAST), not silently
+    null out; PERMISSIVE is an explicit opt-in."""
+    import pytest as _pytest
+
+    from d6tstack_spark.sources.csv_sniffer import read_csv_stacked
+
+    f = tmp_path / "drift.csv"
+    body = "\n".join(f"{i},{i * 10}" for i in range(25))
+    f.write_text("id,amt\n" + body + "\nnot_a_number,99\n")
+    with _pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_csv_stacked(spark, [str(f)]).toPandas()
+    p = read_csv_stacked(spark, [str(f)], mode="PERMISSIVE").toPandas()
+    assert len(p) == 26 and p["id"].isna().sum() == 1
+
+
+def test_sniff_quoted_delimiters(spark, tmp_path):
+    """Quoted delimiters don't inflate sniffed column counts or break
+    sample schema inference (stdlib-csv quote-aware splitting)."""
+    from d6tstack_spark.sources.csv_sniffer import read_csv_stacked, sniff_file
+
+    f = tmp_path / "q.csv"
+    f.write_text('name,note\n"doe, jane",hello\n"x, y, z",world\n')
+    s = sniff_file(spark, str(f))
+    assert s["n_columns"] == 2 and s["consistent_width"] is True
+    p = read_csv_stacked(spark, [str(f)]).orderBy("name").toPandas()
+    assert list(p["name"]) == ["doe, jane", "x, y, z"]
 
 
 # ----------------------------------------------------------------- multimodal

@@ -104,6 +104,46 @@ def test_connected_components_labels(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A path-shaped component with diameter > max_iter must ERROR, not
+    return partially-propagated (split) cluster labels."""
+    import pytest
+
+    from d6tstack_spark.operators.dedup import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, max_iter=3)
+    # enough rounds → correct single cluster
+    got = dict(
+        connected_components(nodes, chain, max_iter=n).orderBy("id").collect()
+    )
+    assert set(got.values()) == {0}
+
+
+def test_jaccard_exact_escape_hatch_and_warning(spark):
+    """exact=True forces the all-pairs join above max_bruteforce; the
+    auto-flip to LSH warns."""
+    import warnings
+
+    d = _docs(spark, n=30)
+    forced = jaccard_pairs(d, "doc_id", "text", 0.8, max_bruteforce=10, exact=True)
+    p = _plan(forced)
+    assert "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        jaccard_pairs(d, "doc_id", "text", 0.8, max_bruteforce=10)
+        assert any("flipping to MinHash-LSH" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        jaccard_pairs(d, "doc_id", "text", 0.8, max_bruteforce=10, exact=False)
+        assert not w  # explicit choice → silent
+
+
 def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     """A planted block of identical docs (one degenerate band bucket) must
     not explode the candidate join: with the bucket cap those docs produce

@@ -154,6 +154,48 @@ def test_decode_parquet_blocks_shuffle_free(spark, transcripts_path, tmp_path):
     ).first()[0]
 
 
+def test_write_blocks_rejects_max_records_per_file(spark, transcripts_path, tmp_path):
+    """A nonzero spark.sql.files.maxRecordsPerFile could split one block's
+    column-rows across files, silently breaking the per-file complete-block
+    invariant the shuffle-free decode depends on — write_blocks must refuse."""
+    import pytest as _pytest
+
+    from d6tstack_spark.operators.encode import encode_parquet_files
+    from d6tstack_spark.operators.sinks import write_blocks
+
+    blocks, _ = encode_parquet_files(spark, transcripts_path)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+    try:
+        with _pytest.raises(ValueError, match="maxRecordsPerFile"):
+            write_blocks(blocks, str(tmp_path / "blocks_bad"))
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+
+
+def test_hadoop_list_files_matches_glob(spark, transcripts_path, tmp_path):
+    """The scheme-agnostic Hadoop listing returns the same files as a local
+    glob, for both plain and file:-scheme roots (the decode path must work
+    on hdfs://-style URIs a driver-side glob can't resolve)."""
+    import glob as _glob
+    import os as _os
+
+    from d6tstack_spark.operators.encode import (
+        _hadoop_list_files,
+        encode_parquet_files,
+    )
+    from d6tstack_spark.operators.sinks import write_blocks
+
+    blocks, _ = encode_parquet_files(spark, transcripts_path)
+    out = str(tmp_path / "blocks")
+    write_blocks(blocks, out)
+    want = sorted(
+        _glob.glob(_os.path.join(out, "**", "*.parquet"), recursive=True)
+    )
+    assert sorted(_hadoop_list_files(spark, out, ".parquet")) == want
+    assert sorted(_hadoop_list_files(spark, f"file://{out}", ".parquet")) == want
+    assert _hadoop_list_files(spark, str(tmp_path / "missing"), ".parquet") == []
+
+
 def test_encode_bitwise_deterministic_across_runs(spark, transcripts_path):
     """Two independent encodes of the same input produce byte-identical
     blocks (codec choice, dictionaries, literal order — everything): the
