@@ -410,15 +410,132 @@ def q_distinct_users(spark, sf_dir):
 
 
 def q_knn_lsh(spark, sf_dir):
-    """Hyperplane-LSH approximate top-k. The hyperplanes are deterministic
-    seeded literals, so the DuckDB oracle embeds the SAME plane constants
-    and replicates bucket assignment + cosine ranking exactly."""
+    """Hyperplane-LSH approximate top-k, single-bucket probe (n_probe=1):
+    the hyperplanes are deterministic seeded literals, so the DuckDB oracle
+    embeds the SAME plane constants and replicates bucket assignment +
+    cosine ranking exactly. The production default is multi-probe
+    (see knn_lsh_multiprobe below for its recall gate)."""
     from d6tstack_spark.operators.similarity import knn_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return knn_lsh(emb.filter(F.col("vec_id") != 0), list(qvec), 10, bits=6).select(
-        "vec_id"
+    return knn_lsh(
+        emb.filter(F.col("vec_id") != 0), list(qvec), 10, bits=6, n_probe=1
+    ).select("vec_id")
+
+
+def q_token_count_bpe_exact(spark, sf_dir):
+    """Exact merges-table BPE token counts (the real LLM-budget unit; the
+    token_count_bpe query is the pre-tokenizer proxy). Fixed deterministic
+    merges table (text.DEFAULT_BPE_MERGES); the oracle replays the SAME
+    leftmost-lowest-rank merge loop in a DuckDB recursive CTE with the
+    merges inlined as a MAP literal — a full value check of a Python-UDF
+    operator."""
+    from d6tstack_spark.operators.text import token_count_bpe_exact
+
+    return token_count_bpe_exact(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens_bpe"
+    )
+
+
+def _bpe_exact_oracle() -> str:
+    """DuckDB recursive-CTE replication of token_count_bpe_exact: per
+    distinct pre-token, merge the leftmost lowest-rank adjacent pair each
+    round (token count strictly decreases, so the final state is the
+    min-length row per word); per-doc count = sum over its pre-tokens."""
+    from d6tstack_spark.operators.text import (
+        BPE_TOKEN_PATTERN,
+        DEFAULT_BPE_MERGES,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    map_lit = (
+        "MAP {"
+        + ", ".join(
+            f"{q(a + chr(1) + b)}: {i}"
+            for i, (a, b) in enumerate(DEFAULT_BPE_MERGES)
+        )
+        + "}"
+    )
+    pat = q(BPE_TOKEN_PATTERN)
+    lookup = f"map_extract({map_lit}, toks[i] || chr(1) || toks[i+1])"
+    return f"""
+        WITH RECURSIVE
+        w AS (
+          SELECT DISTINCT word FROM (
+            SELECT unnest(regexp_extract_all(text, {pat})) AS word
+            FROM documents WHERE text IS NOT NULL
+          )
+        ),
+        bpe AS (
+          SELECT word, regexp_extract_all(word, '.') AS toks FROM w
+          UNION ALL
+          SELECT word,
+                 toks[1:bi-1] || [toks[bi] || toks[bi+1]] || toks[bi+2:]
+                   AS toks
+          FROM (
+            SELECT word, toks,
+                   (list_sort(list_filter(
+                      list_transform(range(1, len(toks)),
+                        i -> CASE WHEN len({lookup}) > 0
+                                  THEN [{lookup}[1], i] END),
+                      x -> x IS NOT NULL))[1])[2] AS bi
+            FROM bpe
+          ) WHERE bi IS NOT NULL
+        ),
+        final AS (
+          SELECT word, len(toks) AS n FROM bpe
+          QUALIFY row_number() OVER (PARTITION BY word ORDER BY len(toks)) = 1
+        ),
+        doc_words AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, {pat})) AS word
+          FROM documents WHERE text IS NOT NULL
+        ),
+        sums AS (
+          SELECT doc_id, SUM(n) AS s
+          FROM doc_words JOIN final USING (word) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN d.text IS NULL THEN NULL
+                         ELSE COALESCE(s.s, 0) END AS INT) AS n_tokens_bpe
+        FROM documents d LEFT JOIN sums s USING (doc_id)
+    """
+
+
+def q_knn_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH recall gate (pinned self-verifying row, same pattern
+    as knn_ivf — the probe-sequence heap is not SQL-expressible). The
+    synthetic embeddings are near-orthogonal random vectors (no true near
+    neighbors), the hardest case for LSH, so the gate pins (a) full recall
+    into the exact top-50 at n_probe=16 of 2^6=64 buckets (a 4× scan saving
+    even on structureless data) and (b) the multi-probe monotonicity
+    theorem: top-k hits from a probe-superset dominate pointwise, so recall
+    at n_probe=16 ≥ recall at n_probe=1."""
+    from d6tstack_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    base = emb.filter(F.col("vec_id") != 0)
+    hit = knn_bruteforce(base, qvec, 50).select("vec_id").withColumn(
+        "hit", F.lit(1)
+    )
+
+    def hits(n_probe):
+        res = knn_lsh(base, qvec, 10, bits=6, n_probe=n_probe).select("vec_id")
+        return res.join(hit, "vec_id", "left").agg(
+            F.count("*").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("h"),
+        )
+
+    wide = hits(16).crossJoin(
+        hits(1).withColumnsRenamed({"k": "k1", "h": "h1"})
+    )
+    return wide.select(
+        F.col("k").alias("k_returned"),
+        F.col("h").alias("n_in_exact_top50"),
+        (F.col("h") >= F.col("h1")).alias("multiprobe_monotone"),
     )
 
 
@@ -638,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
+        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
+        "token_count_bpe_exact": q_token_count_bpe_exact,
         "encdec_events": _q_encdec("events", ("event_id",), "user_id"),
         "encdec_lineitem": _q_encdec("lineitem", ("l_orderkey", "l_linenumber"), "l_orderkey"),
         "encdec_orders": _q_encdec("orders", ("o_orderkey",), "o_custkey"),
@@ -1158,7 +1277,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "simhash": _simhash_oracle(),
+        "token_count_bpe_exact": _bpe_exact_oracle(),
         "knn_lsh": _knn_lsh_oracle(),
+        # knn_lsh_multiprobe: probe-sequence heap is not SQL-expressible;
+        # pinned self-verifying recall row (full top-50 recall at
+        # n_probe=16/64 buckets + the probe-superset monotonicity theorem)
+        "knn_lsh_multiprobe": """
+            SELECT CAST(10 AS BIGINT) AS k_returned,
+                   CAST(10 AS BIGINT) AS n_in_exact_top50,
+                   TRUE AS multiprobe_monotone
+        """,
         # knn_ivf: k-means is not SQL-expressible; the query emits a
         # self-verifying recall row whose expected value is pinned
         "knn_ivf": """

@@ -211,6 +211,52 @@ def knn_join(
     return v.mapInPandas(topk, "id long, rank int, neighbor_id long")
 
 
+def multiprobe_buckets(
+    qbucket: int, dots, plane_norms, n_probe: int
+) -> list[int]:
+    """Multi-probe LSH probe sequence (Lv et al., VLDB'07): the home bucket
+    plus buckets reached by flipping the bits whose hyperplane margin
+    |dot|/||plane|| is smallest — exactly the bits a near-boundary neighbor
+    is most likely to land on the other side of. Perturbation subsets are
+    enumerated in increasing total-margin order with the classic expand/shift
+    heap (each subset generated once). Returns ``n_probe`` distinct buckets,
+    home bucket first."""
+    import heapq
+
+    import numpy as np
+
+    margins = sorted(
+        (abs(float(dots[i])) / float(plane_norms[i]), i)
+        for i in range(len(dots))
+    )
+    seq: list[tuple[int, ...]] = [()]
+    heap: list[tuple[float, tuple[int, ...]]] = []
+    if margins:
+        heapq.heappush(heap, (margins[0][0], (0,)))
+    while heap and len(seq) < n_probe:
+        score, subset = heapq.heappop(heap)
+        seq.append(subset)
+        last = subset[-1]
+        if last + 1 < len(margins):
+            heapq.heappush(
+                heap, (score + margins[last + 1][0], subset + (last + 1,))
+            )
+            heapq.heappush(
+                heap,
+                (
+                    score - margins[last][0] + margins[last + 1][0],
+                    subset[:-1] + (last + 1,),
+                ),
+            )
+    out = []
+    for subset in seq:
+        b = qbucket
+        for j in subset:
+            b ^= 1 << margins[j][1]
+        out.append(b)
+    return out
+
+
 def knn_lsh(
     df: DataFrame,
     query_vec: list[float],
@@ -219,11 +265,16 @@ def knn_lsh(
     vec_col: str = "embedding",
     bits: int = 8,
     seed: int = 42,
+    n_probe: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors sharing the query's hyperplane
-    bucket (fall back to exact if the bucket is thin is the caller's call).
+    """Approximate top-k: score only vectors in the query's hyperplane
+    bucket plus the ``n_probe - 1`` lowest-margin bit-flip buckets
+    (multi-probe LSH — a single-bucket probe falls off a recall cliff for
+    queries near any hyperplane; probing where the margin is thin recovers
+    most of it for a ~n_probe× candidate cost, still O(n·n_probe/2^bits)).
     At scale the signed table is precomputed + partitioned by bucket, so a
-    query touches one partition."""
+    query touches n_probe partitions. ``n_probe=1`` is the pure
+    single-bucket probe."""
     import numpy as np
 
     dim = len(query_vec)
@@ -231,8 +282,12 @@ def knn_lsh(
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(bits, dim))
     qv = np.asarray(query_vec, dtype=np.float64)
-    qbucket = int(sum((1 << i) for i in range(bits) if float(planes[i] @ qv) >= 0))
-    cand = sig.filter(F.col("bucket") == qbucket)
+    dots = planes @ qv
+    qbucket = int(sum((1 << i) for i in range(bits) if float(dots[i]) >= 0))
+    probes = multiprobe_buckets(
+        qbucket, dots, np.linalg.norm(planes, axis=1), n_probe
+    )
+    cand = sig.filter(F.col("bucket").isin(probes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(
         F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cos")

@@ -38,6 +38,44 @@ def test_ivf_index_and_search(spark, emb):
     assert centroids == centroids2
 
 
+def test_knn_lsh_multiprobe_recall_sweep(spark, emb):
+    """Multi-probe LSH: recall into the exact top-50 is monotone
+    non-decreasing in n_probe (probe-superset top-k dominates pointwise) and
+    reaches full recall well below scanning all 2^bits buckets — on
+    near-orthogonal random embeddings, LSH's hardest case."""
+    from d6tstack_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    base = emb.filter("vec_id != 0")
+    exact50 = {r["vec_id"] for r in knn_bruteforce(base, q, 50).collect()}
+    hits = []
+    for p in (1, 2, 4, 8, 16):
+        got = [r["vec_id"] for r in knn_lsh(base, q, 10, bits=6, n_probe=p).collect()]
+        hits.append(len(set(got) & exact50))
+    assert hits == sorted(hits), hits  # monotone in n_probe
+    assert hits[-1] == 10, hits  # full recall at 16/64 buckets (4x scan saving)
+    assert hits[0] < 10, hits  # the single-bucket cliff multi-probe fixes
+
+
+def test_multiprobe_bucket_sequence():
+    """The expand/shift enumeration yields distinct buckets in increasing
+    total-flipped-margin order, home bucket first."""
+    import numpy as np
+
+    from d6tstack_spark.operators.similarity import multiprobe_buckets
+
+    dots = np.array([0.05, -2.0, 0.4, -0.1])
+    norms = np.ones(4)
+    # margins ascending: bit0 (0.05), bit3 (0.1), bit2 (0.4), bit1 (2.0)
+    got = multiprobe_buckets(0b0101, dots, norms, 6)
+    assert got[0] == 0b0101  # home
+    assert got[1] == 0b0101 ^ 0b0001  # flip cheapest bit (0)
+    assert got[2] == 0b0101 ^ 0b1000  # flip bit 3 (0.1)
+    assert got[3] == 0b0101 ^ 0b1001  # bits {0,3}: 0.15 < bit2's 0.4
+    assert got[4] == 0b0101 ^ 0b0100  # bit 2 (0.4)
+    assert len(set(got)) == 6
+
+
 def test_table_io_fallback(spark, tmp_path, sf_dir):
     from d6tstack_spark.sources.table_io import (
         iceberg_available,
