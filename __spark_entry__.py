@@ -424,6 +424,85 @@ def q_knn_lsh(spark, sf_dir):
     ).select("vec_id")
 
 
+def q_media_decode_bmp(spark, sf_dir):
+    """REAL media decode gate: a planted BMP corpus (one image per document,
+    width/height derived from doc_id, deterministic gradient pixels) decoded
+    by the pure-stdlib BMP decoder; feature vectors computed from the
+    DECODED pixels. The oracle recomputes dimensions from the same formula
+    and the pixel-bucket histogram from the gradient closed-form
+    ((7x+13y+29c) mod 4) — decoded-pixel-level value verification with no
+    media library anywhere."""
+    import pandas as pd
+
+    from d6tstack_spark.operators.multimodal import (
+        decode_media,
+        make_bmp,
+        media_feature_vector,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        make_bmp(int(4 + i % 13), int(4 + i % 7))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(gen, "media_id long, content binary")
+    dec = decode_media(media, strict=True)
+    fv = media_feature_vector(dec, dim=4)
+    n_px = (F.col("dec_width") * F.col("dec_height") * 3).cast("double")
+    cols = [
+        F.round(F.element_at("features", i + 1).cast("double") * n_px)
+        .cast("long")
+        .alias(f"c{i}")
+        for i in range(4)
+    ]
+    return fv.select(
+        "media_id",
+        F.col("dec_width").cast("int").alias("dec_width"),
+        F.col("dec_height").cast("int").alias("dec_height"),
+        "dec_kind",
+        *cols,
+    )
+
+
+_MEDIA_BMP_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, ((7 * x.i + 13 * y.i + 29 * c.i) % 4) AS b
+      FROM dims,
+           UNNEST(range(0, w)) AS x(i),
+           UNNEST(range(0, h)) AS y(i),
+           UNNEST([0, 1, 2]) AS c(i)
+    ),
+    hist AS (
+      SELECT doc_id,
+             SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS c2,
+             SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS c3
+      FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(d.w AS INT) AS dec_width,
+           CAST(d.h AS INT) AS dec_height,
+           'bmp' AS dec_kind,
+           CAST(h.c0 AS BIGINT) AS c0, CAST(h.c1 AS BIGINT) AS c1,
+           CAST(h.c2 AS BIGINT) AS c2, CAST(h.c3 AS BIGINT) AS c3
+    FROM dims d JOIN hist h USING (doc_id)
+"""
+
+
 def q_token_count_bpe_exact(spark, sf_dir):
     """Exact merges-table BPE token counts (the real LLM-budget unit; the
     token_count_bpe query is the pre-tokenizer proxy). Fixed deterministic
@@ -757,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
         "token_count_bpe_exact": q_token_count_bpe_exact,
+        "media_decode_bmp": q_media_decode_bmp,
         "encdec_events": _q_encdec("events", ("event_id",), "user_id"),
         "encdec_lineitem": _q_encdec("lineitem", ("l_orderkey", "l_linenumber"), "l_orderkey"),
         "encdec_orders": _q_encdec("orders", ("o_orderkey",), "o_custkey"),
@@ -1278,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "simhash": _simhash_oracle(),
         "token_count_bpe_exact": _bpe_exact_oracle(),
+        "media_decode_bmp": _MEDIA_BMP_ORACLE,
         "knn_lsh": _knn_lsh_oracle(),
         # knn_lsh_multiprobe: probe-sequence heap is not SQL-expressible;
         # pinned self-verifying recall row (full top-50 recall at

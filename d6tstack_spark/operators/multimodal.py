@@ -3,14 +3,20 @@ with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch shapes, partitioning, UDF
-signatures) is real and tested; the actual media decoding is STUBBED — the
-image/audio libraries are not in this container. Each stub either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-derived from the bytes (test mode), clearly marked.
+signatures) is real and tested. Decoding:
+
+- REAL (pure stdlib, no media libs needed): uncompressed 24/32-bit BMP
+  (header + pixel array), PCM WAV via the stdlib ``wave`` module
+  (channels/rate/duration + samples), PNG header (IHDR dimensions only —
+  pixel decode would need the full filter pipeline).
+- STUBBED for everything else (JPEG/MP4/...): either raises
+  ``NotImplementedError`` (strict mode) or produces a deterministic fake
+  derived from the bytes (test mode), clearly marked.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -31,6 +37,122 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
     )
 
 
+def make_bmp(width: int, height: int, pixels: bytes | None = None) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (BITMAPINFOHEADER, BI_RGB,
+    bottom-up) — fixture/corpus generator for the real decode path.
+    ``pixels``: height*width*3 BGR bytes, row order bottom-up; defaults to a
+    deterministic gradient."""
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    if pixels is None:
+        pixels = bytes(
+            (x * 7 + y * 13 + c * 29) % 256
+            for y in range(height)
+            for x in range(width)
+            for c in range(3)
+        )
+    if len(pixels) != height * row_raw:
+        raise ValueError("pixels must be height*width*3 bytes")
+    body = b"".join(
+        pixels[y * row_raw : (y + 1) * row_raw] + b"\x00" * pad
+        for y in range(height)
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def decode_bmp(buf: bytes) -> dict:
+    """Parse an uncompressed 24/32-bit BI_RGB BMP: returns {width, height,
+    channels, pixels} where pixels is an ndarray (height, width, channels)
+    in top-down row order, BGR(A) channel order. Pure stdlib + numpy."""
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", buf, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    bpp, compression = struct.unpack_from("<HI", buf, 28)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP (bpp={bpp})")
+    channels = bpp // 8
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * channels + 3) & ~3
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)[:, : width * channels]
+    px = rows.reshape(height, width, channels)
+    if bottom_up:
+        px = px[::-1]
+    return {"width": width, "height": height, "channels": channels, "pixels": px}
+
+
+def decode_wav(buf: bytes) -> dict:
+    """Parse a PCM WAV with the stdlib ``wave`` module: returns {channels,
+    sample_rate, n_frames, duration_ms, samples} — samples as an int ndarray
+    (n_frames, channels) for 8/16/32-bit PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    samples = np.frombuffer(raw, dtype=dtype).reshape(-1, nch)
+    return {
+        "channels": nch,
+        "sample_rate": rate,
+        "n_frames": nframes,
+        "duration_ms": int(round(nframes * 1000 / rate)) if rate else 0,
+        "samples": samples,
+    }
+
+
+def decode_png_header(buf: bytes) -> dict:
+    """PNG IHDR dimensions (pure struct; pixel decode is out of scope —
+    it needs the zlib+filter pipeline)."""
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    width, height = struct.unpack_from(">II", buf, 16)
+    return {"width": width, "height": height}
+
+
+def try_decode(buf: bytes) -> dict | None:
+    """Sniff magic bytes and run the matching REAL decoder. Returns
+    {kind, width, height, duration_ms, ...} or None if no real decoder
+    matches (caller picks strict-raise vs deterministic fake)."""
+    try:
+        if buf[:2] == b"BM":
+            d = decode_bmp(buf)
+            return {"kind": "bmp", "width": d["width"], "height": d["height"],
+                    "duration_ms": None, "pixels": d["pixels"]}
+        if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+            d = decode_wav(buf)
+            return {"kind": "wav", "width": None, "height": None,
+                    "duration_ms": d["duration_ms"], "samples": d["samples"]}
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            d = decode_png_header(buf)
+            return {"kind": "png", "width": d["width"], "height": d["height"],
+                    "duration_ms": None}
+    except Exception:
+        # corrupt/truncated media must degrade (strict-raise or fake), not
+        # kill a 100 TB job mid-stage
+        return None
+    return None
+
+
 def _fake_decode(buf: bytes) -> tuple[int, int]:
     """Deterministic fake 'decode': pretend dimensions derived from a hash
     of the bytes. STUB — replace with PIL/ffmpeg in a real deployment.
@@ -46,37 +168,54 @@ def _fake_decode(buf: bytes) -> tuple[int, int]:
 def decode_media(
     df: DataFrame, content_col: str = "content", strict: bool = False
 ) -> DataFrame:
-    """Decode media → (…, dec_width, dec_height). Arrow-batched mapInPandas;
-    one pandas DataFrame per batch, vectorized per batch.
+    """Decode media → (…, dec_width, dec_height, dec_duration_ms, dec_kind).
+    Arrow-batched mapInPandas; one pandas DataFrame per batch.
 
-    strict=True raises NotImplementedError (no media libs in this image) —
-    the production integration point. strict=False uses the deterministic
-    fake so the distributed plumbing is testable end-to-end."""
+    BMP/WAV/PNG-header decode is REAL (pure stdlib — see decode_bmp /
+    decode_wav / decode_png_header). For formats without a stdlib decoder
+    (JPEG, MP4, ...): strict=True raises NotImplementedError — the
+    production integration point for PIL/ffmpeg; strict=False falls back to
+    the deterministic fake (dec_kind='fake') so the distributed plumbing is
+    testable end-to-end."""
     from pyspark.sql import types as T
 
     # note: StructType.add MUTATES in place — never call it on df.schema
     schema = T.StructType(
         df.schema.fields
         + [T.StructField("dec_width", T.IntegerType()),
-           T.StructField("dec_height", T.IntegerType())]
+           T.StructField("dec_height", T.IntegerType()),
+           T.StructField("dec_duration_ms", T.IntegerType()),
+           T.StructField("dec_kind", T.StringType())]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "media decoding requires PIL/ffmpeg — not in this image; "
-                    "swap _fake_decode for a real decoder"
-                )
-            dims = [
-                _fake_decode(b) if b is not None else (None, None)
-                for b in pdf[content_col]
-            ]
-            pdf = pdf.assign(
-                dec_width=pd.array([d[0] for d in dims], dtype="Int32"),
-                dec_height=pd.array([d[1] for d in dims], dtype="Int32"),
+            ws, hs, ds, ks = [], [], [], []
+            for b in pdf[content_col]:
+                if b is None:
+                    ws.append(None); hs.append(None); ds.append(None)
+                    ks.append(None)
+                    continue
+                dec = try_decode(bytes(b))
+                if dec is not None:
+                    ws.append(dec["width"]); hs.append(dec["height"])
+                    ds.append(dec["duration_ms"]); ks.append(dec["kind"])
+                elif strict:
+                    raise NotImplementedError(
+                        "no stdlib decoder for this format (JPEG/MP4/... "
+                        "need PIL/ffmpeg — not in this image); bytes start "
+                        f"with {bytes(b)[:8]!r}"
+                    )
+                else:
+                    w, h = _fake_decode(bytes(b))
+                    ws.append(w); hs.append(h); ds.append(None)
+                    ks.append("fake")
+            yield pdf.assign(
+                dec_width=pd.array(ws, dtype="Int32"),
+                dec_height=pd.array(hs, dtype="Int32"),
+                dec_duration_ms=pd.array(ds, dtype="Int32"),
+                dec_kind=ks,
             )
-            yield pdf
 
     return df.mapInPandas(run, schema)
 
@@ -124,10 +263,13 @@ def frame_sample(
 def media_feature_vector(
     df: DataFrame, content_col: str = "content", dim: int = 16
 ) -> DataFrame:
-    """Fixed-dim feature vector per media item (array<float>). STUB features
-    = seeded bytes histogram (deterministic, vectorized via numpy) — the
-    real integration point for an embedding model. Output feeds
-    operators.similarity directly."""
+    """Fixed-dim feature vector per media item (array<float>), L1-normalized.
+
+    REAL content features where a stdlib decoder exists: BMP → histogram of
+    decoded PIXEL values (not file bytes — header/padding excluded); WAV →
+    histogram of |sample| magnitudes. Other formats: byte histogram (the
+    deterministic stand-in for an embedding model — the real integration
+    point). Output feeds operators.similarity directly."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -138,16 +280,28 @@ def media_feature_vector(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def hist_of(arr) -> list[float]:
+            h = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+            total = float(h.sum()) or 1.0
+            return (h / total).tolist()
+
         for pdf in batches:
             feats = []
             for b in pdf[content_col]:
                 if b is None:
                     feats.append(None)
                     continue
-                arr = np.frombuffer(b, dtype=np.uint8)
-                hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
-                total = float(hist.sum()) or 1.0
-                feats.append((hist / total).tolist())
+                dec = try_decode(bytes(b))
+                if dec is not None and "pixels" in dec:
+                    feats.append(hist_of(dec["pixels"].ravel().astype(np.int64)))
+                elif dec is not None and "samples" in dec:
+                    feats.append(
+                        hist_of(np.abs(dec["samples"].ravel().astype(np.int64)))
+                    )
+                else:
+                    feats.append(
+                        hist_of(np.frombuffer(b, dtype=np.uint8).astype(np.int64))
+                    )
             yield pdf.assign(features=feats)
 
     return df.mapInPandas(run, out_schema)

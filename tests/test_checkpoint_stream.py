@@ -323,3 +323,70 @@ def test_multimodal_stubs(spark):
     v = fv.loc[fv.media_id == 1, "features"].iloc[0]
     assert len(v) == 8 and abs(sum(v) - 1.0) < 1e-5
     assert fv.loc[fv.media_id == 3, "features"].iloc[0] is None
+
+
+def test_real_bmp_wav_png_decode(spark):
+    """BMP/WAV/PNG decode is REAL (pure stdlib): exact dimensions, exact
+    duration, and feature vectors computed from decoded pixels/samples —
+    verified against numpy on the source data, end-to-end through the
+    distributed mapInPandas path."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+
+    from d6tstack_spark.operators.multimodal import (
+        decode_media,
+        make_bmp,
+        media_feature_vector,
+    )
+
+    # BMP with known pixels (3 wide → 9-byte rows exercise 4-byte padding)
+    px = bytes(range(3 * 5 * 3))
+    bmp = make_bmp(3, 5, px)
+    # 16-bit PCM WAV: 440 frames @ 8000 Hz = 55 ms
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        samples = np.arange(-440, 440, dtype=np.int16)
+        w.writeframes(samples.tobytes())
+    wav = buf.getvalue()
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0) + b"\x00" * 8
+    )
+    jpeg_ish = b"\xff\xd8\xff\xe0 not decodable here"
+    df = spark.createDataFrame(
+        [(1, "image", bmp, "image/bmp", None, None, None),
+         (2, "audio", wav, "audio/wav", None, None, None),
+         (3, "image", png, "image/png", None, None, None),
+         (4, "image", jpeg_ish, "image/jpeg", None, None, None)],
+        "media_id long, kind string, content binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    dec = decode_media(df).toPandas().set_index("media_id")
+    assert (dec.loc[1, "dec_width"], dec.loc[1, "dec_height"]) == (3, 5)
+    assert dec.loc[1, "dec_kind"] == "bmp"
+    assert dec.loc[2, "dec_duration_ms"] == 55 and dec.loc[2, "dec_kind"] == "wav"
+    assert (dec.loc[3, "dec_width"], dec.loc[3, "dec_height"]) == (640, 480)
+    assert dec.loc[4, "dec_kind"] == "fake"  # no stdlib JPEG decoder
+
+    # strict mode: decodable formats still pass, only the JPEG row raises
+    ok = decode_media(df.filter("media_id < 4"), strict=True).toPandas()
+    assert len(ok) == 3
+
+    # features from DECODED pixels (BMP) and |samples| (WAV), not file bytes
+    fv = media_feature_vector(df, dim=4).toPandas().set_index("media_id")
+    want_px = np.bincount(
+        np.frombuffer(px, dtype=np.uint8).astype(np.int64) % 4, minlength=4
+    )
+    np.testing.assert_allclose(
+        fv.loc[1, "features"], want_px / want_px.sum(), rtol=1e-6
+    )
+    want_s = np.bincount(np.abs(samples.astype(np.int64)) % 4, minlength=4)
+    np.testing.assert_allclose(
+        fv.loc[2, "features"], want_s / want_s.sum(), rtol=1e-6
+    )
