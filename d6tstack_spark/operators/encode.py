@@ -231,7 +231,62 @@ def _extract_values(arr: pa.Array, ptype: str) -> tuple[np.ndarray, np.ndarray |
     return filled.to_numpy(zero_copy_only=False), valid
 
 
+# per-column payload budget per block: 1 GiB keeps every Arrow int32 string
+# offset far below 2^31 (combine_chunks / binary casts raise "offset
+# overflow" past that). Module-level so tests can shrink it.
+MAX_BLOCK_COL_BYTES = 1 << 30
+# low bits of every block id reserved for the oversized-block sub-index
+SUB_BLOCK_BITS = 8
+
+
+def _split_oversized(
+    tbl: pa.Table, manifest: dict, budget: int | None = None
+) -> list[pa.Table]:
+    """Row-slice a block whose largest column exceeds MAX_BLOCK_COL_BYTES —
+    transcripts with multi-MB turns can push one column of one block past
+    Arrow's int32 offset limit; sub-blocks restore the invariant every codec
+    kernel assumes. nbytes works on chunked columns (no combine needed)."""
+    if budget is None:
+        budget = MAX_BLOCK_COL_BYTES
+    worst = max((tbl.column(n).nbytes for n in manifest), default=0)
+    if worst <= budget or tbl.num_rows <= 1:
+        return [tbl]
+    parts = min(-(-worst // budget), tbl.num_rows)
+    if parts > (1 << SUB_BLOCK_BITS):
+        raise ValueError(
+            f"block needs {parts} sub-blocks (> {1 << SUB_BLOCK_BITS}): one "
+            "scan split carries >256x the per-column byte budget — lower "
+            "row_groups_per_split / target_block_rows instead"
+        )
+    step = -(-tbl.num_rows // parts)
+    return [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+
+
 def _encode_one_block(
+    tbl: pa.Table,
+    block_id: int,
+    manifest: dict,
+    codec_overrides: dict,
+    budget: int | None = None,
+) -> list[dict]:
+    """Encode one logical block; oversized blocks are auto-split into
+    sub-blocks with ids (block_id << SUB_BLOCK_BITS) | sub — every caller's
+    id scheme reserves the low byte for this. ``budget`` is captured into
+    encoder closures at plan time (executor workers re-import this module,
+    so a module-global override would never reach them)."""
+    parts = _split_oversized(tbl, manifest, budget)
+    rows: list[dict] = []
+    for sub, part in enumerate(parts):
+        rows.extend(
+            _encode_single(
+                part, (block_id << SUB_BLOCK_BITS) | sub, manifest,
+                codec_overrides,
+            )
+        )
+    return rows
+
+
+def _encode_single(
     tbl: pa.Table, block_id: int, manifest: dict, codec_overrides: dict
 ) -> list[dict]:
     from d6tstack_spark.codecs.blocks import encode_block_arrow
@@ -309,7 +364,9 @@ def _decode_arrow_fallback(payload: bytes) -> pa.Array:
     return t.column("v").combine_chunks()
 
 
-def _make_encoder(manifest: dict, codec_overrides: dict | None):
+def _make_encoder(
+    manifest: dict, codec_overrides: dict | None, budget: int | None = None
+):
     codec_overrides = codec_overrides or {}
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -324,7 +381,7 @@ def _make_encoder(manifest: dict, codec_overrides: dict | None):
                 return
             tbl = pa.Table.from_batches(buf)
             out_rows.extend(
-                _encode_one_block(tbl, cur_id, manifest, codec_overrides)
+                _encode_one_block(tbl, cur_id, manifest, codec_overrides, budget)
             )
             buf = []
 
@@ -355,6 +412,7 @@ def _make_local_encoder(
     codec_overrides: dict | None,
     order_cols: tuple[str, ...],
     target_rows: int,
+    budget: int | None = None,
 ):
     """Shuffle-free encoder: blocks are carved from the task's own scan
     stream (~target_rows each), sorted by order_cols in-memory, block_id =
@@ -379,7 +437,7 @@ def _make_local_encoder(
                 return None
             tbl = pa.Table.from_batches(buf).sort_by(sort_keys)
             rows = _encode_one_block(
-                tbl, (pid << 32) | seq, manifest, codec_overrides
+                tbl, (pid << 32) | seq, manifest, codec_overrides, budget
             )
             seq += 1
             buf = []
@@ -410,6 +468,7 @@ def encode_table(
     skew_max_rows: int | None = 1_000_000,
     mode: str = "local",
     target_block_rows: int = 65536,
+    max_block_col_bytes: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Encode every column of ``df`` into a blocks DataFrame.
 
@@ -431,7 +490,8 @@ def encode_table(
     if mode == "local":
         blocks = phys.mapInArrow(
             _make_local_encoder(
-                manifest, codec_overrides, order_cols, target_block_rows
+                manifest, codec_overrides, order_cols, target_block_rows,
+                max_block_col_bytes,
             ),
             BLOCKS_SCHEMA,
         )
@@ -447,7 +507,10 @@ def encode_table(
     blocks = (
         withid.repartition(num_blocks, "__block_id")
         .sortWithinPartitions("__block_id", *order_cols)
-        .mapInArrow(_make_encoder(manifest, codec_overrides), BLOCKS_SCHEMA)
+        .mapInArrow(
+            _make_encoder(manifest, codec_overrides, max_block_col_bytes),
+            BLOCKS_SCHEMA,
+        )
     )
     return blocks, manifest
 
@@ -536,7 +599,8 @@ def plan_parquet_splits(
 
 
 def _make_fused_encoder(manifest: dict, codec_overrides: dict | None,
-                        order_cols: tuple[str, ...]):
+                        order_cols: tuple[str, ...],
+                        budget: int | None = None):
     codec_overrides = codec_overrides or {}
     sort_keys = [(c, "ascending") for c in order_cols if c in manifest]
 
@@ -575,7 +639,7 @@ def _make_fused_encoder(manifest: dict, codec_overrides: dict | None,
                     cols[name] = arr
                 block_id = (int(row["file_idx"]) << 32) | int(row["rg"])
                 rows = _encode_one_block(
-                    pa.table(cols), block_id, manifest, codec_overrides
+                    pa.table(cols), block_id, manifest, codec_overrides, budget
                 )
                 out = {k: [r[k] for r in rows] for k in _BLOCKS_ARROW.names}
                 yield pa.RecordBatch.from_pydict(out, schema=_BLOCKS_ARROW)
@@ -590,6 +654,7 @@ def encode_parquet_files(
     codec_overrides: dict | None = None,
     row_groups_per_split: int = 2,
     output_partitions: int | None = None,
+    max_block_col_bytes: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Scan-fused encode: the driver plans (file, row-group) splits from
     parquet footers; each task reads its split with pyarrow directly and
@@ -598,7 +663,9 @@ def encode_parquet_files(
     (bench.py uses it); :func:`encode_table` is the DataFrame-native path
     for encoding arbitrary query results.
 
-    Block id = file_idx<<32 | first_row_group — deterministic under retries.
+    Block id = (file_idx<<32 | first_row_group) << SUB_BLOCK_BITS | sub —
+    deterministic under retries (sub > 0 only when a block exceeds the
+    per-column byte budget and auto-splits).
     """
     import pyarrow.parquet as pq
 
@@ -620,7 +687,9 @@ def encode_parquet_files(
     blocks = (
         sdf.repartition(len(splits))
         .mapInArrow(
-            _make_fused_encoder(manifest, codec_overrides, order_cols),
+            _make_fused_encoder(
+                manifest, codec_overrides, order_cols, max_block_col_bytes
+            ),
             BLOCKS_SCHEMA,
         )
         .coalesce(n_tasks)

@@ -133,8 +133,16 @@ def encode_resume(
     n_done = 0
     todo = sdf
     if done is not None:
-        # the resume join: planned splits ⟕̸ completed blocks
-        todo = sdf.join(F.broadcast(done), "block_id", "left_anti")
+        # the resume join: planned splits ⟕̸ completed blocks. Stored ids
+        # carry SUB_BLOCK_BITS low bits (oversized-block sub-index); a split
+        # is complete iff its BASE id appears — sub-blocks of one base block
+        # are written by one task, hence atomically together.
+        from d6tstack_spark.operators.encode import SUB_BLOCK_BITS
+
+        done_base = done.select(
+            F.shiftright("block_id", SUB_BLOCK_BITS).alias("block_id")
+        ).distinct()
+        todo = sdf.join(F.broadcast(done_base), "block_id", "left_anti")
         n_done = done.count()
     todo_rows = todo.select("file_idx", "path", "rg", "nrg")
     n_todo = todo_rows.count()

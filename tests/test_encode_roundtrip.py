@@ -196,6 +196,67 @@ def test_hadoop_list_files_matches_glob(spark, transcripts_path, tmp_path):
     assert _hadoop_list_files(spark, str(tmp_path / "missing"), ".parquet") == []
 
 
+def test_oversized_block_auto_splits(spark, tmp_path):
+    """A block whose string column would overflow Arrow's int32 offsets must
+    auto-split into sub-blocks and still round-trip bit-identically. 2 GiB is
+    untestable here, so the per-column budget shrinks to 2 KB via the
+    max_block_col_bytes parameter — the split logic is byte-threshold-driven
+    either way (and the parameter rides the encoder closure, reaching
+    executor workers)."""
+    import pandas as pd_
+
+    from d6tstack_spark.operators import encode as enc
+    from d6tstack_spark.operators.encode import (
+        decode_parquet_blocks,
+        decode_table,
+        encode_parquet_files,
+        encode_table,
+    )
+
+    rows = [(i, f"conv{i % 3}", "x" * 500 + str(i)) for i in range(64)]
+    df = spark.createDataFrame(rows, "turn_idx int, conv_id string, text string")
+
+    # DataFrame path (local mode): one task's 64 rows × ~500 B ≫ 2 KB budget
+    blocks, manifest = encode_table(
+        df.coalesce(1), order_cols=("conv_id", "turn_idx"),
+        max_block_col_bytes=2000,
+    )
+    pdf = blocks.select("block_id", "column").toPandas()
+    assert pdf["block_id"].nunique() > 1  # split happened
+    assert (pdf["block_id"] % (1 << enc.SUB_BLOCK_BITS) > 0).any()  # sub ids
+    got = decode_table(blocks, manifest).orderBy("turn_idx").toPandas()
+    want = df.orderBy("turn_idx").toPandas()
+    pd_.testing.assert_frame_equal(want, got[want.columns.tolist()])
+
+    # scan-fused path + shuffle-free bulk decode
+    src = str(tmp_path / "src.parquet")
+    df.toPandas().to_parquet(src, row_group_size=32)
+    fb, fm = encode_parquet_files(
+        spark, src, order_cols=("conv_id", "turn_idx"),
+        max_block_col_bytes=2000,
+    )
+    out = str(tmp_path / "blocks")
+    from d6tstack_spark.operators.sinks import write_blocks
+
+    write_blocks(fb, out)
+    assert spark.read.parquet(out).select("block_id").distinct().count() > 2
+    got2 = (
+        decode_parquet_blocks(spark, out, fm).orderBy("turn_idx").toPandas()
+    )
+    pd_.testing.assert_frame_equal(want, got2[want.columns.tolist()])
+
+    # guard: a split that cannot fit 256 sub-blocks raises loudly
+    import pytest as _pytest
+
+    big = spark.createDataFrame(
+        [(i, "c", "y" * 2000) for i in range(300)],
+        "turn_idx int, conv_id string, text string",
+    )
+    with _pytest.raises(Exception, match="sub-blocks"):
+        b3, _ = encode_table(big.coalesce(1), max_block_col_bytes=1)
+        b3.count()
+
+
 def test_encode_bitwise_deterministic_across_runs(spark, transcripts_path):
     """Two independent encodes of the same input produce byte-identical
     blocks (codec choice, dictionaries, literal order — everything): the

@@ -116,3 +116,80 @@ def test_read_jdbc_surface(spark):
         assert "driver" in msg.lower() or "No suitable driver" in msg
     else:  # pragma: no cover
         pytest.skip("a JDBC driver is on the classpath here")
+
+
+def test_jdbc_partition_predicates_contract():
+    """The range predicates must partition ANY data disjointly and
+    completely (Spark JDBCRelation semantics): first takes below+NULLs,
+    last takes at/above, bounds never clip rows."""
+    from d6tstack_spark.sources.sql import jdbc_partition_predicates
+
+    preds = jdbc_partition_predicates("id", 0, 100, 4)
+    assert len(preds) == 4
+    assert preds[0] == "id < 25 OR id IS NULL"
+    assert preds[1] == "id >= 25 AND id < 50"
+    assert preds[3] == "id >= 75"
+    # degenerate cases collapse to one full-scan predicate
+    assert jdbc_partition_predicates("id", 5, 5, 4) == ["1=1"]
+    assert jdbc_partition_predicates("id", 0, 1, 8) == ["1=1"]
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        jdbc_partition_predicates("id", 10, 0, 2)
+    with _p.raises(ValueError):
+        jdbc_partition_predicates("id", 0, 10, 0)
+
+    # disjoint + complete against a real engine, including out-of-bounds
+    # rows and NULLs (bounds only balance, never filter)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest([-50, 0, 10, 25, 49, 99, 100, 250]) AS id"
+    )
+    con.execute("INSERT INTO t VALUES (NULL)")
+    total = con.execute("SELECT count(*) FROM t").fetchone()[0]
+    counts = [
+        con.execute(f"SELECT count(*) FROM t WHERE {p}").fetchone()[0]
+        for p in preds
+    ]
+    assert sum(counts) == total == 9
+
+
+def test_read_sql_dbapi_partitioned(spark, tmp_path):
+    """Distributed DBAPI read: range predicates fan out one connection per
+    partition; the union equals the table exactly (S11/S12 driven against
+    DuckDB — no JDBC jar in the image)."""
+    import duckdb
+
+    from d6tstack_spark.sources.sql import (
+        jdbc_partition_predicates,
+        read_sql_dbapi,
+    )
+
+    db = str(tmp_path / "r.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE ev AS SELECT i AS id, 'u' || (i % 7) AS user_id, "
+        "i * 1.5 AS val FROM range(0, 1000) r(i)"
+    )
+    con.execute("INSERT INTO ev VALUES (NULL, 'unull', NULL)")
+    con.close()
+
+    def connect(p=db):
+        import duckdb as _d
+
+        return _d.connect(p, read_only=True)
+    preds = jdbc_partition_predicates("id", 0, 1000, 4)
+    df = read_sql_dbapi(spark, connect, "SELECT * FROM ev", predicates=preds)
+    assert df.rdd.getNumPartitions() == 4
+    got = df.toPandas().sort_values("user_id", ignore_index=True)
+    assert len(got) == 1001
+    assert int(got["id"].sum()) == 499500  # every row exactly once
+    assert got["id"].isna().sum() == 1  # NULL landed in partition 0
+    # pushed-down query + no predicates = single full scan
+    one = read_sql_dbapi(
+        spark, connect, "SELECT user_id, count(*) AS n FROM ev GROUP BY user_id"
+    )
+    p = one.toPandas()
+    assert len(p) == 8 and int(p["n"].sum()) == 1001
