@@ -139,7 +139,7 @@ def encode_block_arrow(arr, ptype: str, codec: str | None = None) -> Block:
         sample_np = np.asarray(sample.to_numpy(zero_copy_only=False), dtype=object)
         from d6tstack_spark.codecs.selector import choose_codec, sniff_stats
 
-        stats = sniff_stats(sample_np, ptype)
+        stats = sniff_stats(sample_np, ptype, sample_lens=lens[:4096])
         stats["n_total"] = len(nn)
         codec = choose_codec(sample_np, ptype, stats)
     body, cparams = encode_values_arrow(nn, ptype, codec)

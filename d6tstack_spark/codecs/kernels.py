@@ -674,10 +674,13 @@ def _enc_fsst_from_arrow(arr, bigrams: bool = False) -> tuple[bytes, dict]:
                      "nsym": 0, "ntok": 0, "nlit": 0, "nlitu": 0, "ldb": 0,
                      "ldp": {}, "liw": 0}
     splits = pc.split_pattern(arr, pattern=b" ")
-    tpr = pc.list_value_length(splits).to_numpy(zero_copy_only=False).astype(np.int64)
+    # token-stream arrays stay int32: they are the largest allocations in
+    # the encode hot path and DRAM bandwidth is the 32-core ceiling — only
+    # the pair-key products (which can exceed 2^31) widen to int64, lazily
+    tpr = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(splits)
     denc = flat.dictionary_encode()
-    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = denc.indices.to_numpy(zero_copy_only=False)
     dic = denc.dictionary
     U = max(len(dic), 1)
     ntok_in = len(idx)
@@ -691,21 +694,22 @@ def _enc_fsst_from_arrow(arr, bigrams: bool = False) -> tuple[bytes, dict]:
     # shared ≤255-entry table as "tokA tokB" values — decode is unchanged
     # because a bigram entry joined into a row reproduces both tokens and
     # their separator exactly.
-    row_of = np.repeat(np.arange(len(tpr), dtype=np.int64), tpr)
+    row_of = np.repeat(np.arange(len(tpr), dtype=np.int32), tpr)
     if bigrams and ntok_in > 1:
         pair_ok = row_of[:-1] == row_of[1:]
-        pk = idx[:-1] * U + idx[1:]
         cap = 262144
-        sample_pk = pk[:cap][pair_ok[:cap]]
+        sample_pk = (
+            idx[: cap + 1][:-1].astype(np.int64) * U + idx[1 : cap + 1]
+        )[pair_ok[:cap]]
         pu, pcnt = np.unique(sample_pk, return_counts=True)
         scale = max(int(pair_ok.sum()), 1) / max(len(sample_pk), 1)
+        del sample_pk
         pa_ids, pb_ids = pu // U, pu % U
         # a coded pair replaces two tokens + separator with one code byte
         pgain = (pcnt * scale * (dlens[pa_ids] + dlens[pb_ids] + 2)).astype(np.int64)
         pgain = np.where(pcnt <= 1, 0, pgain)
     else:
         pair_ok = np.zeros(0, dtype=bool)
-        pk = np.zeros(0, dtype=np.int64)
         pu = np.zeros(0, dtype=np.int64)
         pgain = np.zeros(0, dtype=np.int64)
 
@@ -714,9 +718,9 @@ def _enc_fsst_from_arrow(arr, bigrams: bool = False) -> tuple[bytes, dict]:
     order = np.argsort(-all_gain, kind="stable")
     k = min(_FSST_MAX_SYMBOLS, int((all_gain[order] > 0).sum()))
     sel = order[:k]
-    usym = np.full(len(dic), -1, dtype=np.int64)
+    usym = np.full(len(dic), -1, dtype=np.int32)
     uni_sel = sel[sel < len(dic)]
-    usym[uni_sel] = np.flatnonzero(sel < len(dic))
+    usym[uni_sel] = np.flatnonzero(sel < len(dic)).astype(np.int32)
     pair_sel_rows = np.flatnonzero(sel >= len(dic))
     sel_pk = pu[sel[pair_sel_rows] - len(dic)]
     pk_order = np.argsort(sel_pk, kind="stable")
@@ -733,7 +737,7 @@ def _enc_fsst_from_arrow(arr, bigrams: bool = False) -> tuple[bytes, dict]:
         first_ok[sel_pk_sorted // U] = True
         cand = np.flatnonzero(first_ok[idx[:-1]] & pair_ok)
         if len(cand):
-            pk_cand = idx[cand] * U + idx[cand + 1]
+            pk_cand = idx[cand].astype(np.int64) * U + idx[cand + 1]
             j = np.searchsorted(sel_pk_sorted, pk_cand)
             j_cl = np.minimum(j, len(sel_pk_sorted) - 1)
             hit = sel_pk_sorted[j_cl] == pk_cand
@@ -742,8 +746,8 @@ def _enc_fsst_from_arrow(arr, bigrams: bool = False) -> tuple[bytes, dict]:
             found[found_pos] = True
             keep[:] = found
             keep[1:] &= ~found[:-1]
-            pair_code_at = np.zeros(ntok_in - 1, dtype=np.int64)
-            pair_code_at[found_pos] = sel_pk_code[j_cl[hit]]
+            pair_code_at = np.zeros(ntok_in - 1, dtype=np.int32)
+            pair_code_at[found_pos] = sel_pk_code[j_cl[hit]].astype(np.int32)
     consumed = np.zeros(ntok_in, dtype=bool)
     keep_pos = np.flatnonzero(keep)
     consumed[keep_pos + 1] = True

@@ -38,24 +38,36 @@ def _contig_sample(values: np.ndarray) -> np.ndarray:
     return values[:_SAMPLE_CAP]
 
 
-def sniff_stats(values: np.ndarray, ptype: str) -> dict:
+def sniff_stats(
+    values: np.ndarray, ptype: str, sample_lens: np.ndarray | None = None
+) -> dict:
     """Per-column stats on a sample: cardinality, avg run length, symbol
-    entropy (strings), value range (ints), avg item bytes (strings)."""
+    entropy (strings), value range (ints), avg item bytes (strings).
+    ``sample_lens``: precomputed byte lengths of the sample (the Arrow hot
+    path already has them from pc.binary_length — skips a python loop)."""
     s = _sample(values)
     c = _contig_sample(values)
     n = len(s)
     stats: dict = {"n_sampled": n, "n_total": len(values)}
+    if sample_lens is not None:
+        stats["_lens"] = np.asarray(sample_lens[:n])
     if n == 0:
         stats.update(card=0, avg_run=1.0, ent=0.0)
         return stats
     sv = kernels._sortable_view(s, ptype)
-    uniques = np.unique(sv)
-    stats["card"] = int(len(uniques))
+    # hash-based uniquing: np.unique SORTS (object-string sorts measured 4x
+    # the count cost on the sniff sample); only the cardinality is needed
+    import pandas as _pd
+
+    stats["card"] = int(len(_pd.unique(sv)))
     runs = len(kernels.run_boundaries(c, ptype))
     stats["avg_run"] = float(len(c) / max(runs, 1))
     if kernels.is_string_ptype(ptype):
-        lens = np.fromiter((len(x) for x in s), dtype=np.int64, count=n)
+        lens = stats.pop("_lens", None)
+        if lens is None:
+            lens = np.fromiter((len(x) for x in s), dtype=np.int64, count=n)
         stats["avg_len"] = float(lens.mean())
+        stats["sum_len_sampled"] = int(lens.sum())
         # byte-level symbol entropy over a bounded concat sample
         concat = b"".join(s[:256].tolist())[:65536]
         if concat:
@@ -93,8 +105,10 @@ def _estimate_sizes(values: np.ndarray, ptype: str, stats: dict) -> dict[str, fl
     runs = max(int(round(ns / stats["avg_run"])), 1)
     est: dict[str, float] = {}
     if kernels.is_string_ptype(ptype):
-        s = _sample(values)
-        data_bytes = float(sum(len(x) for x in s)) * scale
+        sum_len = stats.get("sum_len_sampled")
+        if sum_len is None:
+            sum_len = sum(len(x) for x in _sample(values))
+        data_bytes = float(sum_len) * scale
         avg_len = stats.get("avg_len", 8.0)
         est["plain"] = data_bytes + n * 1.2  # + packed lengths
         # dict stores each unique once; sampled card is a lower bound on the
