@@ -111,12 +111,17 @@ def gen_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
     seg_base = cum[first_row] - incs[first_row]
     ts = _EPOCH_2026_01_01_US + starts[conv_of_row] + (cum - seg_base[conv_of_row])
 
+    # text can exceed 2 GiB total at sf >= 2.0 — build with 64-bit offsets and
+    # only narrow to string when it fits (parquet stores BYTE_ARRAY either way,
+    # and sort_by's concatenation would overflow 32-bit offsets otherwise)
+    text_arr = pa.array(text, type=pa.large_binary(), mask=text_mask)
+    text_type = pa.string() if text_arr.nbytes < 2**31 - 2**20 else pa.large_string()
     tbl = pa.table(
         {
             "conv_id": pa.array(conv_col, type=pa.binary()).cast(pa.string()),
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
             "role": pa.array(role, type=pa.binary()).cast(pa.string()),
-            "text": pa.array(text, type=pa.binary(), mask=text_mask).cast(pa.string()),
+            "text": text_arr.cast(pa.large_string()).cast(text_type),
             "tool": pa.array(tool, type=pa.binary(), mask=tool_mask).cast(pa.string()),
             "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
         }

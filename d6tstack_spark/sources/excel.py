@@ -14,8 +14,9 @@ second-biggest module, re-expressed Spark-first:
 Parsing uses openpyxl when available; otherwise a built-in stdlib parser
 (zipfile + ElementTree) that covers the xlsx subset produced by pandas,
 openpyxl and this module's own writer (shared strings, inline strings,
-numeric/boolean cells, sparse rows). .xls (BIFF) needs xlrd and raises a
-clear error when absent.
+numeric/boolean cells, sparse rows). Legacy .xls (BIFF8) is parsed by the
+stdlib OLE2+BIFF reader in :mod:`d6tstack_spark.sources.xls_biff` — the
+xlrd leg of the reference without the xlrd dependency.
 """
 
 from __future__ import annotations
@@ -121,7 +122,15 @@ def _sheet_targets(zf: zipfile.ZipFile) -> dict[str, str]:
     return out
 
 
+def _is_biff(path: str) -> bool:
+    return path.endswith(".xls") and not path.endswith(".xlsx")
+
+
 def sheet_names_xlsx(path: str) -> list[str]:
+    if _is_biff(path):
+        from d6tstack_spark.sources.xls_biff import sheet_names_xls
+
+        return sheet_names_xls(path)
     if _HAVE_OPENPYXL:  # pragma: no cover
         wb = openpyxl.load_workbook(path, read_only=True)
         try:
@@ -135,11 +144,10 @@ def sheet_names_xlsx(path: str) -> list[str]:
 def read_sheet_cells(path: str, sheet: str | int = 0) -> list[list]:
     """One sheet → dense list-of-rows (None-padded). Stdlib parser; uses
     openpyxl when installed."""
-    if path.endswith(".xls") and not path.endswith(".xlsx"):
-        raise IOError(
-            ".xls (BIFF) needs the xlrd package, which is not installed; "
-            "convert to .xlsx or install xlrd"
-        )
+    if _is_biff(path):
+        from d6tstack_spark.sources.xls_biff import read_xls_cells
+
+        return read_xls_cells(path, sheet)
     if _HAVE_OPENPYXL:  # pragma: no cover
         wb = openpyxl.load_workbook(path, read_only=True)
         try:

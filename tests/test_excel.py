@@ -217,8 +217,118 @@ def test_parser_reads_shared_strings_files(tmp_path):
     assert cells == [["name", 7], ["Alice", True]]
 
 
-def test_xls_biff_raises_without_xlrd(tmp_path):
+def test_xls_biff_corrupt_raises(tmp_path):
     p = tmp_path / "old.xls"
     p.write_bytes(b"\xd0\xcf\x11\xe0fakebiff")
-    with pytest.raises(IOError, match="xlrd"):
+    with pytest.raises(ValueError, match="OLE2|magic"):
         read_excel_advanced_pandas(str(p))
+
+
+# ---------------------------------------------------------------------------
+# legacy .xls (BIFF8) — stdlib OLE2 + BIFF reader (reference reads .xls via
+# xlrd in convert_xls.py:105+; this is the same surface, zero-dependency)
+# ---------------------------------------------------------------------------
+
+
+def test_xls_biff_roundtrip_both_container_paths(tmp_path):
+    import datetime as dt
+
+    from d6tstack_spark.sources.excel import read_sheet_cells, sheet_names_xlsx
+    from d6tstack_spark.sources.xls_biff import write_xls_minimal
+
+    rows = [
+        ["name", "qty", "ok", "when"],
+        ["alpha", 1.5, True, dt.datetime(2026, 3, 1, 12, 30, 15)],
+        ["beta", -0.01, False, dt.datetime(1999, 12, 31)],
+        [None, 1e18, None, dt.date(2026, 1, 2)],
+    ]
+    # small workbook -> ministream container path
+    p = write_xls_minimal(str(tmp_path / "small.xls"), {"S1": rows, "S2": [["x", 9.0]]})
+    assert sheet_names_xlsx(p) == ["S1", "S2"]
+    got = read_sheet_cells(p, 0)
+    assert got[0] == ["name", "qty", "ok", "when"]
+    assert got[1] == ["alpha", 1.5, True, dt.datetime(2026, 3, 1, 12, 30, 15)]
+    assert got[3] == [None, 1e18, None, dt.datetime(2026, 1, 2)]
+    assert read_sheet_cells(p, "S2") == [["x", 9.0]]
+
+    # >4096-byte workbook -> regular FAT path, with SST CONTINUE spans
+    big = [[f"string-{i}-{'x' * 50}", float(i)] for i in range(500)]
+    p2 = write_xls_minimal(
+        str(tmp_path / "big.xls"), {"S": big}, sst_split_every=7
+    )
+    g2 = read_sheet_cells(p2, "S")
+    assert len(g2) == 500
+    assert g2[123] == [f"string-123-{'x' * 50}", 123.0]
+
+
+def test_xls_biff_rk_mulrk_formula_records(tmp_path):
+    """Records the minimal writer doesn't emit (RK, MULRK, FORMULA+STRING,
+    LABEL): splice them into a sheet stream and read them back."""
+    import struct
+
+    from d6tstack_spark.sources import xls_biff as xb
+
+    # RK variants: int, int/100, float, float/100
+    rk_int = (7 << 2) | 2
+    rk_cents = (123 << 2) | 3
+    rk_float = struct.unpack("<I", struct.pack("<d", 2.5)[4:])[0] & 0xFFFFFFFC
+    body = xb._rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    body += xb._rec(0x027E, struct.pack("<HHHI", 0, 0, 0, rk_int))
+    body += xb._rec(0x027E, struct.pack("<HHHI", 0, 1, 0, rk_cents))
+    mul = struct.pack("<HH", 1, 0) + struct.pack("<HI", 0, rk_float) * 2
+    body += xb._rec(0x00BD, mul + struct.pack("<H", 1))
+    # FORMULA with cached float, FORMULA with cached string + STRING record
+    body += xb._rec(
+        0x0006, struct.pack("<HHHd", 2, 0, 0, 42.0) + b"\0\0\0\0\0\0"
+    )
+    body += xb._rec(
+        0x0006,
+        struct.pack("<HHH", 2, 1, 0)
+        + b"\x00\x00\x00\x00\x00\x00\xff\xff"
+        + b"\0\0\0\0\0\0",
+    )
+    body += xb._rec(0x0207, xb._w_unistr("cached"))
+    body += xb._rec(0x0204, struct.pack("<HHH", 3, 0, 0) + xb._w_unistr("inline"))
+    body += xb._rec(0x000A, b"")
+
+    g = xb._rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    g += xb._rec(
+        0x0085, struct.pack("<IHBB", 0, 0, 1, 0x01) + "Z".encode("utf-16-le")
+    )
+    g += xb._rec(0x000A, b"")
+    wb = g + body
+    # patch BOUNDSHEET stream position (the u32 right after the record
+    # header; the record is followed by grbit(2)+cch(1)+flags(1)+name(2)+EOF(4))
+    pos_off = len(g) - 4 - 2 - 1 - 1 - 2 - 4  # = BOUNDSHEET payload start
+    wb = wb[:pos_off] + struct.pack("<I", len(g)) + wb[pos_off + 4 :]
+    blob = xb._build_cfb({"Workbook": wb})
+    p = tmp_path / "records.xls"
+    p.write_bytes(blob)
+    cells = xb.read_xls_cells(str(p), "Z")
+    assert cells[0] == [7.0, 1.23]
+    assert cells[1] == [2.5, 2.5]
+    assert cells[2] == [42.0, "cached"]
+    assert cells[3] == ["inline", None]
+
+
+def test_xls_in_excel_family(spark, tmp_path):
+    """sniff + advanced read + distributed stacked read over .xls files."""
+    from d6tstack_spark.sources.xls_biff import write_xls_minimal
+
+    paths = []
+    for i in range(3):
+        p = write_xls_minimal(
+            str(tmp_path / f"old_{i}.xls"),
+            {"Sheet1": [["date", "sales", "cost"],
+                        [f"2026-0{i + 1}-01", 100.0 + i, -80.0 - i],
+                        [f"2026-0{i + 1}-02", 200.0 + i, -90.0 - i]]},
+        )
+        paths.append(p)
+    sn = sniff_xls(paths)
+    assert sn["all_same_names"] and all_contain_sheetname(sn, "Sheet1")
+    pdf = read_excel_advanced_pandas(paths[0], sheet_name="Sheet1")
+    assert list(pdf.columns) == ["date", "sales", "cost"]
+    assert pdf["sales"].tolist() == [100.0, 200.0]
+    sdf = read_excel_stacked(spark, paths, sheet_name="Sheet1")
+    got = sdf.toPandas()
+    assert len(got) == 6 and set(got["filename"]).issuperset({"old_0.xls"})
