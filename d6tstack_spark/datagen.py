@@ -66,8 +66,17 @@ def gen_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
     hot_turns = n_turns // 10
     rest = n_turns - hot_turns
     sizes = [max(1, hot_turns // 3)] * 3
-    while sum(sizes) < n_turns:
-        sizes.append(int(min(rng.geometric(1 / 20.0), 400)))
+    total = sum(sizes)
+    while total < n_turns:
+        # draw geometric sizes in batches (a scalar-draw loop with a running
+        # python sum was the O(n^2) bottleneck at sf >= 1)
+        batch = np.minimum(
+            rng.geometric(1 / 20.0, size=max((n_turns - total) // 20, 1024)), 400
+        )
+        keep = np.searchsorted(np.cumsum(batch), n_turns - total) + 1
+        batch = batch[:keep]
+        sizes.extend(int(x) for x in batch)
+        total += int(batch.sum())
     sizes = np.array(sizes, dtype=np.int64)
     overflow = int(sizes.sum() - n_turns)
     if overflow:
