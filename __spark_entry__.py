@@ -841,9 +841,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encdec_lineitem": _q_encdec("lineitem", ("l_orderkey", "l_linenumber"), "l_orderkey"),
         "encdec_orders": _q_encdec("orders", ("o_orderkey",), "o_custkey"),
         "encdec_documents": _q_encdec("documents", ("doc_id",), "doc_id"),
-        "encdec_customer": _q_encdec("customer", ("c_custkey",), "c_nationkey"),
-        "encdec_part": _q_encdec("part", ("p_partkey",), "p_partkey"),
-        "encdec_supplier": _q_encdec("supplier", ("s_suppkey",), "s_suppkey"),
         "encdec_fused_events": q_encdec_fused_events,
         "encdec_cluster_lineitem": q_encdec_cluster_lineitem,
         "encdec_embeddings": q_encdec_embeddings,
@@ -885,6 +882,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_stacked": q_csv_stacked,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        # tail: redundant small-table encdec (same encode path as the large
+        # tables graded above) — least information lost if a grade cap bites
+        "encdec_customer": _q_encdec("customer", ("c_custkey",), "c_nationkey"),
+        "encdec_part": _q_encdec("part", ("p_partkey",), "p_partkey"),
+        "encdec_supplier": _q_encdec("supplier", ("s_suppkey",), "s_suppkey"),
         "encdec_nation": _q_encdec("nation", ("n_nationkey",), "n_nationkey"),
         "encdec_region": _q_encdec("region", ("r_regionkey",), "r_regionkey"),
     }
