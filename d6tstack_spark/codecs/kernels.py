@@ -694,9 +694,16 @@ def _enc_fsst_from_arrow(arr, bigrams: bool = False) -> tuple[bytes, dict]:
     # shared ≤255-entry table as "tokA tokB" values — decode is unchanged
     # because a bigram entry joined into a row reproduces both tokens and
     # their separator exactly.
-    row_of = np.repeat(np.arange(len(tpr), dtype=np.int32), tpr)
+    # row boundaries instead of a materialized per-token row id: the encode
+    # path is DRAM-bound at 32 workers, and row_of was a full token-stream
+    # allocation used only for (a) the cross-row pair mask and (b) the
+    # per-row keep counts — both derivable from cumsum(tpr)
+    row_bounds = np.cumsum(tpr, dtype=np.int64)
     if bigrams and ntok_in > 1:
-        pair_ok = row_of[:-1] == row_of[1:]
+        # pair (i, i+1) is same-row unless i is the last token of a row
+        pair_ok = np.ones(ntok_in - 1, dtype=bool)
+        ends = row_bounds[:-1] - 1  # last-token positions of all but last row
+        pair_ok[ends[(ends >= 0) & (ends < ntok_in - 1)]] = False
         cap = 262144
         sample_pk = (
             idx[: cap + 1][:-1].astype(np.int64) * U + idx[1 : cap + 1]
@@ -748,23 +755,24 @@ def _enc_fsst_from_arrow(arr, bigrams: bool = False) -> tuple[bytes, dict]:
             keep[1:] &= ~found[:-1]
             pair_code_at = np.zeros(ntok_in - 1, dtype=np.int32)
             pair_code_at[found_pos] = sel_pk_code[j_cl[hit]].astype(np.int32)
-    consumed = np.zeros(ntok_in, dtype=bool)
     keep_pos = np.flatnonzero(keep)
-    consumed[keep_pos + 1] = True
-    emit = ~consumed
+    emit = np.ones(ntok_in, dtype=bool)
+    emit[keep_pos + 1] = False  # token consumed into the pair before it
 
-    # --- per-emitted-position code
+    # --- per-emitted-position code (codes mutated in place: the full-length
+    # np.where copy was one more token-stream allocation)
     codes = usym[idx]
     if len(keep_pos):
         codes[keep_pos] = pair_code_at[keep_pos]
-    code_stream_full = np.where(codes >= 0, codes, _FSST_LITERAL)
-    code_stream = code_stream_full[emit].astype(np.uint8)
+    no_sym = codes < 0
+    lit_positions = emit & no_sym
+    codes[no_sym] = _FSST_LITERAL
+    code_stream = codes[emit].astype(np.uint8)
 
     # --- literals: emitted positions with no symbol. pd.factorize is the
     # O(n) hash-based uniquing (np.unique sorts — measured 10x slower on
     # the literal stream); first-occurrence order is deterministic given
     # the block content, which is all decode needs (ids are positional).
-    lit_positions = emit & (codes < 0)
     lit_occ_ids = idx[lit_positions]
     if len(lit_occ_ids):
         import pandas as _pd
@@ -778,8 +786,11 @@ def _enc_fsst_from_arrow(arr, bigrams: bool = False) -> tuple[bytes, dict]:
     lw = _bit_width(len(lit_uniq_ids) - 1) if len(lit_uniq_ids) > 1 else 0
     lit_ids_buf = bitpack(lit_ids.view(np.uint64), lw)
 
-    # --- emitted tokens per row (pairs reduce their row's count by 1)
-    tpr_emit = tpr - np.bincount(row_of[keep_pos], minlength=len(tpr))
+    # --- emitted tokens per row (pairs reduce their row's count by 1);
+    # row id of each kept pair via searchsorted on the row boundaries
+    tpr_emit = tpr - np.bincount(
+        np.searchsorted(row_bounds, keep_pos, side="right"), minlength=len(tpr)
+    )
     tref = int(tpr_emit.min())
     tw = _bit_width(int(tpr_emit.max()) - tref)
     tprbuf = bitpack((tpr_emit - tref).view(np.uint64), tw)
