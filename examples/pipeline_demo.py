@@ -14,10 +14,15 @@ Composes the engine's operators the way a real corpus build does:
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
 from pyspark.sql import SparkSession, functions as F
+
+# runnable both as `python examples/pipeline_demo.py` and via spark-submit
+# --py-files (python puts the SCRIPT's dir in sys.path[0], not the repo root)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01"):
