@@ -332,3 +332,57 @@ def test_xls_in_excel_family(spark, tmp_path):
     sdf = read_excel_stacked(spark, paths, sheet_name="Sheet1")
     got = sdf.toPandas()
     assert len(got) == 6 and set(got["filename"]).issuperset({"old_0.xls"})
+
+
+def test_xls_biff_property_roundtrip():
+    """Property test: arbitrary cell grids survive the BIFF8 writer→reader
+    round trip (types: str incl. non-latin1 unicode, float, bool, None)."""
+    from hypothesis import given, settings, strategies as st
+
+    from d6tstack_spark.sources.xls_biff import read_xls_cells, write_xls_minimal
+
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x10000
+            ),
+            max_size=40,
+        ),
+    )
+    grids = st.lists(
+        st.lists(cell, min_size=1, max_size=6), min_size=1, max_size=8
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(grids)
+    def inner(rows):
+        import tempfile, os
+
+        width = max(len(r) for r in rows)
+        rows = [r + [None] * (width - len(r)) for r in rows]
+        with tempfile.TemporaryDirectory() as d:
+            p = write_xls_minimal(os.path.join(d, "t.xls"), {"S": rows})
+            got = read_xls_cells(p, "S")
+        # trailing all-None rows/cols are indistinguishable from absent cells
+        n_rows = max(
+            (i for i, r in enumerate(rows) if any(v is not None for v in r)),
+            default=-1,
+        ) + 1
+        n_cols = max(
+            (c for r in rows for c, v in enumerate(r) if v is not None),
+            default=-1,
+        ) + 1
+        assert len(got) == n_rows
+        for r in range(n_rows):
+            for c in range(n_cols):
+                want = rows[r][c]
+                have = got[r][c] if c < len(got[r]) else None
+                if isinstance(want, float):
+                    assert have == want, (r, c, want, have)
+                else:
+                    assert have == want, (r, c, want, have)
+
+    inner()
