@@ -335,6 +335,33 @@ def q_encdec_fused_events(spark, sf_dir):
     return decode_table(blocks, manifest)
 
 
+def q_encdec_iceberg(spark, sf_dir):
+    """Encode planned from an ICEBERG SNAPSHOT (pure-python metadata reader:
+    metadata.json → manifest-list Avro → manifest Avro → data files — no
+    runtime jar), then decoded back. The metadata tree is built over the
+    sf_dir events parquet plus a DELETED-status orders entry that a correct
+    reader must skip; result equality vs `SELECT * FROM events` proves both
+    the snapshot resolution and the roundtrip."""
+    import os
+    import tempfile
+
+    from d6tstack_spark.operators.encode import decode_table, encode_parquet_files
+    from d6tstack_spark.sources.iceberg_meta import write_iceberg_table_minimal
+    from d6tstack_spark.sources.table_io import snapshot_files
+
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"iceberg_q_{abs(hash(sf_dir)) % 10**8}"
+    )
+    write_iceberg_table_minimal(
+        tdir,
+        [f"{sf_dir}/events.parquet"],
+        deleted_files=[f"{sf_dir}/orders.parquet"],
+    )
+    files = snapshot_files(spark, tdir)
+    blocks, manifest = encode_parquet_files(spark, files, order_cols=("event_id",))
+    return decode_table(blocks, manifest)
+
+
 def q_encdec_cluster_lineitem(spark, sf_dir):
     """Shuffle/salting cluster-mode encode path in the correctness gate."""
     from d6tstack_spark.operators.encode import decode_table, encode_table
@@ -841,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encdec_lineitem": _q_encdec("lineitem", ("l_orderkey", "l_linenumber"), "l_orderkey"),
         "encdec_orders": _q_encdec("orders", ("o_orderkey",), "o_custkey"),
         "encdec_documents": _q_encdec("documents", ("doc_id",), "doc_id"),
+        "encdec_iceberg": q_encdec_iceberg,
         "encdec_fused_events": q_encdec_fused_events,
         "encdec_cluster_lineitem": q_encdec_cluster_lineitem,
         "encdec_embeddings": q_encdec_embeddings,
@@ -1036,6 +1064,7 @@ def _knn_lsh_oracle(bits: int = 6, seed: int = 42, dim: int = 64, k: int = 10) -
 def oracle_sql() -> dict[str, str]:
     return {
         "encdec_events": "SELECT * FROM events",
+        "encdec_iceberg": "SELECT * FROM events",
         "encdec_lineitem": "SELECT * FROM lineitem",
         "encdec_orders": "SELECT * FROM orders",
         "encdec_documents": "SELECT * FROM documents",

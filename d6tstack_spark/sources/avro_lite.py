@@ -1,0 +1,293 @@
+"""Pure-stdlib Avro Object Container File (OCF) reader + minimal writer.
+
+Exists so the Iceberg metadata layer (``iceberg_meta``) can read real
+snapshot manifests — Iceberg stores its manifest list and manifests as
+Avro files — in an image with no avro/fastavro package. The format is
+public (Avro 1.11 spec): an OCF is a JSON schema header plus blocks of
+binary-encoded records, with varint/zigzag longs and length-prefixed
+bytes/strings; arrays and maps are blocked sequences; unions are a
+zigzag branch index followed by the branch value.
+
+Supported: null, boolean, int, long, float, double, bytes, string,
+fixed, enum, array, map, union, record; codecs null and deflate.
+The writer covers what the test fixtures need (records over the same
+types, null codec) — enough to build a real Iceberg metadata tree and
+read it back with this same module, and shaped so real manifests written
+by Iceberg's Java writer (deflate-compressed, union-heavy) decode too.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+_MAGIC = b"Obj\x01"
+
+
+# ---------------------------------------------------------------------------
+# binary primitives
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.b = buf
+        self.o = 0
+
+    def read(self, n: int) -> bytes:
+        out = self.b[self.o : self.o + n]
+        if len(out) != n:
+            raise ValueError("avro: truncated input")
+        self.o += n
+        return out
+
+    def long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            byte = self.b[self.o]
+            self.o += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def bytes_(self) -> bytes:
+        return self.read(self.long())
+
+    def string(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+    def at_end(self) -> bool:
+        return self.o >= len(self.b)
+
+
+def _zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _w_bytes(b: bytes) -> bytes:
+    return _zigzag(len(b)) + b
+
+
+def _w_string(s: str) -> bytes:
+    return _w_bytes(s.encode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# schema-driven decode
+# ---------------------------------------------------------------------------
+
+
+def _decode(r: _Reader, schema, named: dict):
+    if isinstance(schema, str):
+        if schema in named:
+            schema = named[schema]
+        else:
+            t = schema
+            if t == "null":
+                return None
+            if t == "boolean":
+                return r.read(1) == b"\x01"
+            if t in ("int", "long"):
+                return r.long()
+            if t == "float":
+                return struct.unpack("<f", r.read(4))[0]
+            if t == "double":
+                return struct.unpack("<d", r.read(8))[0]
+            if t == "bytes":
+                return r.bytes_()
+            if t == "string":
+                return r.string()
+            raise ValueError(f"avro: unknown type {t!r}")
+    if isinstance(schema, list):  # union
+        return _decode(r, schema[r.long()], named)
+    t = schema["type"]
+    if t == "record":
+        named[schema["name"]] = schema
+        return {
+            f["name"]: _decode(r, f["type"], named) for f in schema["fields"]
+        }
+    if t == "array":
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:  # block with byte size
+                n = -n
+                r.long()
+            for _ in range(n):
+                out.append(_decode(r, schema["items"], named))
+    if t == "map":
+        out = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                k = r.string()
+                out[k] = _decode(r, schema["values"], named)
+    if t == "fixed":
+        named[schema["name"]] = schema
+        return r.read(schema["size"])
+    if t == "enum":
+        named[schema["name"]] = schema
+        return schema["symbols"][r.long()]
+    # logical types / aliases carry a primitive "type"
+    return _decode(r, t, named)
+
+
+def read_avro(path_or_bytes) -> tuple[list[dict], dict]:
+    """OCF → (records, schema)."""
+    data = (
+        path_or_bytes
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else open(path_or_bytes, "rb").read()
+    )
+    r = _Reader(bytes(data))
+    if r.read(4) != _MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            k = r.string()
+            meta[k] = r.bytes_()
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = r.read(16)
+    records: list[dict] = []
+    while not r.at_end():
+        count = r.long()
+        block = r.bytes_()
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"avro: unsupported codec {codec!r}")
+        br = _Reader(block)
+        named: dict = {}
+        for _ in range(count):
+            records.append(_decode(br, schema, named))
+        if r.read(16) != sync:
+            raise ValueError("avro: sync marker mismatch")
+    return records, schema
+
+
+# ---------------------------------------------------------------------------
+# schema-driven encode (fixture writer)
+# ---------------------------------------------------------------------------
+
+
+def _encode(out: io.BytesIO, value, schema, named: dict):
+    if isinstance(schema, str):
+        if schema in named:
+            return _encode(out, value, named[schema], named)
+        t = schema
+        if t == "null":
+            return
+        if t == "boolean":
+            out.write(b"\x01" if value else b"\x00")
+        elif t in ("int", "long"):
+            out.write(_zigzag(int(value)))
+        elif t == "float":
+            out.write(struct.pack("<f", value))
+        elif t == "double":
+            out.write(struct.pack("<d", value))
+        elif t == "bytes":
+            out.write(_w_bytes(value))
+        elif t == "string":
+            out.write(_w_string(value))
+        else:
+            raise ValueError(f"avro: unknown type {t!r}")
+        return
+    if isinstance(schema, list):  # union: pick first branch that fits
+        for i, branch in enumerate(schema):
+            name = branch if isinstance(branch, str) else branch.get("type")
+            if value is None and name == "null":
+                out.write(_zigzag(i))
+                return
+            if value is not None and name != "null":
+                out.write(_zigzag(i))
+                _encode(out, value, branch, named)
+                return
+        raise ValueError("avro: no union branch for value")
+    t = schema["type"]
+    if t == "record":
+        named[schema["name"]] = schema
+        for f in schema["fields"]:
+            _encode(out, value[f["name"]], f["type"], named)
+    elif t == "array":
+        if value:
+            out.write(_zigzag(len(value)))
+            for v in value:
+                _encode(out, v, schema["items"], named)
+        out.write(_zigzag(0))
+    elif t == "map":
+        if value:
+            out.write(_zigzag(len(value)))
+            for k, v in value.items():
+                out.write(_w_string(k))
+                _encode(out, v, schema["values"], named)
+        out.write(_zigzag(0))
+    elif t == "fixed":
+        named[schema["name"]] = schema
+        out.write(value)
+    elif t == "enum":
+        named[schema["name"]] = schema
+        out.write(_zigzag(schema["symbols"].index(value)))
+    else:
+        _encode(out, value, t, named)
+
+
+def write_avro(
+    path: str, records: list[dict], schema: dict, codec: str = "null"
+) -> str:
+    """Minimal OCF writer (one block, deterministic sync; codec null or
+    deflate — deflate is what Iceberg's Java writer emits)."""
+    body = io.BytesIO()
+    named: dict = {}
+    for rec in records:
+        _encode(body, rec, schema, named)
+    payload = body.getvalue()
+    if codec == "deflate":
+        c = zlib.compressobj(9, zlib.DEFLATED, -15)
+        payload = c.compress(payload) + c.flush()
+    elif codec != "null":
+        raise ValueError(f"avro: unsupported codec {codec!r}")
+    sync = b"\x00" * 16
+    out = io.BytesIO()
+    out.write(_MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    out.write(_zigzag(len(meta)))
+    for k, v in meta.items():
+        out.write(_w_string(k))
+        out.write(_w_bytes(v))
+    out.write(_zigzag(0))
+    out.write(sync)
+    out.write(_zigzag(len(records)))
+    out.write(_w_bytes(payload))
+    out.write(sync)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+    return path

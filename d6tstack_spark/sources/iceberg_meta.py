@@ -1,0 +1,225 @@
+"""Pure-python Iceberg snapshot-metadata reader (+ fixture writer).
+
+The north rule's input is "Iceberg tables of transcripts". The sandbox has
+no iceberg-spark-runtime jar, so the Spark catalog path in ``table_io`` is
+dormant; this module reads the TABLE FORMAT itself — public spec
+(iceberg.apache.org/spec): a ``metadata/*.metadata.json`` pointer file, a
+snapshot's manifest-list Avro, and per-manifest Avro entries naming the
+data files. That turns an Iceberg table directory into exactly what the
+encode planner needs — the snapshot's data-file list with row counts —
+without any JVM dependency (Avro via ``avro_lite``).
+
+What this deliberately does NOT do: write table commits (atomic swap of
+the metadata pointer belongs to a catalog), apply delete files (v2
+merge-on-read), or evaluate partition-pruning expressions. Reads pick the
+current snapshot (or an explicit ``snapshot_id`` — time travel) and skip
+entries whose status is DELETED.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from d6tstack_spark.sources.avro_lite import read_avro, write_avro
+
+_DELETED = 2  # manifest entry status
+
+
+def _strip_uri(p: str) -> str:
+    if p.startswith("file://"):
+        return p[len("file://") :]
+    return p
+
+
+def latest_metadata_path(table_dir: str) -> str:
+    """The current ``*.metadata.json``: via ``version-hint.text`` when the
+    (HadoopCatalog-style) hint exists, else the highest-versioned file."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        v = open(hint).read().strip()
+        cand = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            return cand
+    files = sorted(glob.glob(os.path.join(meta_dir, "*.metadata.json")))
+    if not files:
+        raise FileNotFoundError(f"no metadata/*.metadata.json under {table_dir}")
+    return files[-1]
+
+
+def table_metadata(table_dir: str) -> dict:
+    with open(latest_metadata_path(table_dir)) as f:
+        return json.load(f)
+
+
+def is_iceberg_dir(path: str) -> bool:
+    try:
+        latest_metadata_path(path)
+        return True
+    except (FileNotFoundError, NotADirectoryError):
+        return False
+
+
+def snapshot_data_files(
+    table_dir: str, snapshot_id: int | None = None
+) -> list[dict]:
+    """Data files of a snapshot: ``[{path, record_count, file_size}]``.
+
+    Follows metadata.json → manifest list → manifests, honoring entry
+    status (DELETED entries are dropped). ``snapshot_id=None`` reads the
+    current snapshot; passing an id is time travel over retained
+    snapshots."""
+    md = table_metadata(table_dir)
+    sid = snapshot_id if snapshot_id is not None else md.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    if sid not in snaps:
+        raise KeyError(f"snapshot {sid} not in table (have {sorted(snaps)})")
+    snap = snaps[sid]
+    out: list[dict] = []
+    if "manifest-list" in snap:
+        manifests, _ = read_avro(_strip_uri(snap["manifest-list"]))
+        manifest_paths = [_strip_uri(m["manifest_path"]) for m in manifests]
+    else:  # pre-manifest-list layout (spec v1 "manifests" inline)
+        manifest_paths = [_strip_uri(p) for p in snap.get("manifests", [])]
+    for mp in manifest_paths:
+        entries, _ = read_avro(mp)
+        for e in entries:
+            if e.get("status") == _DELETED:
+                continue
+            df = e["data_file"]
+            out.append(
+                {
+                    "path": _strip_uri(df["file_path"]),
+                    "record_count": df.get("record_count"),
+                    "file_size": df.get("file_size_in_bytes"),
+                }
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixture writer — a real (minimal) Iceberg metadata tree over parquet files
+# ---------------------------------------------------------------------------
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def write_iceberg_table_minimal(
+    table_dir: str,
+    data_files: list[str],
+    snapshot_id: int = 1,
+    deleted_files: list[str] | None = None,
+) -> str:
+    """Build a spec-shaped Iceberg metadata tree over existing parquet files
+    (metadata.json + manifest-list Avro + manifest Avro + version hint).
+    ``deleted_files`` become DELETED-status entries — they must be skipped
+    by readers, which the tests assert."""
+    import pyarrow.parquet as pq
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    entries = []
+    for p in sorted(data_files):
+        pf = pq.ParquetFile(p)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": os.path.abspath(p),
+                    "file_format": "PARQUET",
+                    "record_count": pf.metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+        )
+    for p in sorted(deleted_files or []):
+        entries.append(
+            {
+                "status": _DELETED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": os.path.abspath(p),
+                    "file_format": "PARQUET",
+                    "record_count": 0,
+                    "file_size_in_bytes": 0,
+                },
+            }
+        )
+    manifest = os.path.join(meta_dir, f"manifest-{snapshot_id}.avro")
+    write_avro(manifest, entries, _MANIFEST_ENTRY_SCHEMA)
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    write_avro(
+        mlist,
+        [
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+            }
+        ],
+        _MANIFEST_FILE_SCHEMA,
+    )
+    # retain prior snapshots (time travel) — a real commit appends to the
+    # snapshot log the same way
+    prior: list[dict] = []
+    if is_iceberg_dir(table_dir):
+        prior = [
+            s
+            for s in table_metadata(table_dir).get("snapshots", [])
+            if s["snapshot-id"] != snapshot_id
+        ]
+    md = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": os.path.abspath(table_dir),
+        "last-updated-ms": 0,
+        "current-snapshot-id": snapshot_id,
+        "snapshots": prior
+        + [
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": 0,
+                "manifest-list": mlist,
+            }
+        ],
+    }
+    with open(os.path.join(meta_dir, f"v{snapshot_id}.metadata.json"), "w") as f:
+        json.dump(md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(snapshot_id))
+    return table_dir

@@ -20,10 +20,20 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
-    """Read an Iceberg table reference (``catalog.db.table``) or a parquet
-    path — whichever the runtime supports; paths always work."""
+    """Read an Iceberg table reference (``catalog.db.table``), an Iceberg
+    table DIRECTORY (snapshot resolved via the pure-python metadata reader
+    — no runtime jar needed), or a plain parquet path."""
     if "/" not in ref and iceberg_available(spark):
         return spark.read.table(ref)
+    from d6tstack_spark.sources.iceberg_meta import (
+        is_iceberg_dir,
+        snapshot_data_files,
+    )
+
+    if is_iceberg_dir(ref):
+        return spark.read.parquet(
+            *[f["path"] for f in snapshot_data_files(ref)]
+        )
     return spark.read.parquet(ref)
 
 
@@ -43,8 +53,9 @@ def write_table(
 
 def snapshot_files(spark: SparkSession, ref: str) -> list[str]:
     """The file listing an encode job plans over: Iceberg snapshot manifest
-    when available, else a parquet directory listing (deterministic order).
-    """
+    (catalog table via the jar, or a table directory via the pure-python
+    metadata reader), else a parquet directory listing (deterministic
+    order)."""
     if "/" not in ref and iceberg_available(spark):
         return [
             r["file_path"]
@@ -53,6 +64,13 @@ def snapshot_files(spark: SparkSession, ref: str) -> list[str]:
     import glob
     import os
 
+    from d6tstack_spark.sources.iceberg_meta import (
+        is_iceberg_dir,
+        snapshot_data_files,
+    )
+
+    if is_iceberg_dir(ref):
+        return sorted(f["path"] for f in snapshot_data_files(ref))
     if os.path.isfile(ref):
         return [ref]
     return sorted(glob.glob(os.path.join(ref, "*.parquet")))

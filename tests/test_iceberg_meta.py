@@ -1,0 +1,143 @@
+"""Pure-python Iceberg metadata layer: Avro OCF codec, snapshot resolution
+(version hint, time travel, DELETED-entry skip), and the encode planner
+consuming a snapshot's file list end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from d6tstack_spark.sources.avro_lite import read_avro, write_avro
+from d6tstack_spark.sources.iceberg_meta import (
+    is_iceberg_dir,
+    snapshot_data_files,
+    write_iceberg_table_minimal,
+)
+
+SF = "/root/testdata/sf0.001"
+
+SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": ["null", "long"]},
+        {"name": "b", "type": "boolean"},
+        {"name": "d", "type": "double"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "m", "type": {"type": "map", "values": "double"}},
+        {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A", "B"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "F", "size": 3}},
+    ],
+}
+RECS = [
+    {"s": "héllo", "n": None, "b": True, "d": -1.5, "raw": b"\x00\xff",
+     "arr": [1, -2, 3], "m": {"x": 1.5, "y": 0.0}, "e": "B", "fx": b"abc"},
+    {"s": "", "n": -(2**40), "b": False, "d": 0.0, "raw": b"",
+     "arr": [], "m": {}, "e": "A", "fx": b"xyz"},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_roundtrip(tmp_path, codec):
+    p = str(tmp_path / "t.avro")
+    write_avro(p, RECS, SCHEMA, codec=codec)
+    got, schema = read_avro(p)
+    assert got == RECS
+    assert schema["name"] == "t"
+
+
+def test_avro_rejects_garbage(tmp_path):
+    p = tmp_path / "x.avro"
+    p.write_bytes(b"not avro at all")
+    with pytest.raises(ValueError, match="container"):
+        read_avro(str(p))
+
+
+def test_snapshot_skips_deleted_and_travels(tmp_path):
+    td = str(tmp_path / "tbl")
+    write_iceberg_table_minimal(
+        td, [f"{SF}/events.parquet"], snapshot_id=1
+    )
+    # second snapshot adds orders and delete-marks nation
+    write_iceberg_table_minimal(
+        td,
+        [f"{SF}/events.parquet", f"{SF}/orders.parquet"],
+        snapshot_id=2,
+        deleted_files=[f"{SF}/nation.parquet"],
+    )
+    # version-hint points at v2; the union of both snapshots is visible to
+    # time travel
+    assert is_iceberg_dir(td)
+    cur = snapshot_data_files(td)
+    names = sorted(os.path.basename(f["path"]) for f in cur)
+    assert names == ["events.parquet", "orders.parquet"]
+    assert all(f["record_count"] > 0 for f in cur)
+    old = snapshot_data_files(td, snapshot_id=1)
+    assert [os.path.basename(f["path"]) for f in old] == ["events.parquet"]
+    with pytest.raises(KeyError):
+        snapshot_data_files(td, snapshot_id=99)
+
+
+def test_version_hint_fallback_to_max_version(tmp_path):
+    td = str(tmp_path / "tbl")
+    write_iceberg_table_minimal(td, [f"{SF}/events.parquet"], snapshot_id=1)
+    write_iceberg_table_minimal(td, [f"{SF}/orders.parquet"], snapshot_id=2)
+    os.remove(os.path.join(td, "metadata", "version-hint.text"))
+    got = snapshot_data_files(td)
+    assert [os.path.basename(f["path"]) for f in got] == ["orders.parquet"]
+
+
+def test_not_iceberg_dir(tmp_path):
+    assert not is_iceberg_dir(str(tmp_path))
+    assert not is_iceberg_dir(SF)
+
+
+def test_table_io_reads_iceberg_dir(spark, tmp_path):
+    from d6tstack_spark.sources.table_io import read_table, snapshot_files
+
+    td = str(tmp_path / "tbl")
+    write_iceberg_table_minimal(
+        td,
+        [f"{SF}/events.parquet"],
+        deleted_files=[f"{SF}/orders.parquet"],
+    )
+    files = snapshot_files(spark, td)
+    assert [os.path.basename(p) for p in files] == ["events.parquet"]
+    assert read_table(spark, td).count() == 1000
+
+
+def test_encode_from_iceberg_snapshot_roundtrip(spark, tmp_path):
+    """The mandate path: Iceberg snapshot → split planning → scan-fused
+    encode → decode, bit-identical to the source."""
+    import pandas as pd
+
+    from d6tstack_spark.operators.encode import decode_table, encode_parquet_files
+    from d6tstack_spark.sources.table_io import snapshot_files
+
+    td = str(tmp_path / "tbl")
+    write_iceberg_table_minimal(td, [f"{SF}/events.parquet"])
+    blocks, manifest = encode_parquet_files(
+        spark, snapshot_files(spark, td), order_cols=("event_id",)
+    )
+    dec = decode_table(blocks, manifest)
+    a = spark.read.parquet(f"{SF}/events.parquet").orderBy("event_id").toPandas()
+    b = dec.orderBy("event_id").toPandas()[a.columns.tolist()]
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_manifest_schema_is_self_describing(tmp_path):
+    """Decode is driven by the schema embedded in the FILE (as with real
+    Iceberg manifests), not by the fixture writer's schema constant:
+    renaming a field in the embedded schema changes the decoded keys."""
+    p = str(tmp_path / "t.avro")
+    write_avro(p, [{"s": "v", "n": 1, "b": True, "d": 0.0, "raw": b"",
+                    "arr": [], "m": {}, "e": "A", "fx": b"zzz"}], SCHEMA)
+    raw = open(p, "rb").read()
+    swapped = raw.replace(b'"name": "s"', b'"name": "z"', 1)
+    assert swapped != raw
+    got, _ = read_avro(swapped)
+    assert got[0]["z"] == "v" and "s" not in got[0]
