@@ -335,6 +335,20 @@ def q_encdec_fused_events(spark, sf_dir):
     return decode_table(blocks, manifest)
 
 
+def q_encdec_pruned_range(spark, sf_dir):
+    """Zone-map pruned decode: encode records per-block min/max, decode
+    prunes whole blocks whose range cannot overlap [100, 400], then the
+    exact row filter applies — equality with the plain SQL range scan
+    proves pruning never drops a qualifying row."""
+    from d6tstack_spark.operators.encode import decode_table, encode_parquet_files
+
+    blocks, manifest = encode_parquet_files(
+        spark, f"{sf_dir}/events.parquet", order_cols=("event_id",)
+    )
+    dec = decode_table(blocks, manifest, block_filter=("event_id", 100, 400))
+    return dec.filter((F.col("event_id") >= 100) & (F.col("event_id") <= 400))
+
+
 def q_encdec_iceberg(spark, sf_dir):
     """Encode planned from an ICEBERG SNAPSHOT (pure-python metadata reader:
     metadata.json → manifest-list Avro → manifest Avro → data files — no
@@ -869,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encdec_orders": _q_encdec("orders", ("o_orderkey",), "o_custkey"),
         "encdec_documents": _q_encdec("documents", ("doc_id",), "doc_id"),
         "encdec_iceberg": q_encdec_iceberg,
+        "encdec_pruned_range": q_encdec_pruned_range,
         "encdec_fused_events": q_encdec_fused_events,
         "encdec_cluster_lineitem": q_encdec_cluster_lineitem,
         "encdec_embeddings": q_encdec_embeddings,
@@ -1065,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "encdec_events": "SELECT * FROM events",
         "encdec_iceberg": "SELECT * FROM events",
+        "encdec_pruned_range": "SELECT * FROM events WHERE event_id BETWEEN 100 AND 400",
         "encdec_lineitem": "SELECT * FROM lineitem",
         "encdec_orders": "SELECT * FROM orders",
         "encdec_documents": "SELECT * FROM documents",

@@ -48,6 +48,14 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("raw_bytes", T.LongType(), False),
         T.StructField("enc_bytes", T.LongType(), False),
         T.StructField("crc", T.LongType(), False),
+        # zone map: conservative per-block value bounds (null = no stats).
+        # Numerics (incl. ts/date/bool physicalized to ints) use the _num
+        # pair widened by 1 ulp; strings/binary use the _str pair with a
+        # parquet-style truncate-and-increment upper bound.
+        T.StructField("vmin_num", T.DoubleType(), True),
+        T.StructField("vmax_num", T.DoubleType(), True),
+        T.StructField("vmin_str", T.BinaryType(), True),
+        T.StructField("vmax_str", T.BinaryType(), True),
     ]
 )
 
@@ -63,8 +71,73 @@ _BLOCKS_ARROW = pa.schema(
         ("raw_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
         ("crc", pa.int64()),
+        ("vmin_num", pa.float64()),
+        ("vmax_num", pa.float64()),
+        ("vmin_str", pa.binary()),
+        ("vmax_str", pa.binary()),
     ]
 )
+
+# zone-map string bounds are capped (long text values would bloat the
+# metadata table); the upper bound uses truncate-then-increment so it
+# remains a true upper bound after the cut
+_STAT_STR_CAP = 64
+
+
+def _stat_upper_bytes(hi: bytes) -> bytes | None:
+    """Parquet-style truncated upper bound: increment the last non-0xFF
+    byte of the 64-byte prefix; all-0xFF means unbounded (None)."""
+    if len(hi) <= _STAT_STR_CAP:
+        return hi
+    b = bytearray(hi[:_STAT_STR_CAP])
+    for i in range(len(b) - 1, -1, -1):
+        if b[i] != 0xFF:
+            return bytes(b[: i]) + bytes([b[i] + 1])
+    return None
+
+
+def _block_stats(arr: pa.Array, ptype: str) -> dict:
+    """Conservative zone map of one block column — an optimization only:
+    any failure or unsupported type degrades to null stats (= never
+    pruned), so decode correctness cannot depend on it."""
+    import math
+
+    import pyarrow.compute as pc
+
+    out = {"vmin_num": None, "vmax_num": None, "vmin_str": None, "vmax_str": None}
+    try:
+        if ptype in ("i8", "i16", "i32", "i64", "f32", "f64"):
+            nn = arr.drop_null()
+            if len(nn) == 0:
+                return out
+            mm = pc.min_max(nn)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is None or hi is None:
+                return out
+            flo, fhi = float(lo), float(hi)
+            if math.isnan(flo) or math.isnan(fhi):
+                # all-NaN block (min_max skips NaN like parquet stats do;
+                # only an all-NaN column yields NaN bounds) — no stats
+                return out
+            # widen 1 ulp: int64 beyond 2^53 rounds in float64, and a
+            # rounded-INWARD bound would wrongly prune boundary values
+            out["vmin_num"] = float(np.nextafter(flo, -math.inf))
+            out["vmax_num"] = float(np.nextafter(fhi, math.inf))
+        elif ptype in ("str", "bin"):
+            nn = arr.drop_null()
+            if len(nn) == 0:
+                return out
+            mm = pc.min_max(nn)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is None or hi is None:
+                return out
+            if isinstance(lo, str):
+                lo, hi = lo.encode(), hi.encode()
+            out["vmin_str"] = lo[:_STAT_STR_CAP]
+            out["vmax_str"] = _stat_upper_bytes(hi)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass
+    return out
 
 # ---------------------------------------------------------------------------
 # schema physicalization
@@ -328,6 +401,7 @@ def _encode_single(
                 "raw_bytes": blk.raw_bytes,
                 "enc_bytes": blk.enc_bytes,
                 "crc": blk.crc,
+                **_block_stats(arr, ptype),
             }
         )
     return rows
@@ -788,9 +862,17 @@ def decode_parquet_blocks(
     blocks_dir: str,
     manifest: dict,
     columns: list[str] | None = None,
+    block_filter: tuple | None = None,
 ) -> DataFrame:
     """Shuffle-free bulk decode — the inverse twin of
     :func:`encode_parquet_files`.
+
+    ``block_filter=(col, lo, hi)`` prunes whole blocks via the zone map
+    (see :func:`decode_table`): the driver resolves qualifying block ids
+    from a stats-only projection (payload column never read — parquet
+    column pruning), and tasks skip every other block. The id set is
+    driver-held metadata (~8 bytes/qualifying block); at extreme block
+    counts pass a narrower range or prune by block_id partitions first.
 
     :func:`decode_table` must repartition by block_id so each task owns
     complete blocks — a full shuffle of the PAYLOAD bytes. But the blocks
@@ -815,6 +897,19 @@ def decode_parquet_blocks(
     paths = sorted(_hadoop_list_files(spark, blocks_dir, ".parquet"))
     if not paths:
         raise ValueError(f"no blocks parquet files under {blocks_dir}")
+    keep_ids: frozenset[int] | None = None
+    if block_filter is not None:
+        stats = spark.read.parquet(*paths)
+        if "vmin_num" in stats.columns:  # pre-zone-map dirs: no pruning
+            col, keep = _zone_keep_condition(manifest, block_filter)
+            keep_ids = frozenset(
+                r[0]
+                for r in stats.filter(F.col("column") == col)
+                .filter(keep)
+                .select("block_id")
+                .distinct()
+                .collect()
+            )
     sdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         len(paths)
     )
@@ -822,6 +917,7 @@ def decode_parquet_blocks(
     decoder = _make_decoder(manifest)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         pa.set_cpu_count(1)
@@ -835,6 +931,13 @@ def decode_parquet_blocks(
                         [("column", "in", col_filter)] if col_filter else None
                     ),
                 )
+                if keep_ids is not None:
+                    t = t.filter(
+                        pc.is_in(
+                            t.column("block_id"),
+                            value_set=pa.array(sorted(keep_ids), pa.int64()),
+                        )
+                    )
                 yield from decoder(t.to_batches())
 
     phys_schema = T.StructType(
@@ -852,8 +955,60 @@ def decode_parquet_blocks(
     return _restore_logical(sdf.mapInArrow(run, phys_schema), manifest)
 
 
+def _normalize_zone_bound(v, ptype: str, logical: str | None):
+    """User-facing bound → physical value (datetime→µs, date→days,
+    bool→int, str→utf-8 bytes)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if logical in ("ts", "ts_ntz") and isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return (v - epoch) // _dt.timedelta(microseconds=1)
+    if logical == "date" and isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if logical == "bool" and isinstance(v, bool):
+        return int(v)
+    if ptype in ("str", "bin"):
+        return v.encode() if isinstance(v, str) else bytes(v)
+    return v
+
+
+def _zone_keep_condition(manifest: dict, block_filter: tuple):
+    """(column, lo, hi) → (col_name, Column condition over the stats row).
+    Conservative: blocks without stats always qualify; bounds are
+    inclusive; lo/hi may be None for open ranges."""
+    col, lo, hi = block_filter
+    if col not in manifest:
+        raise ValueError(f"block_filter column {col!r} not in manifest")
+    m = manifest[col]
+    lo = _normalize_zone_bound(lo, m["ptype"], m["logical"])
+    hi = _normalize_zone_bound(hi, m["ptype"], m["logical"])
+    if m["ptype"] in ("str", "bin"):
+        keep = F.col("vmin_str").isNull()
+        inside = F.lit(True)
+        if hi is not None:
+            inside = inside & (F.col("vmin_str") <= F.lit(hi))
+        if lo is not None:
+            # vmax_str null with vmin_str set = unbounded above (0xFF cut)
+            inside = inside & F.coalesce(
+                F.col("vmax_str") >= F.lit(lo), F.lit(True)
+            )
+        return col, keep | inside
+    keep = F.col("vmin_num").isNull()
+    inside = F.lit(True)
+    if hi is not None:
+        inside = inside & (F.col("vmin_num") <= F.lit(float(hi)))
+    if lo is not None:
+        inside = inside & (F.col("vmax_num") >= F.lit(float(lo)))
+    return col, keep | inside
+
+
 def decode_table(
-    blocks: DataFrame, manifest: dict, columns: list[str] | None = None
+    blocks: DataFrame,
+    manifest: dict,
+    columns: list[str] | None = None,
+    block_filter: tuple | None = None,
 ) -> DataFrame:
     """Inverse of :func:`encode_table`: blocks → original logical columns.
 
@@ -862,8 +1017,24 @@ def decode_table(
     column-pruning payoff of the columnar block layout; never touches the
     other columns' payload bytes).
 
+    ``block_filter=(col, lo, hi)`` prunes WHOLE BLOCKS via the zone map
+    (per-block min/max recorded at encode): only blocks whose [min, max]
+    for ``col`` overlaps the inclusive [lo, hi] range are decoded (None =
+    open end). Pruning is conservative — callers still apply the exact
+    row-level filter to the result; blocks written before zone maps (or
+    with unsupported stats) always qualify, so results are never wrong.
+
     Row order is unspecified (Spark semantics); the round-trip invariant is
     asserted under stable (conv_id, turn_idx) ordering by callers."""
+    if block_filter is not None and "vmin_num" in blocks.columns:
+        col, keep = _zone_keep_condition(manifest, block_filter)
+        ids = (
+            blocks.filter(F.col("column") == col)
+            .filter(keep)
+            .select("block_id")
+            .distinct()
+        )
+        blocks = blocks.join(ids, "block_id", "leftsemi")
     if columns is not None:
         if not columns:
             raise ValueError("columns must be non-empty (or None for all)")

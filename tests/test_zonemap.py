@@ -1,0 +1,163 @@
+"""Zone-map block pruning: per-block min/max recorded at encode, whole
+blocks skipped at decode when their range cannot overlap the predicate —
+the decode-side analogue of parquet row-group stats, at 100 TB the
+difference between decoding a slice and decoding the corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from d6tstack_spark.operators.encode import (
+    _stat_upper_bytes,
+    decode_parquet_blocks,
+    decode_table,
+    encode_parquet_files,
+)
+from d6tstack_spark.operators.sinks import write_blocks
+
+
+@pytest.fixture(scope="module")
+def multi_block(spark, tmp_path_factory):
+    """A sorted 20k-row table written with 1k-row row groups → ~10 blocks,
+    each owning a disjoint id range (the zone map's best case, which is
+    also the realistic case for an ordered ingest key)."""
+    d = tmp_path_factory.mktemp("zm")
+    n = 20_000
+    rng = np.random.default_rng(7)
+    tbl = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "grp": pa.array([f"g{(i // 5000):02d}" for i in range(n)]),
+            "val": pa.array(rng.random(n)),
+        }
+    )
+    src = str(d / "src.parquet")
+    pq.write_table(tbl, src, row_group_size=1000)
+    blocks, man = encode_parquet_files(
+        spark, src, order_cols=("k",), row_groups_per_split=1
+    )
+    bdir = str(d / "blocks")
+    write_blocks(blocks, bdir)
+    return src, bdir, man
+
+
+def test_stats_recorded(spark, multi_block):
+    src, bdir, man = multi_block
+    bl = spark.read.parquet(bdir)
+    st = (
+        bl.filter(F.col("column") == "k")
+        .select("block_id", "vmin_num", "vmax_num")
+        .toPandas()
+        .sort_values("vmin_num")
+    )
+    assert len(st) >= 10
+    assert st["vmin_num"].notna().all()
+    # conservative and ordered: each block's widened range contains its slice
+    assert st["vmin_num"].iloc[0] <= 0 and st["vmax_num"].iloc[-1] >= 19999
+    gs = spark.read.parquet(bdir).filter(F.col("column") == "grp")
+    row = gs.select("vmin_str", "vmax_str").first()
+    assert row["vmin_str"] is not None and row["vmax_str"] is not None
+
+
+@pytest.mark.parametrize("path", ["bulk", "table"])
+def test_pruned_decode_equals_filtered_full(spark, multi_block, path):
+    src, bdir, man = multi_block
+    lo, hi = 3_000, 4_500
+    full = spark.read.parquet(src)
+    want = (
+        full.filter((F.col("k") >= lo) & (F.col("k") <= hi))
+        .orderBy("k")
+        .toPandas()
+    )
+    if path == "bulk":
+        dec = decode_parquet_blocks(spark, bdir, man, block_filter=("k", lo, hi))
+    else:
+        dec = decode_table(
+            spark.read.parquet(bdir), man, block_filter=("k", lo, hi)
+        )
+    # pruning actually happened: far fewer rows decoded than the corpus
+    n_dec = dec.count()
+    assert n_dec < 20_000 / 2, n_dec
+    got = (
+        dec.filter((F.col("k") >= lo) & (F.col("k") <= hi))
+        .orderBy("k")
+        .toPandas()[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(want.reset_index(drop=True), got.reset_index(drop=True))
+
+
+def test_string_zone_filter(spark, multi_block):
+    src, bdir, man = multi_block
+    dec = decode_table(
+        spark.read.parquet(bdir), man, block_filter=("grp", "g01", "g01")
+    )
+    n = dec.count()
+    assert 5_000 <= n < 20_000  # g01's blocks only (± boundary blocks)
+    got = dec.filter(F.col("grp") == "g01").count()
+    assert got == 5_000
+
+
+def test_open_ranges_and_projection(spark, multi_block):
+    src, bdir, man = multi_block
+    dec = decode_parquet_blocks(
+        spark, bdir, man, columns=["k"], block_filter=("k", 18_000, None)
+    )
+    assert dec.columns == ["k"]
+    assert dec.filter(F.col("k") >= 18_000).count() == 2_000
+    assert dec.count() < 10_000
+    dec2 = decode_table(
+        spark.read.parquet(bdir), man, block_filter=("k", None, 999)
+    )
+    assert dec2.filter(F.col("k") <= 999).count() == 1_000
+    assert dec2.count() < 10_000
+
+
+def test_disjoint_range_decodes_nothing(spark, multi_block):
+    src, bdir, man = multi_block
+    dec = decode_parquet_blocks(
+        spark, bdir, man, block_filter=("k", 1_000_000, 2_000_000)
+    )
+    assert dec.count() == 0
+
+
+def test_unknown_filter_column_raises(spark, multi_block):
+    src, bdir, man = multi_block
+    with pytest.raises(ValueError, match="not in manifest"):
+        decode_table(
+            spark.read.parquet(bdir), man, block_filter=("nope", 0, 1)
+        )
+
+
+def test_stat_upper_bytes_truncation():
+    assert _stat_upper_bytes(b"abc") == b"abc"
+    long = b"a" * 100
+    up = _stat_upper_bytes(long)
+    assert len(up) <= 64 and up > long  # still an upper bound after the cut
+    assert _stat_upper_bytes(b"\xff" * 100) is None
+    edge = b"a" * 63 + b"\xff" + b"zzz"
+    up = _stat_upper_bytes(edge)
+    assert up == b"a" * 62 + b"b" and up > edge
+
+
+def test_nan_float_stats_parquet_semantics(spark, tmp_path):
+    """Float stats skip NaN (Arrow min_max = parquet stats semantics): the
+    bounds cover the non-NaN values, so a range that matches them keeps the
+    whole block (incl. its NaN rows), while a range no non-NaN value can
+    match may drop the block — exactly what a range predicate means, since
+    NaN satisfies no range predicate."""
+    d = str(tmp_path / "nan.parquet")
+    vals = [1.0, float("nan"), 5.0, None]
+    pq.write_table(pa.table({"k": pa.array([0, 1, 2, 3], pa.int64()),
+                             "x": pa.array(vals, pa.float64())}), d)
+    blocks, man = encode_parquet_files(spark, d, order_cols=("k",))
+    bl = blocks.cache()
+    st = bl.filter(F.col("column") == "x").select("vmin_num", "vmax_num").first()
+    assert st["vmin_num"] <= 1.0 and st["vmax_num"] >= 5.0
+    assert decode_table(bl, man, block_filter=("x", 0.0, 10.0)).count() == 4
+    assert decode_table(bl, man, block_filter=("x", 100.0, 200.0)).count() == 0
+    bl.unpersist()
