@@ -161,3 +161,14 @@ def test_nan_float_stats_parquet_semantics(spark, tmp_path):
     assert decode_table(bl, man, block_filter=("x", 0.0, 10.0)).count() == 4
     assert decode_table(bl, man, block_filter=("x", 100.0, 200.0)).count() == 0
     bl.unpersist()
+
+
+def test_pre_zonemap_blocks_tolerated(spark, multi_block):
+    """Blocks written before zone maps existed (no stats columns): the
+    filter degrades to a no-op instead of failing or mis-pruning."""
+    src, bdir, man = multi_block
+    legacy = spark.read.parquet(bdir).drop(
+        "vmin_num", "vmax_num", "vmin_str", "vmax_str"
+    )
+    dec = decode_table(legacy, man, block_filter=("k", 0, 10))
+    assert dec.count() == 20_000  # everything decodes; caller's row filter applies
