@@ -1,0 +1,102 @@
+"""The north-rule flow, literally, in one spark-submit script:
+
+Iceberg transcript table → snapshot file list (pure-python metadata reader)
+→ checkpointed resumable encode (per-partition lineage + compression
+metrics) → zone-map-pruned decode spot-check → bit-identity assertion —
+run it under a multi-executor master at two cluster sizes:
+
+    zip -qr /tmp/pkg.zip d6tstack_spark
+    spark-submit --master 'local-cluster[2,4,4096]' --py-files /tmp/pkg.zip \
+        examples/north_rule_drive.py /tmp/north_tbl 0.05
+    spark-submit --master 'local-cluster[8,4,4096]' --py-files /tmp/pkg.zip \
+        examples/north_rule_drive.py /tmp/north_tbl 0.05
+
+Prints one JSON line per run (throughput, bytes, resume stats). A second
+invocation at the same state dir resumes: splits_skipped == splits_planned
+and zero new encode work — kill it mid-run to see partial resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(work_dir: str, sf: float = 0.05) -> None:
+    spark = (
+        SparkSession.builder.appName("north-rule-drive")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from d6tstack_spark.datagen import write_transcripts
+    from d6tstack_spark.operators.encode import decode_parquet_blocks
+    from d6tstack_spark.plans.checkpoint import encode_resume, load_manifest
+    from d6tstack_spark.plans.metrics import table_totals
+    from d6tstack_spark.sources.iceberg_meta import write_iceberg_table_minimal
+    from d6tstack_spark.sources.table_io import snapshot_files
+
+    os.makedirs(work_dir, exist_ok=True)
+    # 1. the input is an ICEBERG TABLE of transcripts
+    src = write_transcripts(os.path.join(work_dir, "data"), sf=sf)
+    tbl_dir = os.path.join(work_dir, "iceberg_tbl")
+    write_iceberg_table_minimal(tbl_dir, [src])
+    files = snapshot_files(spark, tbl_dir)
+
+    # 2. checkpointed, resumable encode with lineage + metrics
+    state = os.path.join(work_dir, "state")
+    t0 = time.time()
+    summary = encode_resume(
+        spark, files, state, order_cols=("conv_id", "turn_idx")
+    )
+    wall = time.time() - t0
+    blocks = spark.read.parquet(os.path.join(state, "blocks"))
+    totals = table_totals(blocks).first().asDict()
+
+    # 3. decode spot-check: zone-map-pruned slice + full bit-identity
+    man = load_manifest(state)
+    full_src = spark.read.parquet(src)
+    n = full_src.count()
+    dec = decode_parquet_blocks(spark, os.path.join(state, "blocks"), man)
+    mismatch = (
+        dec.exceptAll(full_src).count() + full_src.exceptAll(dec).count()
+    )
+    first_conv = full_src.agg(F.min("conv_id")).first()[0]
+    pruned = decode_parquet_blocks(
+        spark,
+        os.path.join(state, "blocks"),
+        man,
+        block_filter=("conv_id", first_conv, first_conv),
+    )
+    n_pruned = pruned.filter(F.col("conv_id") == first_conv).count()
+
+    print(
+        json.dumps(
+            {
+                "master": spark.sparkContext.master,
+                "n_turns": n,
+                "encode_wall_sec": round(wall, 3),
+                "turns_per_sec": round(n / wall, 1),
+                "resume": summary,
+                "bytes": {k: int(v) for k, v in totals.items() if v is not None},
+                "decode_bit_identical": mismatch == 0,
+                "zone_pruned_rows_for_one_conv": n_pruned,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/north_rule_drive",
+        float(sys.argv[2]) if len(sys.argv) > 2 else 0.05,
+    )
