@@ -335,6 +335,27 @@ def q_encdec_fused_events(spark, sf_dir):
     return decode_table(blocks, manifest)
 
 
+def q_iceberg_v2_deletes(spark, sf_dir):
+    """Iceberg v2 merge-on-read: a position-delete file marks rows 0-9 and
+    500 of the events data file; read_table must drop exactly those rows
+    via the _metadata (file, row-position) anti-join. events.parquet is
+    file-ordered by event_id from 0, so the oracle is the id complement."""
+    import os
+    import tempfile
+
+    from d6tstack_spark.sources.iceberg_meta import write_iceberg_table_minimal
+    from d6tstack_spark.sources.table_io import read_table
+
+    src = f"{sf_dir}/events.parquet"
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"iceberg_v2_{abs(hash(sf_dir)) % 10**8}"
+    )
+    write_iceberg_table_minimal(
+        tdir, [src], position_deletes={src: list(range(10)) + [500]}
+    )
+    return read_table(spark, tdir)
+
+
 def q_encdec_pruned_range(spark, sf_dir):
     """Zone-map pruned decode: encode records per-block min/max, decode
     prunes whole blocks whose range cannot overlap [100, 400], then the
@@ -883,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encdec_orders": _q_encdec("orders", ("o_orderkey",), "o_custkey"),
         "encdec_documents": _q_encdec("documents", ("doc_id",), "doc_id"),
         "encdec_iceberg": q_encdec_iceberg,
+        "iceberg_v2_deletes": q_iceberg_v2_deletes,
         "encdec_pruned_range": q_encdec_pruned_range,
         "encdec_fused_events": q_encdec_fused_events,
         "encdec_cluster_lineitem": q_encdec_cluster_lineitem,
@@ -1080,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "encdec_events": "SELECT * FROM events",
         "encdec_iceberg": "SELECT * FROM events",
+        "iceberg_v2_deletes": "SELECT * FROM events WHERE event_id >= 10 AND event_id <> 500",
         "encdec_pruned_range": "SELECT * FROM events WHERE event_id BETWEEN 100 AND 400",
         "encdec_lineitem": "SELECT * FROM lineitem",
         "encdec_orders": "SELECT * FROM orders",

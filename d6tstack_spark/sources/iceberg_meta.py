@@ -62,22 +62,30 @@ def is_iceberg_dir(path: str) -> bool:
         return False
 
 
-def snapshot_data_files(
+def snapshot_files_detail(
     table_dir: str, snapshot_id: int | None = None
-) -> list[dict]:
-    """Data files of a snapshot: ``[{path, record_count, file_size}]``.
+) -> dict[str, list[dict]]:
+    """All live files of a snapshot, keyed by content kind:
+    ``{"data": [...], "position_deletes": [...], "equality_deletes": [...]}``
+    with ``{path, record_count, file_size}`` per file.
 
     Follows metadata.json → manifest list → manifests, honoring entry
-    status (DELETED entries are dropped). ``snapshot_id=None`` reads the
-    current snapshot; passing an id is time travel over retained
-    snapshots."""
+    status (DELETED entries are dropped) and the v2 ``content`` field
+    (0/absent = data, 1 = position deletes, 2 = equality deletes).
+    ``snapshot_id=None`` reads the current snapshot; passing an id is time
+    travel over retained snapshots."""
     md = table_metadata(table_dir)
     sid = snapshot_id if snapshot_id is not None else md.get("current-snapshot-id")
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     if sid not in snaps:
         raise KeyError(f"snapshot {sid} not in table (have {sorted(snaps)})")
     snap = snaps[sid]
-    out: list[dict] = []
+    out: dict[str, list[dict]] = {
+        "data": [],
+        "position_deletes": [],
+        "equality_deletes": [],
+    }
+    kinds = {0: "data", 1: "position_deletes", 2: "equality_deletes"}
     if "manifest-list" in snap:
         manifests, _ = read_avro(_strip_uri(snap["manifest-list"]))
         manifest_paths = [_strip_uri(m["manifest_path"]) for m in manifests]
@@ -89,7 +97,7 @@ def snapshot_data_files(
             if e.get("status") == _DELETED:
                 continue
             df = e["data_file"]
-            out.append(
+            out[kinds.get(df.get("content") or 0, "data")].append(
                 {
                     "path": _strip_uri(df["file_path"]),
                     "record_count": df.get("record_count"),
@@ -97,6 +105,13 @@ def snapshot_data_files(
                 }
             )
     return out
+
+
+def snapshot_data_files(
+    table_dir: str, snapshot_id: int | None = None
+) -> list[dict]:
+    """Data files of a snapshot (see :func:`snapshot_files_detail`)."""
+    return snapshot_files_detail(table_dir, snapshot_id)["data"]
 
 
 # ---------------------------------------------------------------------------
@@ -126,6 +141,7 @@ _MANIFEST_ENTRY_SCHEMA = {
                 "type": "record",
                 "name": "r2",
                 "fields": [
+                    {"name": "content", "type": ["null", "int"]},
                     {"name": "file_path", "type": "string"},
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
@@ -142,11 +158,16 @@ def write_iceberg_table_minimal(
     data_files: list[str],
     snapshot_id: int = 1,
     deleted_files: list[str] | None = None,
+    position_deletes: dict[str, list[int]] | None = None,
 ) -> str:
     """Build a spec-shaped Iceberg metadata tree over existing parquet files
     (metadata.json + manifest-list Avro + manifest Avro + version hint).
     ``deleted_files`` become DELETED-status entries — they must be skipped
-    by readers, which the tests assert."""
+    by readers, which the tests assert. ``position_deletes`` maps a data
+    file path to 0-based row positions: a v2 position-delete parquet
+    (columns file_path, pos — spec §position-delete-files) is written and
+    manifested with content=1; merge-on-read readers must drop those rows."""
+    import pyarrow as _pa
     import pyarrow.parquet as pq
 
     meta_dir = os.path.join(table_dir, "metadata")
@@ -159,6 +180,7 @@ def write_iceberg_table_minimal(
                 "status": 1,
                 "snapshot_id": snapshot_id,
                 "data_file": {
+                    "content": 0,
                     "file_path": os.path.abspath(p),
                     "file_format": "PARQUET",
                     "record_count": pf.metadata.num_rows,
@@ -172,10 +194,40 @@ def write_iceberg_table_minimal(
                 "status": _DELETED,
                 "snapshot_id": snapshot_id,
                 "data_file": {
+                    "content": 0,
                     "file_path": os.path.abspath(p),
                     "file_format": "PARQUET",
                     "record_count": 0,
                     "file_size_in_bytes": 0,
+                },
+            }
+        )
+    if position_deletes:
+        fp, pos = [], []
+        for p in sorted(position_deletes):
+            for i in sorted(position_deletes[p]):
+                fp.append(os.path.abspath(p))
+                pos.append(i)
+        dpath = os.path.join(meta_dir, f"pos-delete-{snapshot_id}.parquet")
+        pq.write_table(
+            _pa.table(
+                {
+                    "file_path": _pa.array(fp, _pa.string()),
+                    "pos": _pa.array(pos, _pa.int64()),
+                }
+            ),
+            dpath,
+        )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "record_count": len(pos),
+                    "file_size_in_bytes": os.path.getsize(dpath),
                 },
             }
         )

@@ -22,19 +22,60 @@ def iceberg_available(spark: SparkSession) -> bool:
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
     """Read an Iceberg table reference (``catalog.db.table``), an Iceberg
     table DIRECTORY (snapshot resolved via the pure-python metadata reader
-    — no runtime jar needed), or a plain parquet path."""
+    — no runtime jar needed; v2 position deletes applied merge-on-read),
+    or a plain parquet path."""
     if "/" not in ref and iceberg_available(spark):
         return spark.read.table(ref)
     from d6tstack_spark.sources.iceberg_meta import (
         is_iceberg_dir,
-        snapshot_data_files,
+        snapshot_files_detail,
     )
 
     if is_iceberg_dir(ref):
-        return spark.read.parquet(
-            *[f["path"] for f in snapshot_data_files(ref)]
-        )
+        detail = snapshot_files_detail(ref)
+        if detail["equality_deletes"]:
+            raise NotImplementedError(
+                "Iceberg v2 equality deletes present — only position "
+                "deletes are supported by the jar-less reader"
+            )
+        if not detail["data"]:
+            raise ValueError(f"Iceberg snapshot at {ref} has no data files")
+        df = spark.read.parquet(*[f["path"] for f in detail["data"]])
+        if detail["position_deletes"]:
+            df = _apply_position_deletes(
+                spark, df, [f["path"] for f in detail["position_deletes"]]
+            )
+        return df
     return spark.read.parquet(ref)
+
+
+def _apply_position_deletes(
+    spark: SparkSession, df: DataFrame, delete_paths: list[str]
+) -> DataFrame:
+    """Merge-on-read: drop (file, row-position) pairs named by v2
+    position-delete files. Row identity comes from the parquet reader's
+    ``_metadata`` columns (file_path, row_index); the delete set is small
+    relative to data, so the anti-join broadcasts."""
+    from pyspark.sql import functions as F
+
+    strip = lambda c: F.regexp_replace(c, "^file:(//)?", "")  # noqa: E731
+    dels = (
+        spark.read.parquet(*delete_paths)
+        .select(
+            strip(F.col("file_path")).alias("__fp"),
+            F.col("pos").alias("__pos"),
+        )
+    )
+    cols = df.columns
+    return (
+        df.select(
+            "*",
+            strip(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        .join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
+        .select(*cols)
+    )
 
 
 def write_table(

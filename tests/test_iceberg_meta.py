@@ -141,3 +141,47 @@ def test_manifest_schema_is_self_describing(tmp_path):
     assert swapped != raw
     got, _ = read_avro(swapped)
     assert got[0]["z"] == "v" and "s" not in got[0]
+
+
+def test_position_deletes_merge_on_read(spark, tmp_path):
+    """v2 position-delete file (content=1, columns file_path/pos): read_table
+    drops exactly the named (file, row-position) rows; snapshot_data_files
+    never returns the delete file as data."""
+    from d6tstack_spark.sources.iceberg_meta import snapshot_files_detail
+    from d6tstack_spark.sources.table_io import read_table
+
+    td = str(tmp_path / "tbl")
+    src = f"{SF}/events.parquet"
+    write_iceberg_table_minimal(
+        td, [src], position_deletes={src: [0, 1, 2, 999]}
+    )
+    detail = snapshot_files_detail(td)
+    assert len(detail["data"]) == 1 and len(detail["position_deletes"]) == 1
+    assert all("pos-delete" not in f["path"] for f in snapshot_data_files(td))
+    df = read_table(spark, td)
+    assert df.count() == 996
+    ids = {r[0] for r in df.select("event_id").collect()}
+    assert ids.isdisjoint({0, 1, 2, 999})  # events.parquet is id-ordered
+
+
+def test_equality_deletes_raise_clearly(spark, tmp_path):
+    import json as _json
+
+    from d6tstack_spark.sources.table_io import read_table
+
+    td = str(tmp_path / "tbl")
+    src = f"{SF}/events.parquet"
+    write_iceberg_table_minimal(td, [src])
+    # hand-mark an equality-delete entry (content=2) in a fresh manifest
+    from d6tstack_spark.sources.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
+        table_metadata,
+    )
+
+    mlist = table_metadata(td)["snapshots"][-1]["manifest-list"]
+    manifests, _ = read_avro(mlist)
+    entries, _ = read_avro(manifests[0]["manifest_path"])
+    entries[0]["data_file"]["content"] = 2
+    write_avro(manifests[0]["manifest_path"], entries, _MANIFEST_ENTRY_SCHEMA)
+    with pytest.raises(NotImplementedError, match="equality deletes"):
+        read_table(spark, td)
