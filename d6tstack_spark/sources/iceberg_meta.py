@@ -114,6 +114,18 @@ def snapshot_data_files(
     return snapshot_files_detail(table_dir, snapshot_id)["data"]
 
 
+def snapshot_added_files(
+    table_dir: str, from_snapshot_id: int, to_snapshot_id: int | None = None
+) -> list[str]:
+    """Data files present in ``to`` but not in ``from`` — the incremental
+    ingest set. Feed it to ``plans.checkpoint.encode_resume``: only the
+    appended files' blocks encode, and block ids stay stable because the
+    checkpoint pins per-file indices."""
+    old = {f["path"] for f in snapshot_data_files(table_dir, from_snapshot_id)}
+    new = snapshot_data_files(table_dir, to_snapshot_id)
+    return sorted(f["path"] for f in new if f["path"] not in old)
+
+
 # ---------------------------------------------------------------------------
 # fixture writer — a real (minimal) Iceberg metadata tree over parquet files
 # ---------------------------------------------------------------------------

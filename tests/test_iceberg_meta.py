@@ -185,3 +185,29 @@ def test_equality_deletes_raise_clearly(spark, tmp_path):
     write_avro(manifests[0]["manifest_path"], entries, _MANIFEST_ENTRY_SCHEMA)
     with pytest.raises(NotImplementedError, match="equality deletes"):
         read_table(spark, td)
+
+
+def test_incremental_encode_from_snapshot_diff(spark, tmp_path):
+    """Append-only ingest: snapshot 2 adds a file; the snapshot diff feeds
+    encode_resume, which encodes ONLY the appended file's blocks while the
+    first snapshot's blocks are reused untouched."""
+    from d6tstack_spark.datagen import write_transcripts
+    from d6tstack_spark.plans.checkpoint import encode_resume
+    from d6tstack_spark.sources.iceberg_meta import snapshot_added_files
+
+    td = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    # append-only table: two same-schema transcript files (different seeds)
+    f1 = write_transcripts(str(tmp_path / "d1"), sf=0.001, seed=42)
+    f2 = write_transcripts(str(tmp_path / "d2"), sf=0.001, seed=43)
+    write_iceberg_table_minimal(td, [f1], snapshot_id=1)
+    s1 = encode_resume(spark, [f1], state)
+    assert s1["encoded"] > 0
+
+    write_iceberg_table_minimal(td, [f1, f2], snapshot_id=2)
+    added = snapshot_added_files(td, from_snapshot_id=1)
+    assert added == [f2]
+    # resume over the FULL current snapshot: prior file's splits all skip
+    all_files = [f["path"] for f in snapshot_data_files(td)]
+    s2 = encode_resume(spark, all_files, state)
+    assert s2["skipped"] == s1["encoded"] and s2["encoded"] > 0
