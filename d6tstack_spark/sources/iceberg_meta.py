@@ -171,6 +171,7 @@ def write_iceberg_table_minimal(
     snapshot_id: int = 1,
     deleted_files: list[str] | None = None,
     position_deletes: dict[str, list[int]] | None = None,
+    equality_deletes=None,
 ) -> str:
     """Build a spec-shaped Iceberg metadata tree over existing parquet files
     (metadata.json + manifest-list Avro + manifest Avro + version hint).
@@ -178,7 +179,10 @@ def write_iceberg_table_minimal(
     by readers, which the tests assert. ``position_deletes`` maps a data
     file path to 0-based row positions: a v2 position-delete parquet
     (columns file_path, pos — spec §position-delete-files) is written and
-    manifested with content=1; merge-on-read readers must drop those rows."""
+    manifested with content=1; merge-on-read readers must drop those rows.
+    ``equality_deletes`` is an Arrow table of key rows (its column names
+    are the equality ids): written as a content=2 delete file — readers
+    drop every data row equal to a delete row on those columns."""
     import pyarrow as _pa
     import pyarrow.parquet as pq
 
@@ -240,6 +244,22 @@ def write_iceberg_table_minimal(
                     "file_format": "PARQUET",
                     "record_count": len(pos),
                     "file_size_in_bytes": os.path.getsize(dpath),
+                },
+            }
+        )
+    if equality_deletes is not None:
+        epath = os.path.join(meta_dir, f"eq-delete-{snapshot_id}.parquet")
+        pq.write_table(equality_deletes, epath)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 2,
+                    "file_path": epath,
+                    "file_format": "PARQUET",
+                    "record_count": equality_deletes.num_rows,
+                    "file_size_in_bytes": os.path.getsize(epath),
                 },
             }
         )

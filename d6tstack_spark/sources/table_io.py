@@ -33,11 +33,6 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
 
     if is_iceberg_dir(ref):
         detail = snapshot_files_detail(ref)
-        if detail["equality_deletes"]:
-            raise NotImplementedError(
-                "Iceberg v2 equality deletes present — only position "
-                "deletes are supported by the jar-less reader"
-            )
         if not detail["data"]:
             raise ValueError(f"Iceberg snapshot at {ref} has no data files")
         df = spark.read.parquet(*[f["path"] for f in detail["data"]])
@@ -45,8 +40,35 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
             df = _apply_position_deletes(
                 spark, df, [f["path"] for f in detail["position_deletes"]]
             )
+        for f in detail["equality_deletes"]:
+            df = _apply_equality_deletes(spark, df, f["path"])
         return df
     return spark.read.parquet(ref)
+
+
+def _apply_equality_deletes(
+    spark: SparkSession, df: DataFrame, delete_path: str
+) -> DataFrame:
+    """Merge-on-read equality deletes: the delete file's columns ARE its
+    equality ids (spec: a row matches when it equals a delete row on those
+    columns); null-safe equality via an eqNullSafe anti-join condition."""
+    from functools import reduce
+
+    dels = spark.read.parquet(delete_path)
+    bad = [c for c in dels.columns if c not in df.columns]
+    if bad:
+        raise ValueError(
+            f"equality-delete file {delete_path} names columns {bad} "
+            "absent from the table"
+        )
+    d = dels.dropDuplicates().alias("__eq_del")
+    cond = reduce(
+        lambda a, b: a & b,
+        [df[c].eqNullSafe(d[c]) for c in dels.columns],
+    )
+    from pyspark.sql import functions as F
+
+    return df.join(F.broadcast(d), cond, "left_anti")
 
 
 def _apply_position_deletes(

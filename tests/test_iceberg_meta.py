@@ -164,27 +164,34 @@ def test_position_deletes_merge_on_read(spark, tmp_path):
     assert ids.isdisjoint({0, 1, 2, 999})  # events.parquet is id-ordered
 
 
-def test_equality_deletes_raise_clearly(spark, tmp_path):
-    import json as _json
+def test_equality_deletes_merge_on_read(spark, tmp_path):
+    """content=2 delete file whose columns are the equality ids: every data
+    row equal on those columns drops; unknown delete columns raise."""
+    import pyarrow as pa
 
     from d6tstack_spark.sources.table_io import read_table
 
     td = str(tmp_path / "tbl")
     src = f"{SF}/events.parquet"
-    write_iceberg_table_minimal(td, [src])
-    # hand-mark an equality-delete entry (content=2) in a fresh manifest
-    from d6tstack_spark.sources.iceberg_meta import (
-        _MANIFEST_ENTRY_SCHEMA,
-        table_metadata,
+    full = [r["event_type"] for r in
+            __import__("pyarrow.parquet", fromlist=["x"]).read_table(
+                src, columns=["event_type"]).to_pylist()]
+    kind = full[0]
+    write_iceberg_table_minimal(
+        td, [src],
+        equality_deletes=pa.table({"event_type": pa.array([kind])}),
     )
+    df = read_table(spark, td)
+    assert df.count() == len(full) - full.count(kind)
+    assert df.filter(df.event_type == kind).count() == 0
 
-    mlist = table_metadata(td)["snapshots"][-1]["manifest-list"]
-    manifests, _ = read_avro(mlist)
-    entries, _ = read_avro(manifests[0]["manifest_path"])
-    entries[0]["data_file"]["content"] = 2
-    write_avro(manifests[0]["manifest_path"], entries, _MANIFEST_ENTRY_SCHEMA)
-    with pytest.raises(NotImplementedError, match="equality deletes"):
-        read_table(spark, td)
+    td2 = str(tmp_path / "tbl2")
+    write_iceberg_table_minimal(
+        td2, [src],
+        equality_deletes=pa.table({"no_such_col": pa.array([1])}),
+    )
+    with pytest.raises(ValueError, match="absent from the table"):
+        read_table(spark, td2)
 
 
 def test_incremental_encode_from_snapshot_diff(spark, tmp_path):
