@@ -386,3 +386,24 @@ def test_xls_biff_property_roundtrip():
                     assert have == want, (r, c, want, have)
 
     inner()
+
+
+def test_convert_xls_to_csv(spark, tmp_path):
+    """The reference's XLStoCSV handles legacy .xls via xlrd; same surface
+    here through the BIFF8 parser — distributed convert with skip."""
+    from d6tstack_spark.sources.xls_biff import write_xls_minimal
+
+    paths = [
+        write_xls_minimal(
+            str(tmp_path / f"legacy_{i}.xls"),
+            {"Sheet1": [["a", "b"], [f"r{i}", float(i)], [f"s{i}", float(i) + 0.5]]},
+        )
+        for i in range(2)
+    ]
+    outdir = str(tmp_path / "csvout")
+    s1 = convert_xlsx_to_csv(spark, paths, outdir).toPandas()
+    assert len(s1) == 2 and not s1["skipped"].any()
+    for f in s1["fname_out"]:
+        assert len(pd.read_csv(f)) == 2
+    s2 = convert_xlsx_to_csv(spark, paths, outdir).toPandas()
+    assert s2["skipped"].all()

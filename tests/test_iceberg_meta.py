@@ -218,3 +218,21 @@ def test_incremental_encode_from_snapshot_diff(spark, tmp_path):
     all_files = [f["path"] for f in snapshot_data_files(td)]
     s2 = encode_resume(spark, all_files, state)
     assert s2["skipped"] == s1["encoded"] and s2["encoded"] > 0
+
+
+def test_avro_truncation_never_hangs_or_lies(tmp_path):
+    """Any prefix-truncation of a valid OCF raises promptly (ValueError /
+    IndexError / struct.error) or returns a strict prefix of the records —
+    never hangs, never fabricates values."""
+    import struct as _struct
+
+    p = str(tmp_path / "t.avro")
+    write_avro(p, RECS * 8, SCHEMA)
+    raw = open(p, "rb").read()
+    for cut in range(4, len(raw), 7):
+        try:
+            got, _ = read_avro(raw[:cut])
+        except (ValueError, IndexError, KeyError, _struct.error, EOFError):
+            continue
+        n = len(RECS * 8)
+        assert got == (RECS * 8)[: len(got)] and len(got) <= n
