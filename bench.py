@@ -278,10 +278,20 @@ def main():
     # sandbox VM's memory bandwidth saturates near 32 — see BENCH/BASELINE.md)
     scaling = {}
     # every level gets 3 interleaved invocations spread across the run —
-    # shared-VM slow epochs last minutes and can swallow adjacent reps
+    # shared-VM slow epochs last minutes and can swallow adjacent reps.
+    # A soft time budget bounds the whole scaling section: after the first
+    # full rep group (all 4 levels measured once), further groups only run
+    # while under budget — the measurement history supplies the
+    # noise-cancelling breadth if this run has to stop early.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET", "900"))
+    t_start = time.time()
     for rep, levels in enumerate(
         [(4, 16, 8, 32), (16, 4, 32, 8), (8, 32, 4, 16)]
     ):
+        if rep > 0 and time.time() - t_start > budget_s:
+            log(f"  scaling time budget ({budget_s:.0f}s) reached after "
+                f"rep{rep - 1}; remaining groups covered by history")
+            break
         for cores in levels:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--encode-run", str(cores)],
