@@ -91,6 +91,52 @@ def completed_block_ids(spark: SparkSession, state_dir: str) -> DataFrame | None
         return None
 
 
+def _clean_stale_temporary(spark: SparkSession, state_dir: str) -> None:
+    """Remove a crashed writer's ``_temporary`` dir before this run appends.
+
+    The v1 file committer's job commit publishes EVERYTHING under
+    ``_temporary/0`` — including orphaned task outputs of a previous run
+    that died mid-commit. Left in place, the next append job would publish
+    those orphans alongside this run's re-encode of the same splits,
+    duplicating blocks (found by a kill-mid-commit crash drill). The
+    checkpoint model is single-writer, so stale ``_temporary`` is always
+    safe to drop. Scheme-agnostic via the Hadoop FileSystem API."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(_blocks_dir(state_dir), "_temporary")
+    )
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def repair_duplicate_blocks(spark: SparkSession, state_dir: str) -> int:
+    """Heal a state dir poisoned by a pre-fix crash: if any (block_id,
+    column) row appears more than once, rewrite the blocks table keeping
+    one copy (encode is bitwise-deterministic, so duplicates are identical
+    and either copy is correct). Returns the number of duplicate rows
+    removed; 0 means nothing was rewritten."""
+    bd = _blocks_dir(state_dir)
+    blocks = spark.read.parquet(bd)
+    total = blocks.count()
+    distinct = blocks.select("block_id", "column").distinct().count()
+    if total == distinct:
+        return 0
+    from d6tstack_spark.operators.sinks import write_blocks
+
+    tmp = bd + ".repair"
+    deduped = blocks.dropDuplicates(["block_id", "column"])
+    write_blocks(deduped, tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p_old = jvm.org.apache.hadoop.fs.Path(bd)
+    p_new = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = p_old.getFileSystem(conf)
+    fs.delete(p_old, True)
+    fs.rename(p_new, p_old)
+    return total - distinct
+
+
 def encode_resume(
     spark: SparkSession,
     paths: list[str] | str,
@@ -98,12 +144,19 @@ def encode_resume(
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     codec_overrides: dict | None = None,
     row_groups_per_split: int = 2,
+    checkpoint_every: int = 256,
 ) -> dict:
     """Encode parquet files into ``state_dir``, resuming past completed
     blocks. Returns a summary dict (splits planned/skipped/encoded, bytes).
 
     Call again after a crash/kill: only missing blocks are encoded.
-    """
+    ``checkpoint_every`` bounds the blast radius of a crash: splits commit
+    in independent append jobs of at most that many splits, so a kill
+    mid-run loses at most one in-flight batch — the committed batches
+    resume as skipped (per-partition checkpointing, not per-job). 0 = one
+    job for everything (lowest fixed cost, job-level resume only). At 256
+    splits × ~128 MB a batch is ~32 GB of input — minutes of work per
+    commit on a real cluster, hours saved on a restart."""
     import pyarrow.parquet as pq
 
     if isinstance(paths, str):
@@ -129,7 +182,14 @@ def encode_resume(
         (F.col("file_idx").cast("long") * F.lit(1 << 32)) + F.col("rg"),
     )
 
+    _clean_stale_temporary(spark, state_dir)
     done = completed_block_ids(spark, state_dir)
+    if done is not None:
+        # heal pre-existing duplicate publications (crash mid-job-commit
+        # before the _temporary cleanup existed); cheap metadata counts
+        repaired = repair_duplicate_blocks(spark, state_dir)
+        if repaired:
+            done = completed_block_ids(spark, state_dir)
     n_done = 0
     todo = sdf
     if done is not None:
@@ -157,10 +217,24 @@ def encode_resume(
         return summary
 
     t0 = time.time()
-    blocks = todo_rows.repartition(max(n_todo, 1)).mapInArrow(
-        _make_fused_encoder(manifest, codec_overrides, order_cols), BLOCKS_SCHEMA
-    )
-    blocks.write.mode("append").parquet(_blocks_dir(state_dir))
+    enc = _make_fused_encoder(manifest, codec_overrides, order_cols)
+    if checkpoint_every and n_todo > checkpoint_every:
+        # split metadata is tiny (path + 3 ints per split) — safe to hold
+        # driver-side and re-batch into independently-committed jobs
+        todo_list = todo_rows.collect()
+        for i in range(0, len(todo_list), checkpoint_every):
+            chunk = todo_list[i : i + checkpoint_every]
+            cdf = spark.createDataFrame(
+                chunk, "file_idx int, path string, rg int, nrg int"
+            ).repartition(len(chunk))
+            cdf.mapInArrow(enc, BLOCKS_SCHEMA).write.mode("append").parquet(
+                _blocks_dir(state_dir)
+            )
+    else:
+        blocks = todo_rows.repartition(max(n_todo, 1)).mapInArrow(
+            enc, BLOCKS_SCHEMA
+        )
+        blocks.write.mode("append").parquet(_blocks_dir(state_dir))
     duration = time.time() - t0
 
     # lineage: one row per (block, column) with codec + byte accounting,
@@ -173,7 +247,7 @@ def encode_resume(
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("enc_bytes").alias("enc_bytes"),
             F.map_from_entries(
-                F.collect_list(F.struct("column", "codec"))
+                F.array_distinct(F.collect_list(F.struct("column", "codec")))
             ).alias("codecs"),
         )
         .withColumn("run_duration_sec", F.lit(round(duration, 3)))

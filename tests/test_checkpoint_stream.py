@@ -390,3 +390,45 @@ def test_real_bmp_wav_png_decode(spark):
     np.testing.assert_allclose(
         fv.loc[2, "features"], want_s / want_s.sum(), rtol=1e-6
     )
+
+
+def test_stale_temporary_cleaned_and_duplicates_healed(
+    spark, multi_parquet, tmp_path
+):
+    """Crash-drill hazards, reproduced deterministically:
+    1. a dead writer's blocks/_temporary must not survive into the next
+       run (the v1 committer would publish its orphans alongside the
+       re-encode — duplicated blocks);
+    2. a state dir already poisoned with duplicate block rows (pre-fix
+       crash) heals on the next encode_resume, and decode stays exact."""
+    import shutil
+
+    from d6tstack_spark.plans.checkpoint import repair_duplicate_blocks
+
+    state = str(tmp_path / "state")
+    s1 = encode_resume(spark, multi_parquet, state, checkpoint_every=2)
+    assert s1["encoded"] > 2  # multiple committed batches
+
+    bdir = os.path.join(state, "blocks")
+    # 1. stale _temporary with an orphan task file
+    orphan = os.path.join(bdir, "_temporary", "0", "task_fake", "part-x.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    shutil.copy(sorted(glob.glob(os.path.join(bdir, "*.parquet")))[0], orphan)
+    s2 = encode_resume(spark, multi_parquet, state, checkpoint_every=2)
+    assert s2["already_complete"]
+    assert not os.path.exists(os.path.join(bdir, "_temporary"))
+
+    # 2. duplicate block rows published by a pre-fix crash
+    victim = sorted(glob.glob(os.path.join(bdir, "*.parquet")))[0]
+    shutil.copy(victim, victim.replace("part-", "part-dup-"))
+    bl = spark.read.parquet(bdir)
+    assert bl.count() > bl.select("block_id", "column").distinct().count()
+    s3 = encode_resume(spark, multi_parquet, state, checkpoint_every=2)
+    assert s3["already_complete"]
+    bl = spark.read.parquet(bdir)
+    assert bl.count() == bl.select("block_id", "column").distinct().count()
+    assert repair_duplicate_blocks(spark, state) == 0  # idempotent
+
+    dec = decode_state(spark, state)
+    src = spark.read.parquet(*multi_parquet)
+    assert dec.exceptAll(src).count() + src.exceptAll(dec).count() == 0
