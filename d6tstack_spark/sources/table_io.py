@@ -137,3 +137,24 @@ def snapshot_files(spark: SparkSession, ref: str) -> list[str]:
     if os.path.isfile(ref):
         return [ref]
     return sorted(glob.glob(os.path.join(ref, "*.parquet")))
+
+
+def encode_iceberg_table(
+    spark: SparkSession, table_dir: str, order_cols=("conv_id", "turn_idx"), **kw
+):
+    """Encode an Iceberg table directory with the right strategy for its
+    snapshot state: no delete files → the scan-fused zero-shuffle path over
+    the snapshot's data files; v2 deletes present → merge-on-read first
+    (``read_table``) and encode the MERGED rows — encoding the raw files
+    would silently bake deleted rows into the blocks.
+
+    Returns ``(blocks_df, manifest)`` like the underlying encoders."""
+    from d6tstack_spark.operators.encode import encode_parquet_files, encode_table
+    from d6tstack_spark.sources.iceberg_meta import snapshot_files_detail
+
+    detail = snapshot_files_detail(table_dir)
+    if not detail["position_deletes"] and not detail["equality_deletes"]:
+        return encode_parquet_files(
+            spark, [f["path"] for f in detail["data"]], order_cols=order_cols, **kw
+        )
+    return encode_table(read_table(spark, table_dir), order_cols=order_cols, **kw)

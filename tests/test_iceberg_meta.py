@@ -236,3 +236,24 @@ def test_avro_truncation_never_hangs_or_lies(tmp_path):
             continue
         n = len(RECS * 8)
         assert got == (RECS * 8)[: len(got)] and len(got) <= n
+
+
+def test_encode_iceberg_table_respects_deletes(spark, tmp_path):
+    """Encoding a v2 table with position deletes must encode the MERGED
+    rows (scan-fused over raw files would bake deleted rows in); a
+    delete-free table takes the zero-shuffle scan-fused path."""
+    from d6tstack_spark.operators.encode import decode_table
+    from d6tstack_spark.sources.table_io import encode_iceberg_table
+
+    src = f"{SF}/events.parquet"
+    td = str(tmp_path / "tbl")
+    write_iceberg_table_minimal(td, [src], position_deletes={src: [0, 1, 2]})
+    blocks, man = encode_iceberg_table(spark, td, order_cols=("event_id",))
+    dec = decode_table(blocks, man)
+    assert dec.count() == 997
+    assert dec.filter(dec.event_id < 3).count() == 0
+
+    td2 = str(tmp_path / "tbl2")
+    write_iceberg_table_minimal(td2, [src])
+    blocks2, man2 = encode_iceberg_table(spark, td2, order_cols=("event_id",))
+    assert decode_table(blocks2, man2).count() == 1000
