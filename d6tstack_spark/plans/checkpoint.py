@@ -262,12 +262,22 @@ def load_manifest(state_dir: str) -> dict:
         return json.load(f)
 
 
-def decode_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Decode everything in a state dir back to the original table via the
-    shuffle-free per-file bulk path (state files contain complete blocks
-    by construction — every write here is one task's whole partition)."""
+def decode_state(
+    spark: SparkSession,
+    state_dir: str,
+    columns: list[str] | None = None,
+    block_filter: tuple | None = None,
+) -> DataFrame:
+    """Decode a state dir back to the original table via the shuffle-free
+    per-file bulk path (state files contain complete blocks by construction
+    — every write here is one task's whole partition). ``columns`` and
+    ``block_filter`` pass through to the zone-map-aware decoder."""
     from d6tstack_spark.operators.encode import decode_parquet_blocks
 
     return decode_parquet_blocks(
-        spark, _blocks_dir(state_dir), load_manifest(state_dir)
+        spark,
+        _blocks_dir(state_dir),
+        load_manifest(state_dir),
+        columns=columns,
+        block_filter=block_filter,
     )

@@ -432,3 +432,17 @@ def test_stale_temporary_cleaned_and_duplicates_healed(
     dec = decode_state(spark, state)
     src = spark.read.parquet(*multi_parquet)
     assert dec.exceptAll(src).count() + src.exceptAll(dec).count() == 0
+
+
+def test_decode_state_projection_and_zone_filter(spark, multi_parquet, tmp_path):
+    state = str(tmp_path / "state")
+    encode_resume(spark, multi_parquet, state)
+    src = spark.read.parquet(*multi_parquet)
+    lo = src.agg(F.min("conv_id")).first()[0]
+    dec = decode_state(
+        spark, state, columns=["conv_id", "turn_idx"],
+        block_filter=("conv_id", lo, lo),
+    )
+    assert dec.columns == ["conv_id", "turn_idx"]
+    want = src.filter(F.col("conv_id") == lo).count()
+    assert dec.filter(F.col("conv_id") == lo).count() == want
