@@ -86,7 +86,11 @@ def main(work_dir: str, sf: float = 0.05) -> None:
                 "encode_wall_sec": round(wall, 3),
                 "turns_per_sec": round(n / wall, 1),
                 "resume": summary,
-                "bytes": {k: int(v) for k, v in totals.items() if v is not None},
+                "bytes": {
+                    k: (round(float(v), 3) if k == "ratio" else int(v))
+                    for k, v in totals.items()
+                    if v is not None
+                },
                 "decode_bit_identical": mismatch == 0,
                 "zone_pruned_rows_for_one_conv": n_pruned,
             }
