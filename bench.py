@@ -23,10 +23,14 @@ Usage:
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
+import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,51 +115,59 @@ def encode_run(cores: int) -> dict:
         "SPARK_GRAFT_BENCH_OUT",
         "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
     )
-    out = f"{out_base}/bench_blocks_{cores}"
-    walls = []
-    for _ in range(3):  # min of 3 steady-state runs (robust to shared-VM noise)
-        t0 = time.time()
-        blocks, manifest = encode_parquet_files(
-            spark, src_path, order_cols=("conv_id", "turn_idx")
-        )
-        # uncompressed sink: payloads are already entropy-coded (see
-        # sinks.write_blocks) — snappy-on-top wastes CPU on every level
-        write_blocks(blocks, out)
-        walls.append(time.time() - t0)
-    wall = min(walls)
-    # decode throughput via the shuffle-free per-file bulk path
-    # (min-of-2 — a single sample can land in a VM-noise spike)
-    from d6tstack_spark.operators.encode import decode_parquet_blocks
+    # UNIQUE per-invocation sink dir: round 3's driver bench died because a
+    # fixed shared path (bench_blocks_{cores}) was deleted mid-decode by a
+    # stale concurrent bench process. mkdtemp + finally-rmtree makes every
+    # invocation own its sink for its whole lifetime.
+    out_root = tempfile.mkdtemp(prefix=f"bench_blocks_{cores}_", dir=out_base)
+    out = os.path.join(out_root, "blocks")
+    try:
+        walls = []
+        for _ in range(3):  # min of 3 steady-state runs (robust to shared-VM noise)
+            t0 = time.time()
+            blocks, manifest = encode_parquet_files(
+                spark, src_path, order_cols=("conv_id", "turn_idx")
+            )
+            # uncompressed sink: payloads are already entropy-coded (see
+            # sinks.write_blocks) — snappy-on-top wastes CPU on every level
+            write_blocks(blocks, out)
+            walls.append(time.time() - t0)
+        wall = min(walls)
+        # decode throughput via the shuffle-free per-file bulk path
+        # (min-of-2 — a single sample can land in a VM-noise spike)
+        from d6tstack_spark.operators.encode import decode_parquet_blocks
 
-    dec_walls = []
-    for _ in range(2):
-        t0 = time.time()
-        n_dec = decode_parquet_blocks(spark, out, manifest).count()
-        dec_walls.append(time.time() - t0)
-    dec_wall = min(dec_walls)
-    stats = (
-        spark.read.parquet(out)
-        .agg(
-            F.sum("n_rows").alias("cell_rows"),
-            F.sum("enc_bytes").alias("enc"),
-            F.sum("raw_bytes").alias("raw"),
-            F.countDistinct("block_id").alias("nblocks"),
+        dec_walls = []
+        for _ in range(2):
+            t0 = time.time()
+            n_dec = decode_parquet_blocks(spark, out, manifest).count()
+            dec_walls.append(time.time() - t0)
+        dec_wall = min(dec_walls)
+        stats = (
+            spark.read.parquet(out)
+            .agg(
+                F.sum("n_rows").alias("cell_rows"),
+                F.sum("enc_bytes").alias("enc"),
+                F.sum("raw_bytes").alias("raw"),
+                F.countDistinct("block_id").alias("nblocks"),
+            )
+            .first()
         )
-        .first()
-    )
-    n_turns = df.count()
-    res = {
-        "cores": cores,
-        "n_turns": n_turns,
-        "wall_sec": round(wall, 3),
-        "turns_per_sec": round(n_turns / wall, 1),
-        "decode_turns_per_sec": round(n_dec / dec_wall, 1),
-        "enc_bytes": int(stats["enc"]),
-        "raw_bytes": int(stats["raw"]),
-        "n_blocks": int(stats["nblocks"]),
-        "src_parquet_bytes": os.path.getsize(src_path),
-    }
-    spark.stop()
+        n_turns = df.count()
+        res = {
+            "cores": cores,
+            "n_turns": n_turns,
+            "wall_sec": round(wall, 3),
+            "turns_per_sec": round(n_turns / wall, 1),
+            "decode_turns_per_sec": round(n_dec / dec_wall, 1),
+            "enc_bytes": int(stats["enc"]),
+            "raw_bytes": int(stats["raw"]),
+            "n_blocks": int(stats["nblocks"]),
+            "src_parquet_bytes": os.path.getsize(src_path),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(out_root, ignore_errors=True)
     _history_append(res)
     return res
 
@@ -260,6 +272,59 @@ def run_queries(reps: int = 3) -> dict[str, float]:
     return times
 
 
+_LIVE_CHILDREN: set = set()
+
+
+def _kill_live_children():
+    """If the parent dies (timeout, signal, exception), no --encode-run
+    child may outlive it: a surviving child was exactly how round 3's
+    stale bench process came to delete a later run's sink mid-decode."""
+    for p in list(_LIVE_CHILDREN):
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError, OSError):
+            pass
+
+
+atexit.register(_kill_live_children)
+
+
+def _run_encode_child(cores: int, timeout_s: float) -> dict:
+    """One --encode-run subprocess in its OWN process group (killable as a
+    unit — spark child JVMs included), with a hard timeout and one retry
+    for transient failures."""
+    args = [sys.executable, os.path.abspath(__file__), "--encode-run", str(cores)]
+    last_err = ""
+    for attempt in range(2):
+        p = subprocess.Popen(
+            args,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            start_new_session=True,
+        )
+        _LIVE_CHILDREN.add(p)
+        try:
+            out, err = p.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except (ProcessLookupError, OSError):
+                pass
+            out, err = p.communicate()
+            last_err = f"timed out after {timeout_s:.0f}s"
+            log(f"  encode-run {cores} attempt {attempt}: {last_err}")
+            continue
+        finally:
+            _LIVE_CHILDREN.discard(p)
+        if p.returncode == 0:
+            return json.loads(out.strip().splitlines()[-1])
+        last_err = err[-2000:]
+        log(f"  encode-run {cores} attempt {attempt} rc={p.returncode}:\n{last_err}")
+    raise RuntimeError(f"encode-run {cores} failed twice: {last_err}")
+
+
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--encode-run":
         print(json.dumps(encode_run(int(sys.argv[2]))))
@@ -283,7 +348,9 @@ def main():
     # full rep group (all 4 levels measured once), further groups only run
     # while under budget — the measurement history supplies the
     # noise-cancelling breadth if this run has to stop early.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET", "900"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET", "600"))
+    # generous vs the ~190s worst observed child (local[4], 2x noise margin)
+    child_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_CHILD_TIMEOUT", "420"))
     t_start = time.time()
     for rep, levels in enumerate(
         [(4, 16, 8, 32), (16, 4, 32, 8), (8, 32, 4, 16)]
@@ -293,16 +360,7 @@ def main():
                 f"rep{rep - 1}; remaining groups covered by history")
             break
         for cores in levels:
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--encode-run", str(cores)],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            if p.returncode != 0:
-                log(p.stderr[-2000:])
-                raise RuntimeError(f"encode-run {cores} failed")
-            r = json.loads(p.stdout.strip().splitlines()[-1])
+            r = _run_encode_child(cores, child_timeout)
             if cores not in scaling or r["wall_sec"] < scaling[cores]["wall_sec"]:
                 scaling[cores] = r
             log(f"  rep{rep} local[{cores}]: {r['turns_per_sec']} turns/s "

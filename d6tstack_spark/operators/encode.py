@@ -868,11 +868,14 @@ def decode_parquet_blocks(
     :func:`encode_parquet_files`.
 
     ``block_filter=(col, lo, hi)`` prunes whole blocks via the zone map
-    (see :func:`decode_table`): the driver resolves qualifying block ids
-    from a stats-only projection (payload column never read — parquet
-    column pruning), and tasks skip every other block. The id set is
-    driver-held metadata (~8 bytes/qualifying block); at extreme block
-    counts pass a narrower range or prune by block_id partitions first.
+    (see :func:`decode_table`) with NO driver-held id set: the driver only
+    decides which FILES contain at least one qualifying block (a stats-only
+    scan — payload column never read thanks to parquet column pruning;
+    state bounded by file count, not block count), and each task
+    re-evaluates the zone condition on its own file's stats rows to pick
+    the qualifying blocks locally. Task closures therefore stay O(1)
+    regardless of how many of the ~10⁶-10⁷ blocks of a 100 TB table
+    qualify.
 
     :func:`decode_table` must repartition by block_id so each task owns
     complete blocks — a full shuffle of the PAYLOAD bytes. But the blocks
@@ -897,19 +900,40 @@ def decode_parquet_blocks(
     paths = sorted(_hadoop_list_files(spark, blocks_dir, ".parquet"))
     if not paths:
         raise ValueError(f"no blocks parquet files under {blocks_dir}")
-    keep_ids: frozenset[int] | None = None
+    # zone-map pruning, two levels, zero driver-held block-id state:
+    #   1. driver keeps only FILES with ≥1 qualifying block (stats-only
+    #      scan; result bounded by file count, not block count);
+    #   2. each task re-derives its own file's qualifying block ids from
+    #      that file's stats rows (the per-file complete-block invariant
+    #      means a block's stats and payload always share a file).
+    zf: tuple | None = None  # (col, lo_phys, hi_phys, is_str) for tasks
     if block_filter is not None:
         stats = spark.read.parquet(*paths)
         if "vmin_num" in stats.columns:  # pre-zone-map dirs: no pruning
             col, keep = _zone_keep_condition(manifest, block_filter)
-            keep_ids = frozenset(
-                r[0]
+            m = manifest[col]
+            is_str = m["ptype"] in ("str", "bin")
+            zf = (
+                col,
+                _normalize_zone_bound(block_filter[1], m["ptype"], m["logical"]),
+                _normalize_zone_bound(block_filter[2], m["ptype"], m["logical"]),
+                is_str,
+            )
+            qual = {
+                _norm_file_uri(r[0])
                 for r in stats.filter(F.col("column") == col)
                 .filter(keep)
-                .select("block_id")
+                .select(F.input_file_name())
                 .distinct()
                 .collect()
-            )
+            }
+            paths = [p for p in paths if _norm_file_uri(p) in qual]
+            if not paths:
+                # no block qualifies anywhere: empty frame, right schema
+                phys_schema0 = _phys_struct(manifest)
+                return _restore_logical(
+                    spark.createDataFrame([], phys_schema0), manifest
+                )
     sdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         len(paths)
     )
@@ -924,13 +948,34 @@ def decode_parquet_blocks(
         pa.set_io_thread_count(1)
         for b in batches:
             for p in b.column("path").to_pylist():
-                t = pq.read_table(
-                    p,
-                    use_threads=False,
-                    filters=(
-                        [("column", "in", col_filter)] if col_filter else None
-                    ),
-                )
+                try:
+                    keep_ids = None
+                    if zf is not None:
+                        st = pq.read_table(
+                            p,
+                            columns=[
+                                "block_id", "vmin_num", "vmax_num",
+                                "vmin_str", "vmax_str",
+                            ],
+                            filters=[("column", "==", zf[0])],
+                            use_threads=False,
+                        )
+                        keep_ids = _zone_keep_ids_local(st, *zf[1:])
+                    t = pq.read_table(
+                        p,
+                        use_threads=False,
+                        filters=(
+                            [("column", "in", col_filter)] if col_filter else None
+                        ),
+                    )
+                except FileNotFoundError as e:
+                    raise RuntimeError(
+                        f"blocks dir changed under the running decode: {p} "
+                        "was listed at planning time but is gone at task-read "
+                        "time — another process deleted or rewrote the sink "
+                        "directory mid-job. Each job must own a unique blocks "
+                        "dir for its lifetime."
+                    ) from e
                 if keep_ids is not None:
                     t = t.filter(
                         pc.is_in(
@@ -940,7 +985,12 @@ def decode_parquet_blocks(
                     )
                 yield from decoder(t.to_batches())
 
-    phys_schema = T.StructType(
+    phys_schema = _phys_struct(manifest)
+    return _restore_logical(sdf.mapInArrow(run, phys_schema), manifest)
+
+
+def _phys_struct(manifest: dict) -> T.StructType:
+    return T.StructType(
         [
             T.StructField(
                 name,
@@ -952,7 +1002,46 @@ def decode_parquet_blocks(
             for name, m in manifest.items()
         ]
     )
-    return _restore_logical(sdf.mapInArrow(run, phys_schema), manifest)
+
+
+def _norm_file_uri(p: str) -> str:
+    """Normalize a file path/URI for equality tests across APIs that
+    disagree on scheme spelling (Hadoop ``file:/a``, Spark
+    ``file:///a``, plain ``/a``)."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _zone_keep_ids_local(stats: "pa.Table", lo, hi, is_str: bool) -> set[int]:
+    """Task-side twin of :func:`_zone_keep_condition`: evaluate the
+    conservative zone-overlap predicate on ONE file's stats rows (already
+    filtered to the zone column) and return its qualifying block ids.
+    Semantics must match the Column version exactly — blocks without stats
+    always qualify; a null vmax_str with vmin_str set means unbounded
+    above (0xFF truncation cut)."""
+    ids: set[int] = set()
+    rows = stats.to_pylist()
+    for r in rows:
+        vmin = r["vmin_str"] if is_str else r["vmin_num"]
+        vmax = r["vmax_str"] if is_str else r["vmax_num"]
+        if vmin is None:  # no stats recorded → conservative keep
+            ids.add(r["block_id"])
+            continue
+        ok = True
+        if hi is not None and not (vmin <= hi):
+            ok = False
+        if ok and lo is not None:
+            if is_str:
+                # null upper bound = unbounded above
+                ok = vmax is None or vmax >= lo
+            else:
+                ok = vmax is not None and vmax >= float(lo)
+        if ok:
+            ids.add(r["block_id"])
+    return ids
 
 
 def _normalize_zone_bound(v, ptype: str, logical: str | None):
