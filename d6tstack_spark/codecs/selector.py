@@ -43,14 +43,19 @@ def sniff_stats(
 ) -> dict:
     """Per-column stats on a sample: cardinality, avg run length, symbol
     entropy (strings), value range (ints), avg item bytes (strings).
-    ``sample_lens``: precomputed byte lengths of the sample (the Arrow hot
-    path already has them from pc.binary_length — skips a python loop)."""
+    ``sample_lens``: precomputed byte lengths ALIGNED WITH ``values`` (the
+    Arrow hot path already has them from pc.binary_length — skips a python
+    loop); strided exactly like the value sample so avg_len/sum_len
+    describe the same rows the other stats do, not the column head."""
     s = _sample(values)
     c = _contig_sample(values)
     n = len(s)
     stats: dict = {"n_sampled": n, "n_total": len(values)}
     if sample_lens is not None:
-        stats["_lens"] = np.asarray(sample_lens[:n])
+        sl = np.asarray(sample_lens)
+        if len(values) > _SAMPLE_CAP:  # mirror _sample's stride
+            sl = sl[:: len(values) // _SAMPLE_CAP][:_SAMPLE_CAP]
+        stats["_lens"] = sl[:n]
     if n == 0:
         stats.update(card=0, avg_run=1.0, ent=0.0)
         return stats

@@ -318,21 +318,35 @@ def _split_oversized(
     """Row-slice a block whose largest column exceeds MAX_BLOCK_COL_BYTES —
     transcripts with multi-MB turns can push one column of one block past
     Arrow's int32 offset limit; sub-blocks restore the invariant every codec
-    kernel assumes. nbytes works on chunked columns (no combine needed)."""
+    kernel assumes. nbytes works on chunked columns (no combine needed).
+
+    Splits RECURSIVELY: an equal-row-count cut assumes uniform bytes/row,
+    but one multi-GB row among small ones leaves a sub-slice still over
+    budget — each part is re-checked and re-split until every part fits
+    (a single row over budget is irreducible and passes through; Arrow's
+    offset limit then surfaces at encode, as it would for any engine)."""
     if budget is None:
         budget = MAX_BLOCK_COL_BYTES
-    worst = max((tbl.column(n).nbytes for n in manifest), default=0)
-    if worst <= budget or tbl.num_rows <= 1:
-        return [tbl]
-    parts = min(-(-worst // budget), tbl.num_rows)
-    if parts > (1 << SUB_BLOCK_BITS):
+
+    def _split(t: pa.Table) -> list[pa.Table]:
+        worst = max((t.column(n).nbytes for n in manifest), default=0)
+        if worst <= budget or t.num_rows <= 1:
+            return [t]
+        parts = min(-(-worst // budget), t.num_rows)
+        step = -(-t.num_rows // parts)
+        out: list[pa.Table] = []
+        for i in range(0, t.num_rows, step):
+            out.extend(_split(t.slice(i, step)))
+        return out
+
+    parts = _split(tbl)
+    if len(parts) > (1 << SUB_BLOCK_BITS):
         raise ValueError(
-            f"block needs {parts} sub-blocks (> {1 << SUB_BLOCK_BITS}): one "
-            "scan split carries >256x the per-column byte budget — lower "
+            f"block needs {len(parts)} sub-blocks (> {1 << SUB_BLOCK_BITS}): "
+            "one scan split carries >256x the per-column byte budget — lower "
             "row_groups_per_split / target_block_rows instead"
         )
-    step = -(-tbl.num_rows // parts)
-    return [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+    return parts
 
 
 def _encode_one_block(

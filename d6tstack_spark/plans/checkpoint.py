@@ -48,6 +48,55 @@ def _files_path(state_dir: str) -> str:
     return os.path.join(state_dir, "files.json")
 
 
+# block-id scheme stamped into every state dir. "subblock8" = ids carry
+# SUB_BLOCK_BITS low bits for oversized-block sub-indices (base id =
+# id >> SUB_BLOCK_BITS). A dir written under a different scheme CANNOT be
+# resumed by this code: the resume join would mis-derive base ids, skip
+# nothing, and append every split a second time under new ids — which
+# decode_state would then return twice and repair_duplicate_blocks could
+# not heal (the ids differ).
+ID_SCHEME = "subblock8"
+
+
+def _format_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "format.json")
+
+
+def _check_or_stamp_format(state_dir: str, has_blocks: bool) -> None:
+    """Enforce the id-scheme contract on resume (see ID_SCHEME).
+
+    Fresh dir → stamp. Stamped dir → verify. Blocks present but no stamp →
+    legacy dir from before format versioning: refuse rather than guess,
+    because a wrong guess silently duplicates every row at decode."""
+    fp = _format_path(state_dir)
+    if os.path.exists(fp):
+        with open(fp) as f:
+            fmt = json.load(f)
+        if fmt.get("id_scheme") != ID_SCHEME:
+            raise ValueError(
+                f"state dir {state_dir} uses block-id scheme "
+                f"{fmt.get('id_scheme')!r}, this build writes {ID_SCHEME!r}: "
+                "resuming would re-encode every split under differently-"
+                "shaped ids and duplicate the table at decode. Re-encode "
+                "into a fresh state dir (or decode with the build that "
+                "wrote it)."
+            )
+        return
+    if has_blocks:
+        raise ValueError(
+            f"state dir {state_dir} has blocks but no format.json id-scheme "
+            "marker (written by a pre-versioning build): cannot verify its "
+            "block-id layout. Re-encode into a fresh state dir, or — after "
+            f"verifying the dir was written with the {ID_SCHEME!r} scheme — "
+            'stamp it manually: format.json = {"id_scheme": "subblock8"}.'
+        )
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = fp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"id_scheme": ID_SCHEME, "format_version": 1}, f, indent=1)
+    os.replace(tmp, fp)
+
+
 def _assign_file_indices(state_dir: str, paths: list[str]) -> dict[str, int]:
     """Stable path → file_idx map persisted in the state dir.
 
@@ -125,7 +174,15 @@ def repair_duplicate_blocks(spark: SparkSession, state_dir: str) -> int:
     from d6tstack_spark.operators.sinks import write_blocks
 
     tmp = bd + ".repair"
-    deduped = blocks.dropDuplicates(["block_id", "column"])
+    # repartition by block_id after the dedup shuffle: dropDuplicates hash-
+    # partitions on (block_id, column), which would scatter one block's
+    # column rows across output files and break the per-file complete-block
+    # invariant the shuffle-free decode depends on (at small scale AQE
+    # coalesces the problem away, at real scale it surfaces as 'incomplete
+    # blocks at decode')
+    deduped = blocks.dropDuplicates(["block_id", "column"]).repartition(
+        "block_id"
+    )
     write_blocks(deduped, tmp)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -144,7 +201,7 @@ def encode_resume(
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     codec_overrides: dict | None = None,
     row_groups_per_split: int = 2,
-    checkpoint_every: int = 256,
+    checkpoint_every: int | None = None,
 ) -> dict:
     """Encode parquet files into ``state_dir``, resuming past completed
     blocks. Returns a summary dict (splits planned/skipped/encoded, bytes).
@@ -154,9 +211,15 @@ def encode_resume(
     in independent append jobs of at most that many splits, so a kill
     mid-run loses at most one in-flight batch — the committed batches
     resume as skipped (per-partition checkpointing, not per-job). 0 = one
-    job for everything (lowest fixed cost, job-level resume only). At 256
-    splits × ~128 MB a batch is ~32 GB of input — minutes of work per
-    commit on a real cluster, hours saved on a restart."""
+    job for everything (lowest fixed cost, job-level resume only).
+    None (default) scales with the cluster: ``max(256, 32 ×
+    defaultParallelism)`` — each commit batch is ~32 waves of work per
+    core, so bigger clusters take proportionally bigger (and therefore
+    proportionally FEWER) batches and the number of serial job
+    submissions stays flat as the input grows with the cluster, while a
+    crash still only loses minutes of work. A fixed small value on a
+    large cluster would serialize thousands of tiny jobs through the
+    driver's commit barrier."""
     import pyarrow.parquet as pq
 
     if isinstance(paths, str):
@@ -182,6 +245,11 @@ def encode_resume(
         (F.col("file_idx").cast("long") * F.lit(1 << 32)) + F.col("rg"),
     )
 
+    if checkpoint_every is None:
+        checkpoint_every = max(256, 32 * spark.sparkContext.defaultParallelism)
+    _check_or_stamp_format(
+        state_dir, has_blocks=os.path.isdir(_blocks_dir(state_dir))
+    )
     _clean_stale_temporary(spark, state_dir)
     done = completed_block_ids(spark, state_dir)
     if done is not None:

@@ -67,11 +67,16 @@ def snapshot_files_detail(
 ) -> dict[str, list[dict]]:
     """All live files of a snapshot, keyed by content kind:
     ``{"data": [...], "position_deletes": [...], "equality_deletes": [...]}``
-    with ``{path, record_count, file_size}`` per file.
+    with ``{path, record_count, file_size, sequence_number}`` per file.
 
     Follows metadata.json → manifest list → manifests, honoring entry
     status (DELETED entries are dropped) and the v2 ``content`` field
     (0/absent = data, 1 = position deletes, 2 = equality deletes).
+    Data sequence numbers follow the spec's inheritance rule: a null
+    entry-level ``sequence_number`` inherits the manifest-list entry's;
+    v1 trees with no sequence numbers at all read as 0 — delete scoping
+    (table_io) then degrades to apply-everywhere, which is the correct
+    v1-reading-as-v2 behavior since v1 cannot contain delete files.
     ``snapshot_id=None`` reads the current snapshot; passing an id is time
     travel over retained snapshots."""
     md = table_metadata(table_dir)
@@ -88,20 +93,27 @@ def snapshot_files_detail(
     kinds = {0: "data", 1: "position_deletes", 2: "equality_deletes"}
     if "manifest-list" in snap:
         manifests, _ = read_avro(_strip_uri(snap["manifest-list"]))
-        manifest_paths = [_strip_uri(m["manifest_path"]) for m in manifests]
+        manifest_paths = [
+            (_strip_uri(m["manifest_path"]), m.get("sequence_number"))
+            for m in manifests
+        ]
     else:  # pre-manifest-list layout (spec v1 "manifests" inline)
-        manifest_paths = [_strip_uri(p) for p in snap.get("manifests", [])]
-    for mp in manifest_paths:
+        manifest_paths = [(_strip_uri(p), None) for p in snap.get("manifests", [])]
+    for mp, mseq in manifest_paths:
         entries, _ = read_avro(mp)
         for e in entries:
             if e.get("status") == _DELETED:
                 continue
             df = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:  # spec inheritance from the manifest-list entry
+                seq = mseq
             out[kinds.get(df.get("content") or 0, "data")].append(
                 {
                     "path": _strip_uri(df["file_path"]),
                     "record_count": df.get("record_count"),
                     "file_size": df.get("file_size_in_bytes"),
+                    "sequence_number": 0 if seq is None else int(seq),
                 }
             )
     return out
@@ -138,6 +150,7 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
     ],
 }
 
@@ -147,6 +160,7 @@ _MANIFEST_ENTRY_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {
             "name": "data_file",
             "type": {
@@ -172,6 +186,9 @@ def write_iceberg_table_minimal(
     deleted_files: list[str] | None = None,
     position_deletes: dict[str, list[int]] | None = None,
     equality_deletes=None,
+    file_sequences: dict[str, int] | None = None,
+    position_delete_sequence: int | None = None,
+    equality_delete_sequence: int | None = None,
 ) -> str:
     """Build a spec-shaped Iceberg metadata tree over existing parquet files
     (metadata.json + manifest-list Avro + manifest Avro + version hint).
@@ -182,12 +199,18 @@ def write_iceberg_table_minimal(
     manifested with content=1; merge-on-read readers must drop those rows.
     ``equality_deletes`` is an Arrow table of key rows (its column names
     are the equality ids): written as a content=2 delete file — readers
-    drop every data row equal to a delete row on those columns."""
+    drop every data row equal to a delete row on those columns.
+    ``file_sequences`` overrides the data sequence number per data file
+    (default: this snapshot's id); ``*_delete_sequence`` override the
+    delete files' sequence numbers — together they let fixtures model
+    rows re-inserted AFTER a delete was committed, which spec-correct
+    readers must keep (delete scoping by sequence number)."""
     import pyarrow as _pa
     import pyarrow.parquet as pq
 
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
+    fseq = {os.path.abspath(k): v for k, v in (file_sequences or {}).items()}
     entries = []
     for p in sorted(data_files):
         pf = pq.ParquetFile(p)
@@ -195,6 +218,7 @@ def write_iceberg_table_minimal(
             {
                 "status": 1,
                 "snapshot_id": snapshot_id,
+                "sequence_number": fseq.get(os.path.abspath(p), snapshot_id),
                 "data_file": {
                     "content": 0,
                     "file_path": os.path.abspath(p),
@@ -209,6 +233,7 @@ def write_iceberg_table_minimal(
             {
                 "status": _DELETED,
                 "snapshot_id": snapshot_id,
+                "sequence_number": snapshot_id,
                 "data_file": {
                     "content": 0,
                     "file_path": os.path.abspath(p),
@@ -238,6 +263,11 @@ def write_iceberg_table_minimal(
             {
                 "status": 1,
                 "snapshot_id": snapshot_id,
+                "sequence_number": (
+                    position_delete_sequence
+                    if position_delete_sequence is not None
+                    else snapshot_id
+                ),
                 "data_file": {
                     "content": 1,
                     "file_path": dpath,
@@ -254,6 +284,11 @@ def write_iceberg_table_minimal(
             {
                 "status": 1,
                 "snapshot_id": snapshot_id,
+                "sequence_number": (
+                    equality_delete_sequence
+                    if equality_delete_sequence is not None
+                    else snapshot_id
+                ),
                 "data_file": {
                     "content": 2,
                     "file_path": epath,
@@ -274,6 +309,7 @@ def write_iceberg_table_minimal(
                 "manifest_length": os.path.getsize(manifest),
                 "partition_spec_id": 0,
                 "added_snapshot_id": snapshot_id,
+                "sequence_number": snapshot_id,
             }
         ],
         _MANIFEST_FILE_SCHEMA,

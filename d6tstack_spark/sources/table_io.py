@@ -36,68 +36,74 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
         if not detail["data"]:
             raise ValueError(f"Iceberg snapshot at {ref} has no data files")
         df = spark.read.parquet(*[f["path"] for f in detail["data"]])
-        if detail["position_deletes"]:
-            df = _apply_position_deletes(
-                spark, df, [f["path"] for f in detail["position_deletes"]]
-            )
-        for f in detail["equality_deletes"]:
-            df = _apply_equality_deletes(spark, df, f["path"])
+        if detail["position_deletes"] or detail["equality_deletes"]:
+            df = _merge_on_read(spark, df, detail)
         return df
     return spark.read.parquet(ref)
 
 
-def _apply_equality_deletes(
-    spark: SparkSession, df: DataFrame, delete_path: str
-) -> DataFrame:
-    """Merge-on-read equality deletes: the delete file's columns ARE its
-    equality ids (spec: a row matches when it equals a delete row on those
-    columns); null-safe equality via an eqNullSafe anti-join condition."""
+def _merge_on_read(spark: SparkSession, df: DataFrame, detail: dict) -> DataFrame:
+    """Apply v2 delete files with spec-correct sequence-number scoping.
+
+    Per the Iceberg v2 spec, a POSITION delete applies to data files with
+    data sequence number ≤ its own, and an EQUALITY delete only to data
+    files with sequence number STRICTLY LESS than its own — so a row
+    re-inserted after an equality delete was committed stays live. Without
+    the scoping, reading such a table silently drops the re-inserted row
+    (round-3 review finding).
+
+    Each row learns its data file's sequence number via a broadcast join
+    of the (tiny) per-file manifest metadata on ``_metadata.file_path``;
+    delete sets are small relative to data, so every anti-join broadcasts.
+    """
     from functools import reduce
 
-    dels = spark.read.parquet(delete_path)
-    bad = [c for c in dels.columns if c not in df.columns]
-    if bad:
-        raise ValueError(
-            f"equality-delete file {delete_path} names columns {bad} "
-            "absent from the table"
-        )
-    d = dels.dropDuplicates().alias("__eq_del")
-    cond = reduce(
-        lambda a, b: a & b,
-        [df[c].eqNullSafe(d[c]) for c in dels.columns],
-    )
-    from pyspark.sql import functions as F
-
-    return df.join(F.broadcast(d), cond, "left_anti")
-
-
-def _apply_position_deletes(
-    spark: SparkSession, df: DataFrame, delete_paths: list[str]
-) -> DataFrame:
-    """Merge-on-read: drop (file, row-position) pairs named by v2
-    position-delete files. Row identity comes from the parquet reader's
-    ``_metadata`` columns (file_path, row_index); the delete set is small
-    relative to data, so the anti-join broadcasts."""
     from pyspark.sql import functions as F
 
     strip = lambda c: F.regexp_replace(c, "^file:(//)?", "")  # noqa: E731
-    dels = (
-        spark.read.parquet(*delete_paths)
-        .select(
-            strip(F.col("file_path")).alias("__fp"),
-            F.col("pos").alias("__pos"),
-        )
-    )
     cols = df.columns
-    return (
-        df.select(
-            "*",
-            strip(F.col("_metadata.file_path")).alias("__fp"),
-            F.col("_metadata.row_index").alias("__pos"),
+    seq_lookup = F.broadcast(
+        spark.createDataFrame(
+            [(f["path"], f.get("sequence_number", 0)) for f in detail["data"]],
+            "__fp string, __seq long",
         )
-        .join(F.broadcast(dels), ["__fp", "__pos"], "left_anti")
-        .select(*cols)
     )
+    merged = df.select(
+        "*",
+        strip(F.col("_metadata.file_path")).alias("__fp"),
+        F.col("_metadata.row_index").alias("__pos"),
+    ).join(seq_lookup, "__fp", "left")
+
+    for pdel in detail["position_deletes"]:
+        dseq = pdel.get("sequence_number", 0)
+        dels = spark.read.parquet(pdel["path"]).select(
+            strip(F.col("file_path")).alias("__dfp"),
+            F.col("pos").alias("__dpos"),
+        )
+        cond = (
+            (merged["__fp"] == dels["__dfp"])
+            & (merged["__pos"] == dels["__dpos"])
+            & (merged["__seq"] <= F.lit(dseq))
+        )
+        merged = merged.join(F.broadcast(dels), cond, "left_anti")
+
+    for edel in detail["equality_deletes"]:
+        dseq = edel.get("sequence_number", 0)
+        dels = spark.read.parquet(edel["path"])
+        bad = [c for c in dels.columns if c not in cols]
+        if bad:
+            raise ValueError(
+                f"equality-delete file {edel['path']} names columns {bad} "
+                "absent from the table"
+            )
+        # the delete file's columns ARE its equality ids (null-safe match)
+        d = dels.dropDuplicates().alias("__eq_del")
+        cond = reduce(
+            lambda a, b: a & b,
+            [merged[c].eqNullSafe(d[c]) for c in dels.columns],
+        ) & (merged["__seq"] < F.lit(dseq))
+        merged = merged.join(F.broadcast(d), cond, "left_anti")
+    return merged.select(*cols)
 
 
 def write_table(

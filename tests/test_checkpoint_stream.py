@@ -446,3 +446,69 @@ def test_decode_state_projection_and_zone_filter(spark, multi_parquet, tmp_path)
     assert dec.columns == ["conv_id", "turn_idx"]
     want = src.filter(F.col("conv_id") == lo).count()
     assert dec.filter(F.col("conv_id") == lo).count() == want
+
+
+def test_legacy_state_dir_without_id_scheme_marker_refused(
+    spark, multi_parquet, tmp_path
+):
+    """A state dir with blocks but no format.json (written by a build from
+    before id-scheme versioning) must be refused, not guessed at: resuming
+    under the wrong block-id layout re-encodes every split under new ids
+    and the decoded table silently doubles."""
+    state = str(tmp_path / "state")
+    encode_resume(spark, multi_parquet, state)
+    os.remove(os.path.join(state, "format.json"))
+    with pytest.raises(ValueError, match="no format.json id-scheme marker"):
+        encode_resume(spark, multi_parquet, state)
+
+
+def test_mismatched_id_scheme_refused(spark, multi_parquet, tmp_path):
+    import json
+
+    state = str(tmp_path / "state")
+    encode_resume(spark, multi_parquet, state)
+    with open(os.path.join(state, "format.json"), "w") as f:
+        json.dump({"id_scheme": "flat64"}, f)
+    with pytest.raises(ValueError, match="block-id scheme 'flat64'"):
+        encode_resume(spark, multi_parquet, state)
+
+
+def test_repair_keeps_blocks_complete_per_file(spark, multi_parquet, tmp_path):
+    """repair_duplicate_blocks must preserve the per-file complete-block
+    invariant WITHOUT relying on AQE coalescing the dedup shuffle into one
+    partition (at real scale it won't): after repair, every block's column
+    rows live in a single file."""
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from d6tstack_spark.plans.checkpoint import repair_duplicate_blocks
+
+    state = str(tmp_path / "state")
+    encode_resume(spark, multi_parquet, state, checkpoint_every=2)
+    bdir = os.path.join(state, "blocks")
+    for victim in sorted(glob.glob(os.path.join(bdir, "*.parquet")))[:3]:
+        shutil.copy(victim, victim.replace("part-", "part-dup-"))
+    # force the many-small-partitions shape AQE would otherwise hide
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        assert repair_duplicate_blocks(spark, state) > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+    ncols = len(load_manifest(state))
+    seen: dict[int, str] = {}
+    for f in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+        t = pq_.read_table(f, columns=["block_id"])
+        for bid in t.column("block_id").to_pylist():
+            assert seen.setdefault(bid, f) == f, (
+                f"block {bid} split across {seen[bid]} and {f}"
+            )
+    counts = pd.Series([b for f in sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+                        for b in pq_.read_table(f, columns=["block_id"])
+                        .column("block_id").to_pylist()]).value_counts()
+    assert (counts == ncols).all()
+    # and the decode path agrees end-to-end
+    dec = decode_state(spark, state)
+    src = spark.read.parquet(*multi_parquet)
+    assert dec.exceptAll(src).count() + src.exceptAll(dec).count() == 0

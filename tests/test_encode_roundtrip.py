@@ -363,3 +363,26 @@ def test_empty_table_roundtrip(spark, transcripts_path):
     blocks, manifest = encode_table(df, order_cols=("conv_id", "turn_idx"))
     assert blocks.count() == 0
     assert decode_table(blocks, manifest).count() == 0
+
+
+def test_oversized_split_handles_byte_skew():
+    """One multi-KB row among tiny ones: an equal-row-count single-pass cut
+    would leave the sub-slice holding the big row still over budget (the
+    very overflow the split exists to prevent); the recursive split keeps
+    cutting until every part fits, preserving row order."""
+    import pyarrow as pa_
+
+    from d6tstack_spark.operators.encode import _split_oversized
+
+    man = {"text": {"ptype": "str", "logical": "str"}}
+    vals = ["s"] * 100 + ["X" * 50_000] + ["t"] * 100
+    tbl = pa_.table({"text": pa_.array(vals, pa_.string())})
+    parts = _split_oversized(tbl, man, budget=4_000)
+    assert all(
+        p.column("text").nbytes <= 4_000 or p.num_rows == 1 for p in parts
+    )
+    # order and content preserved
+    got = [v for p in parts for v in p.column("text").to_pylist()]
+    assert got == vals
+    # the big row ends up alone in its own sub-block
+    assert any(p.num_rows == 1 and p.column("text").nbytes > 4_000 for p in parts)

@@ -166,7 +166,9 @@ def test_position_deletes_merge_on_read(spark, tmp_path):
 
 def test_equality_deletes_merge_on_read(spark, tmp_path):
     """content=2 delete file whose columns are the equality ids: every data
-    row equal on those columns drops; unknown delete columns raise."""
+    row (from an OLDER data sequence) equal on those columns drops; unknown
+    delete columns raise. The delete is written at a later sequence than
+    the data — the shape a real upsert commit produces."""
     import pyarrow as pa
 
     from d6tstack_spark.sources.table_io import read_table
@@ -180,6 +182,7 @@ def test_equality_deletes_merge_on_read(spark, tmp_path):
     write_iceberg_table_minimal(
         td, [src],
         equality_deletes=pa.table({"event_type": pa.array([kind])}),
+        equality_delete_sequence=2,
     )
     df = read_table(spark, td)
     assert df.count() == len(full) - full.count(kind)
@@ -189,9 +192,64 @@ def test_equality_deletes_merge_on_read(spark, tmp_path):
     write_iceberg_table_minimal(
         td2, [src],
         equality_deletes=pa.table({"no_such_col": pa.array([1])}),
+        equality_delete_sequence=2,
     )
     with pytest.raises(ValueError, match="absent from the table"):
         read_table(spark, td2)
+
+
+def test_equality_delete_sequence_scoping(spark, tmp_path):
+    """Spec §delete-semantics: an equality delete applies only to data
+    files with data sequence number STRICTLY LESS than its own. A row
+    re-inserted AFTER the delete was committed must stay live — before
+    sequence scoping the reader silently dropped it (round-3 review
+    finding). Same-commit data (seq == delete seq) is likewise untouched:
+    that is exactly how an upsert commit (delete old + insert new) works."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from d6tstack_spark.sources.table_io import read_table
+
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    pd.DataFrame({"k": [1, 2, 3], "v": ["old1", "old2", "old3"]}).to_parquet(old)
+    pd.DataFrame({"k": [2], "v": ["new2"]}).to_parquet(new)
+    td = str(tmp_path / "tbl")
+    # commit model: seq1 adds old rows; seq2 deletes k=2 and re-inserts it
+    write_iceberg_table_minimal(
+        td, [old, new],
+        file_sequences={old: 1, new: 2},
+        equality_deletes=pa.table({"k": pa.array([2], pa.int64())}),
+        equality_delete_sequence=2,
+    )
+    got = read_table(spark, td).orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in got] == [
+        (1, "old1"), (2, "new2"), (3, "old3")
+    ]
+
+
+def test_position_delete_sequence_scoping(spark, tmp_path):
+    """A position delete applies to data sequence numbers ≤ its own, never
+    to files added after it."""
+    import pandas as pd
+
+    from d6tstack_spark.sources.table_io import read_table
+
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    pd.DataFrame({"k": [1, 2]}).to_parquet(old)
+    pd.DataFrame({"k": [10, 20]}).to_parquet(new)
+    td = str(tmp_path / "tbl")
+    # delete row 0 of BOTH files, but the delete is at seq 1 and `new`
+    # was added at seq 2 → only old's row 0 drops
+    write_iceberg_table_minimal(
+        td, [old, new],
+        file_sequences={old: 1, new: 2},
+        position_deletes={old: [0], new: [0]},
+        position_delete_sequence=1,
+    )
+    got = sorted(r["k"] for r in read_table(spark, td).collect())
+    assert got == [2, 10, 20]
 
 
 def test_incremental_encode_from_snapshot_diff(spark, tmp_path):
