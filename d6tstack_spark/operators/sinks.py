@@ -57,8 +57,8 @@ def to_parquet_align(
 def to_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "error", **options
 ):
-    """JDBC sink (needs a driver jar on the classpath — absent in this
-    image; the call surface is the integration point)."""
+    """JDBC sink (needs a driver jar on the classpath — driven live in
+    tests against embedded Derby, jdbc:derby:memory:...)."""
     df.write.mode(mode).format("jdbc").options(url=url, dbtable=table, **options).save()
 
 

@@ -40,7 +40,8 @@ def read_jdbc(
     bounds the read is SPLIT into ``num_partitions`` range predicates that
     scan in parallel — without it a JDBC read is one connection on one task,
     which at 100 TB is not a scan, it's a straw. Requires the driver jar on
-    the classpath (absent in this image; tests skip)."""
+    the classpath — driven live in tests against embedded Derby
+    (/opt/spark/jars ships the driver; no network needed)."""
     if (table is None) == (query is None):
         raise ValueError("pass exactly one of table= or query=")
     reader = spark.read.format("jdbc").option("url", url)

@@ -193,3 +193,84 @@ def test_read_sql_dbapi_partitioned(spark, tmp_path):
     )
     p = one.toPandas()
     assert len(p) == 8 and int(p["n"].sum()) == 1001
+
+
+# ---------------------------------------------------------------------------
+# live JDBC round-trip against embedded Derby (jars ship in /opt/spark/jars
+# — no network, no external server: the closest thing to a real database
+# this sandbox can run). Moves S11/S12 from contract-level to executed.
+# ---------------------------------------------------------------------------
+
+DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(DERBY)
+        return True
+    except Exception:
+        return False
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """to_jdbc write → read_jdbc full + partitioned reads, frame-equal.
+    Also proves the partitioned read plans one range predicate per
+    partition over live JDBC, not just in the contract test."""
+    import pandas as pd
+
+    from d6tstack_spark.operators.sinks import to_jdbc
+    from d6tstack_spark.sources.sql import read_jdbc
+
+    if not _derby_available(spark):
+        pytest.skip("Derby driver not on the classpath")
+    url = "jdbc:derby:memory:d6t_rt;create=true"
+    want = pd.DataFrame(
+        {
+            "id": range(100),
+            "grp": [f"g{i % 7}" for i in range(100)],
+            "val": [i * 0.5 for i in range(100)],
+        }
+    )
+    df = spark.createDataFrame(want)
+    to_jdbc(df, url, "rt_table", mode="overwrite", driver=DERBY)
+
+    got = (
+        read_jdbc(spark, url, table="rt_table", driver=DERBY)
+        .orderBy("id")
+        .toPandas()
+    )
+    got.columns = [c.lower() for c in got.columns]  # Derby upper-cases
+    pd.testing.assert_frame_equal(want.reset_index(drop=True), got[want.columns.tolist()])
+
+    part = read_jdbc(
+        spark, url, table="rt_table", partition_column="id",
+        lower_bound=0, upper_bound=100, num_partitions=4, driver=DERBY,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    got2 = part.orderBy("id").toPandas()
+    got2.columns = [c.lower() for c in got2.columns]
+    pd.testing.assert_frame_equal(want.reset_index(drop=True), got2[want.columns.tolist()])
+    # disjoint + complete: each range predicate owns its slice exactly once
+    sizes = part.rdd.glom().map(len).collect()
+    assert sum(sizes) == 100 and all(s == 25 for s in sizes)
+
+
+def test_jdbc_query_pushdown_derby(spark):
+    """query= pushes the SQL to the database (aggregation happens
+    DB-side; Spark sees only the result rows)."""
+    from d6tstack_spark.operators.sinks import to_jdbc
+    from d6tstack_spark.sources.sql import read_jdbc
+
+    if not _derby_available(spark):
+        pytest.skip("Derby driver not on the classpath")
+    url = "jdbc:derby:memory:d6t_q;create=true"
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id int, k int"
+    )
+    to_jdbc(df, url, "q_table", mode="overwrite", driver=DERBY)
+    agg = read_jdbc(
+        spark, url,
+        query='SELECT "k", COUNT(*) AS "n" FROM q_table GROUP BY "k"',
+        driver=DERBY,
+    ).orderBy("k").collect()
+    assert [(r["k"], r["n"]) for r in agg] == [(0, 10), (1, 10), (2, 10)]
