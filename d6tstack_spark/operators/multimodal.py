@@ -9,7 +9,7 @@ signatures) is real and tested. Decoding:
   (header + pixel array), PCM WAV via the stdlib ``wave`` module
   (channels/rate/duration + samples), PNG header (IHDR dimensions only —
   pixel decode would need the full filter pipeline).
-- STUBBED for everything else (JPEG/MP4/...): either raises
+- STUBBED for everything else (video: MP4/WebM/...): either raises
   ``NotImplementedError`` (strict mode) or produces a deterministic fake
   derived from the bytes (test mode), clearly marked.
 """
@@ -129,6 +129,60 @@ def decode_png_header(buf: bytes) -> dict:
     return {"width": width, "height": height}
 
 
+def decode_jpeg_header(buf: bytes) -> dict:
+    """JPEG dimensions via an SOF-marker scan (pure stdlib): walks the
+    marker segments from SOI to the first start-of-frame (SOF0 baseline,
+    SOF2 progressive, and the other SOFn variants) and reads height/width/
+    component count from it. Pixel decode needs a DCT pipeline and stays
+    out of scope — but dimensions/metadata for the most common image
+    format on the web are real, not faked."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    # SOFn markers are 0xC0-0xCF except DHT (C4), JPG (C8) and DAC (CC)
+    sof = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+    i = 2
+    while i + 1 < len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {i}")
+        marker = buf[i + 1]
+        i += 2
+        if marker == 0xFF:  # fill byte
+            i -= 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if i + 2 > len(buf):
+            break
+        seglen = int.from_bytes(buf[i : i + 2], "big")
+        if marker in sof:
+            precision = buf[i + 2]
+            height, width = struct.unpack_from(">HH", buf, i + 3)
+            return {
+                "width": width,
+                "height": height,
+                "precision": precision,
+                "components": buf[i + 7],
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:  # start of scan — SOF must have come first
+            break
+        i += seglen
+    raise ValueError("no SOF marker before start of scan")
+
+
+def make_jpeg_header(
+    width: int, height: int, progressive: bool = False
+) -> bytes:
+    """Minimal structurally-valid JPEG prefix (SOI + APP0/JFIF + SOFn +
+    SOS + EOI) for fixtures — real enough for any SOF-scanning dimension
+    parser, no entropy-coded payload."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = sof_marker + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + sof + sos + b"\xff\xd9"
+
+
 def try_decode(buf: bytes) -> dict | None:
     """Sniff magic bytes and run the matching REAL decoder. Returns
     {kind, width, height, duration_ms, ...} or None if no real decoder
@@ -145,6 +199,10 @@ def try_decode(buf: bytes) -> dict | None:
         if buf[:8] == b"\x89PNG\r\n\x1a\n":
             d = decode_png_header(buf)
             return {"kind": "png", "width": d["width"], "height": d["height"],
+                    "duration_ms": None}
+        if buf[:2] == b"\xff\xd8":
+            d = decode_jpeg_header(buf)
+            return {"kind": "jpeg", "width": d["width"], "height": d["height"],
                     "duration_ms": None}
     except Exception:
         # corrupt/truncated media must degrade (strict-raise or fake), not
@@ -171,12 +229,13 @@ def decode_media(
     """Decode media → (…, dec_width, dec_height, dec_duration_ms, dec_kind).
     Arrow-batched mapInPandas; one pandas DataFrame per batch.
 
-    BMP/WAV/PNG-header decode is REAL (pure stdlib — see decode_bmp /
-    decode_wav / decode_png_header). For formats without a stdlib decoder
-    (JPEG, MP4, ...): strict=True raises NotImplementedError — the
-    production integration point for PIL/ffmpeg; strict=False falls back to
-    the deterministic fake (dec_kind='fake') so the distributed plumbing is
-    testable end-to-end."""
+    BMP/WAV decode and PNG/JPEG header parse are REAL (pure stdlib — see
+    decode_bmp / decode_wav / decode_png_header / decode_jpeg_header; JPEG
+    dimensions come from the SOF marker scan). For formats without any
+    stdlib parser (video containers — MP4/WebM): strict=True raises
+    NotImplementedError — the production integration point for ffmpeg;
+    strict=False falls back to the deterministic fake (dec_kind='fake') so
+    the distributed plumbing is testable end-to-end."""
     from pyspark.sql import types as T
 
     # note: StructType.add MUTATES in place — never call it on df.schema
@@ -202,8 +261,8 @@ def decode_media(
                     ds.append(dec["duration_ms"]); ks.append(dec["kind"])
                 elif strict:
                     raise NotImplementedError(
-                        "no stdlib decoder for this format (JPEG/MP4/... "
-                        "need PIL/ffmpeg — not in this image); bytes start "
+                        "no stdlib decoder for this format (video needs "
+                        "ffmpeg — not in this image); bytes start "
                         f"with {bytes(b)[:8]!r}"
                     )
                 else:

@@ -512,3 +512,47 @@ def test_repair_keeps_blocks_complete_per_file(spark, multi_parquet, tmp_path):
     dec = decode_state(spark, state)
     src = spark.read.parquet(*multi_parquet)
     assert dec.exceptAll(src).count() + src.exceptAll(dec).count() == 0
+
+
+def test_jpeg_header_decode(spark):
+    """JPEG dimensions are REAL (SOF marker scan): baseline and
+    progressive frames, fill bytes, and restart markers all parse; a
+    JPEG with no SOF before start-of-scan rejects. decode_media picks the
+    jpeg decoder from the magic bytes."""
+    from d6tstack_spark.operators.multimodal import (
+        decode_jpeg_header,
+        decode_media,
+        make_jpeg_header,
+    )
+
+    d = decode_jpeg_header(make_jpeg_header(640, 480))
+    assert (d["width"], d["height"], d["progressive"]) == (640, 480, False)
+    d = decode_jpeg_header(make_jpeg_header(31, 1999, progressive=True))
+    assert (d["width"], d["height"], d["progressive"]) == (31, 1999, True)
+    # fill bytes before a marker are legal
+    buf = make_jpeg_header(8, 8)
+    padded = buf[:2] + b"\xff" + buf[2:]
+    assert decode_jpeg_header(padded)["width"] == 8
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_header(b"\x89PNG")
+    with pytest.raises(ValueError, match="no SOF"):
+        # SOI straight to SOS: dimensions are genuinely absent
+        decode_jpeg_header(b"\xff\xd8\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(make_jpeg_header(320, 200))), (2, None)],
+        "media_id int, content binary",
+    )
+    got = decode_media(df).orderBy("media_id").collect()
+    assert (got[0]["dec_kind"], got[0]["dec_width"], got[0]["dec_height"]) == (
+        "jpeg", 320, 200,
+    )
+    assert got[1]["dec_kind"] is None
+    # strict mode no longer raises for JPEG — only undecodable formats
+    strict = decode_media(
+        spark.createDataFrame(
+            [(1, bytearray(make_jpeg_header(2, 3)))], "media_id int, content binary"
+        ),
+        strict=True,
+    ).collect()
+    assert strict[0]["dec_width"] == 2

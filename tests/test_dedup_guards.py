@@ -105,19 +105,20 @@ def test_connected_components_labels(spark):
 
 
 def test_connected_components_raises_on_nonconvergence(spark):
-    """A path-shaped component with diameter > max_iter must ERROR, not
-    return partially-propagated (split) cluster labels."""
+    """Star-contraction needs ~log2(n) rounds; starve it (max_iter=1 on a
+    long chain) and it must ERROR, not return a partially-contracted
+    (split) clustering."""
     import pytest
 
     from d6tstack_spark.operators.dedup import connected_components
 
-    n = 12
+    n = 64
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, chain, max_iter=3)
+        connected_components(nodes, chain, max_iter=1)
     # enough rounds → correct single cluster
     got = dict(
         connected_components(nodes, chain, max_iter=n).orderBy("id").collect()
@@ -167,3 +168,35 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert not any(1000 <= a < 2000 and 1000 <= b < 2000 for a, b in pairs)
     assert len(got) < 1000
     assert wall < 60
+
+
+def test_connected_components_pathological_chain(spark):
+    """A 2000-hop path — the diameter case that broke min-label
+    propagation (O(diameter) rounds, then a hard raise at max_iter).
+    Star-contraction converges in ~log2(n) rounds: the whole chain must
+    collapse to ONE cluster labeled by its minimum id, well within the
+    default max_iter."""
+    from d6tstack_spark.operators.dedup import connected_components
+
+    n = 2000
+    nodes = spark.range(n).select(F.col("id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    got = connected_components(nodes, pairs).toPandas()
+    assert (got["cluster_id"] == 0).all()
+    assert len(got) == n
+
+
+def test_connected_components_mixed_components_and_singletons(spark):
+    from d6tstack_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 4), (7, 7)], "id_a long, id_b long"
+    )
+    got = dict(
+        connected_components(nodes, pairs).orderBy("id").toPandas().values
+    )
+    assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 4: 2,
+                   6: 6, 7: 7, 8: 8, 9: 9}
