@@ -108,9 +108,19 @@ def encode_block(
     )
 
 
-def encode_block_arrow(arr, ptype: str, codec: str | None = None) -> Block:
+def encode_block_arrow(
+    arr, ptype: str, codec: str | None = None,
+    fsst_table: list[bytes] | None = None,
+) -> Block:
     """Encode one string/binary column slice straight from an Arrow array —
     no python-object materialization (the encode hot path).
+
+    ``fsst_table``: a job-level shared FSST symbol table (see
+    kernels.build_fsst_table). When the chosen codec is ``fsst`` the block
+    encodes against it in one hash pass instead of building a local table
+    (~1.2x the kernel, far less DRAM traffic); if the table fits the block
+    badly (content drift) the local build runs as before. Wire format is
+    identical either way — blocks stay self-contained.
 
     Same Block/wire output as :func:`encode_block`."""
     import pyarrow.compute as pc
@@ -142,7 +152,13 @@ def encode_block_arrow(arr, ptype: str, codec: str | None = None) -> Block:
         stats = sniff_stats(sample_np, ptype, sample_lens=lens[:4096])
         stats["n_total"] = len(nn)
         codec = choose_codec(sample_np, ptype, stats)
-    body, cparams = encode_values_arrow(nn, ptype, codec)
+    body = None
+    if codec == "fsst" and fsst_table:
+        shared = kernels._enc_fsst_shared(nn, fsst_table)
+        if shared is not None:
+            body, cparams = shared
+    if body is None:
+        body, cparams = encode_values_arrow(nn, ptype, codec)
     if auto and codec != "plain":
         if _plain_size_exact(lens, ptype, len(nn)) <= len(body):
             body, cparams = encode_values_arrow(nn, ptype, "plain")

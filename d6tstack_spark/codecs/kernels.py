@@ -658,6 +658,105 @@ def _enc_rle_arrow(arr) -> tuple[bytes, dict]:
     }
 
 
+def build_fsst_table(arr, max_symbols: int | None = None) -> list[bytes]:
+    """Build a unigram FSST symbol table (code-ordered token list) from a
+    SAMPLE array — the job-level "two-pass shared table" variant: the
+    driver builds one table per string column from a bounded sample at
+    plan time, and every block encodes against it (see _enc_fsst_shared).
+    Deterministic for a given sample (stable argsort, ties by first
+    occurrence), so block bytes stay reproducible under task retries and
+    resume re-encodes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(arr) == 0:
+        return []
+    flat = pc.list_flatten(pc.split_pattern(arr, pattern=b" "))
+    denc = flat.dictionary_encode()
+    idx = denc.indices.to_numpy(zero_copy_only=False)
+    dic = denc.dictionary
+    counts = np.bincount(idx, minlength=len(dic))
+    dlens = pc.binary_length(dic).to_numpy(zero_copy_only=False).astype(np.int64)
+    gain = counts * (dlens + 1)
+    gain = np.where(counts <= 1, 0, gain)
+    order = np.argsort(-gain, kind="stable")
+    k = min(max_symbols or _FSST_MAX_SYMBOLS, int((gain[order] > 0).sum()))
+    sel = order[:k]
+    vals = dic.take(pa.array(sel)).to_pylist()
+    return [bytes(v) for v in vals]
+
+
+def _enc_fsst_shared(arr, table: list[bytes]) -> tuple[bytes, dict] | None:
+    """Encode against a pre-built shared symbol table: ONE hash pass
+    (pc.index_in) maps every token straight to its code — no per-block
+    counting, gain ranking, or greedy selection, and far less DRAM
+    traffic than the local-table path (the 32-core scaling ceiling is
+    memory bandwidth). Wire format and decoder are IDENTICAL to the
+    local-table encoder: each block still carries the (shared) table, so
+    blocks stay self-contained.
+
+    Returns None when the table fits the block badly (literal fraction
+    above ~25% — content drifted from the sample); the caller then falls
+    back to the per-block local-table build. The decision depends only on
+    block content + table, so encode stays bitwise-deterministic."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(arr) == 0 or not table:
+        return None
+    table_pa = pa.array(table, type=pa.binary())
+    splits = pc.split_pattern(arr, pattern=b" ")
+    tpr = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(splits)
+    codes_i = pc.index_in(flat, value_set=table_pa)  # null = not in table
+    ntok = len(codes_i)
+    nlit = codes_i.null_count
+    if ntok == 0:
+        return None  # degenerate; local path handles it
+    if nlit > max(64, ntok // 4):
+        return None  # drift: shared table doesn't fit this block
+    # stay uint8 end-to-end: table codes are < 255 by construction, so the
+    # int32 index array casts down arrow-side — no 4-byte numpy
+    # materialization of the million-token stream (DRAM is the ceiling)
+    code_stream = pc.fill_null(
+        codes_i.cast(pa.uint8()), _FSST_LITERAL
+    ).to_numpy(zero_copy_only=False)
+    if nlit:
+        lit_arr = flat.filter(pc.is_null(codes_i))
+        # dictionary_encode ids are first-occurrence-ordered — the same
+        # contract as the local path's pd.factorize
+        ldenc = lit_arr.dictionary_encode()
+        lit_ids = ldenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lit_uniq = ldenc.dictionary
+    else:
+        lit_ids = np.zeros(0, dtype=np.int64)
+        lit_uniq = pa.array([], type=pa.binary())
+    lw = _bit_width(len(lit_uniq) - 1) if len(lit_uniq) > 1 else 0
+    lit_ids_buf = bitpack(lit_ids.view(np.uint64), lw)
+    tpr64 = tpr.astype(np.int64)
+    tref = int(tpr64.min())
+    tw = _bit_width(int(tpr64.max()) - tref)
+    tprbuf = bitpack((tpr64 - tref).view(np.uint64), tw)
+    tablebuf, tp = _enc_plain_arrow(table_pa)
+    litdictbuf, ldp = _enc_plain_arrow(lit_uniq)
+    payload = tprbuf + tablebuf + litdictbuf + code_stream.tobytes() + lit_ids_buf
+    return payload, {
+        "tcb": len(tprbuf),
+        "tw": tw,
+        "tref": tref,
+        "lb": len(tprbuf),
+        "tb": len(tablebuf),
+        "tp": tp,
+        "nsym": len(table),
+        "ntok": ntok,
+        "nlit": nlit,
+        "nlitu": len(lit_uniq),
+        "ldb": len(litdictbuf),
+        "ldp": ldp,
+        "liw": lw,
+    }
+
+
 def _enc_fsst_from_arrow(arr, bigrams: bool = False) -> tuple[bytes, dict]:
     """The _enc_fsst body starting from an Arrow binary array (shared by the
     object-API wrapper below and the arrow-native block path).

@@ -355,6 +355,7 @@ def _encode_one_block(
     manifest: dict,
     codec_overrides: dict,
     budget: int | None = None,
+    shared_tables: dict | None = None,
 ) -> list[dict]:
     """Encode one logical block; oversized blocks are auto-split into
     sub-blocks with ids (block_id << SUB_BLOCK_BITS) | sub — every caller's
@@ -367,14 +368,15 @@ def _encode_one_block(
         rows.extend(
             _encode_single(
                 part, (block_id << SUB_BLOCK_BITS) | sub, manifest,
-                codec_overrides,
+                codec_overrides, shared_tables,
             )
         )
     return rows
 
 
 def _encode_single(
-    tbl: pa.Table, block_id: int, manifest: dict, codec_overrides: dict
+    tbl: pa.Table, block_id: int, manifest: dict, codec_overrides: dict,
+    shared_tables: dict | None = None,
 ) -> list[dict]:
     from d6tstack_spark.codecs.blocks import encode_block_arrow
 
@@ -398,7 +400,8 @@ def _encode_single(
         elif ptype in ("str", "bin"):
             # arrow-native fast path: the column never becomes python objects
             blk = encode_block_arrow(
-                arr.cast(pa.binary()), ptype, codec_overrides.get(name)
+                arr.cast(pa.binary()), ptype, codec_overrides.get(name),
+                fsst_table=(shared_tables or {}).get(name),
             )
         else:
             values, valid = _extract_values(arr, ptype)
@@ -686,9 +689,42 @@ def plan_parquet_splits(
     return splits
 
 
+def build_shared_fsst_tables(
+    paths: list[str], manifest: dict, sample_rows: int = 16384
+) -> dict[str, list[bytes]]:
+    """Driver-side pass 0 of the two-pass shared-table FSST scheme: one
+    symbol table per string column, built from the first row group of the
+    first (sorted) path. Deterministic for a given input set, and stable
+    under resume as long as no new file sorts before the original first
+    file — and even then only COMPRESSION varies, never correctness:
+    blocks embed whichever table encoded them."""
+    import pyarrow.parquet as pq
+
+    from d6tstack_spark.codecs.kernels import build_fsst_table
+
+    str_cols = [n for n, m in manifest.items() if m["ptype"] in ("str", "bin")]
+    if not str_cols:
+        return {}
+    f = pq.ParquetFile(sorted(paths)[0])
+    present = [c for c in str_cols if c in f.schema_arrow.names]
+    if f.metadata.num_row_groups == 0 or not present:
+        return {}
+    t = f.read_row_group(0, columns=present, use_threads=False)
+    out: dict[str, list[bytes]] = {}
+    for c in present:
+        arr = (
+            t.column(c).combine_chunks().drop_null().cast(pa.binary())
+        )
+        tbl = build_fsst_table(arr.slice(0, sample_rows))
+        if tbl:
+            out[c] = tbl
+    return out
+
+
 def _make_fused_encoder(manifest: dict, codec_overrides: dict | None,
                         order_cols: tuple[str, ...],
-                        budget: int | None = None):
+                        budget: int | None = None,
+                        shared_tables: dict | None = None):
     codec_overrides = codec_overrides or {}
     sort_keys = [(c, "ascending") for c in order_cols if c in manifest]
 
@@ -727,7 +763,8 @@ def _make_fused_encoder(manifest: dict, codec_overrides: dict | None,
                     cols[name] = arr
                 block_id = (int(row["file_idx"]) << 32) | int(row["rg"])
                 rows = _encode_one_block(
-                    pa.table(cols), block_id, manifest, codec_overrides, budget
+                    pa.table(cols), block_id, manifest, codec_overrides,
+                    budget, shared_tables,
                 )
                 out = {k: [r[k] for r in rows] for k in _BLOCKS_ARROW.names}
                 yield pa.RecordBatch.from_pydict(out, schema=_BLOCKS_ARROW)
@@ -754,12 +791,20 @@ def encode_parquet_files(
     Block id = (file_idx<<32 | first_row_group) << SUB_BLOCK_BITS | sub —
     deterministic under retries (sub > 0 only when a block exceeds the
     per-column byte budget and auto-splits).
+
+    At plan time the driver also builds a shared FSST symbol table per
+    string column from a bounded sample (first row group of the first
+    sorted path — deterministic), so every fsst block maps tokens to
+    codes in one hash pass instead of re-deriving a table per block; a
+    block whose content drifted from the sample silently falls back to
+    the local build (kernels._enc_fsst_shared).
     """
     import pyarrow.parquet as pq
 
     if isinstance(paths, str):
         paths = [paths]
     manifest = build_manifest_arrow(pq.read_schema(paths[0]))
+    shared_tables = build_shared_fsst_tables(paths, manifest)
     splits = plan_parquet_splits(paths, row_groups_per_split)
     sdf = spark.createDataFrame(
         [(fi, p, rg, n) for fi, p, rg, n in splits],
@@ -776,7 +821,8 @@ def encode_parquet_files(
         sdf.repartition(len(splits))
         .mapInArrow(
             _make_fused_encoder(
-                manifest, codec_overrides, order_cols, max_block_col_bytes
+                manifest, codec_overrides, order_cols, max_block_col_bytes,
+                shared_tables,
             ),
             BLOCKS_SCHEMA,
         )

@@ -28,6 +28,7 @@ from d6tstack_spark.operators.encode import (
     BLOCKS_SCHEMA,
     _make_fused_encoder,
     build_manifest_arrow,
+    build_shared_fsst_tables,
     plan_parquet_splits,
 )
 
@@ -285,7 +286,10 @@ def encode_resume(
         return summary
 
     t0 = time.time()
-    enc = _make_fused_encoder(manifest, codec_overrides, order_cols)
+    enc = _make_fused_encoder(
+        manifest, codec_overrides, order_cols,
+        shared_tables=build_shared_fsst_tables(paths, manifest),
+    )
     if checkpoint_every and n_todo > checkpoint_every:
         # split metadata is tiny (path + 3 ints per split) — safe to hold
         # driver-side and re-batch into independently-committed jobs
