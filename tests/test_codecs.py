@@ -9,6 +9,7 @@ non-ASCII / embedded NUL+newline strings, int extremes, 1-row blocks.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from d6tstack_spark.codecs import kernels
@@ -252,3 +253,78 @@ def test_sniff_stats_shape():
     s = sniff_stats(np.arange(100000, dtype=np.int64), "i64")
     assert s["card"] > 1000 and s["avg_run"] == 1.0 and s["delta_width"] == 2
     assert s["for_width"] >= 17  # range ≈ 100k even from the strided sample
+
+
+class TestSharedFsstTable:
+    """Job-level shared symbol table: build from a sample, encode via one
+    hash pass, decode with the unchanged wire decoder."""
+
+    def _corpus(self, n=4000):
+        words = ["alpha", "beta", "gamma", "delta", "eps"]
+        return pa.array(
+            [
+                (" ".join(words[(i + j) % 5] for j in range(1 + i % 7))).encode()
+                for i in range(n)
+            ],
+            pa.binary(),
+        )
+
+    def test_roundtrip_matches_local_path(self):
+        arr = self._corpus()
+        table = kernels.build_fsst_table(arr.slice(0, 500))
+        assert 0 < len(table) <= 255
+        res = kernels._enc_fsst_shared(arr, table)
+        assert res is not None
+        payload, params = res
+        dec = kernels._dec_fsst_arrow(memoryview(payload), params, len(arr), "str")
+        assert dec.to_pylist() == arr.to_pylist()
+        # same decoder handles the local-table encoding — one wire format
+        lp, lpar = kernels._enc_fsst_from_arrow(arr)
+        ldec = kernels._dec_fsst_arrow(memoryview(lp), lpar, len(arr), "str")
+        assert ldec.to_pylist() == arr.to_pylist()
+
+    def test_drift_falls_back(self):
+        arr = self._corpus()
+        alien = kernels.build_fsst_table(
+            pa.array([b"zz qq ww rr tt uu"] * 50, pa.binary())
+        )
+        assert kernels._enc_fsst_shared(arr, alien) is None
+
+    def test_literals_and_edges(self):
+        table = kernels.build_fsst_table(
+            pa.array([b"hot cold hot cold"] * 10, pa.binary())
+        )
+        vals = [b"hot cold"] * 20 + [b"", b"  ", b"hot rare cold", b"hot"]
+        arr = pa.array(vals * 30, pa.binary())
+        res = kernels._enc_fsst_shared(arr, table)
+        assert res is not None
+        payload, params = res
+        assert params["nlit"] > 0  # 'rare' survives as a literal
+        dec = kernels._dec_fsst_arrow(memoryview(payload), params, len(arr), "str")
+        assert dec.to_pylist() == vals * 30
+        # a table built from a sample WITH the edge rows keeps them coded
+        t2 = kernels.build_fsst_table(arr.slice(0, 48))
+        p2, pr2 = kernels._enc_fsst_shared(arr, t2)
+        d2 = kernels._dec_fsst_arrow(memoryview(p2), pr2, len(arr), "str")
+        assert d2.to_pylist() == vals * 30
+
+    def test_deterministic(self):
+        arr = self._corpus()
+        t1 = kernels.build_fsst_table(arr)
+        t2 = kernels.build_fsst_table(arr)
+        assert t1 == t2
+        p1, _ = kernels._enc_fsst_shared(arr, t1)
+        p2, _ = kernels._enc_fsst_shared(arr, t1)
+        assert p1 == p2
+
+    def test_block_encoder_uses_table(self):
+        from d6tstack_spark.codecs.blocks import decode_block_arrow, encode_block_arrow
+
+        arr = self._corpus()
+        table = kernels.build_fsst_table(arr.slice(0, 500))
+        blk = encode_block_arrow(arr, "bin", "fsst", fsst_table=table)
+        assert blk.codec == "fsst"
+        dec = decode_block_arrow(
+            blk.payload, blk.params, blk.codec, blk.n_rows, blk.null_count, "bin"
+        )
+        assert dec.to_pylist() == arr.to_pylist()
