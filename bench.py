@@ -462,8 +462,10 @@ def _write_baseline_md(scaling, eff, eff_8_32, times, result):
         "is shared by all 32 cores (pure-CPU spin scales to 32×; the "
         "byte-stream-heavy encode path tracks memory bandwidth). Round-3 "
         "allocation work (int32 token streams, zero-copy length reuse, "
-        "hash-based cardinality sniff) plus sf2.0 amortization and a tmpfs "
-        "sink moved this 0.608 → ~0.75; the residual gap is the single "
+        "hash-based cardinality sniff) moved this 0.608 → ~0.75, and "
+        "round 4's shared-table FSST (one index_in hash pass per block, "
+        "uint8 code stream end-to-end) lifted the best-observed to ~0.79; "
+        "the residual gap is the single "
         "socket's bandwidth ceiling. On a real multi-executor cluster each "
         "node brings its own memory bandwidth, so the resource that limits "
         "8→32 on one box scales with node count — which is what the north "
