@@ -19,10 +19,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _encdec(spark: SparkSession, sf_dir: str, table: str, order_cols, bucket):
-    from d6tstack_spark.operators.encode import decode_table, encode_table
+    from d6tstack_spark.operators.encode import (
+        build_manifest,
+        build_shared_fsst_tables,
+        decode_table,
+        encode_table,
+    )
 
     df = _t(spark, sf_dir, table)
-    blocks, manifest = encode_table(df, order_cols=order_cols, bucket_col=bucket)
+    # parquet-backed input → the caller can hand encode_table the same
+    # deterministic shared-FSST sample the scan-fused path builds itself
+    shared = build_shared_fsst_tables(
+        [f"{sf_dir}/{table}.parquet"], build_manifest(df.schema)
+    )
+    blocks, manifest = encode_table(
+        df, order_cols=order_cols, bucket_col=bucket, shared_fsst_tables=shared
+    )
     return decode_table(blocks, manifest)
 
 

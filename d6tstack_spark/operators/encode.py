@@ -504,6 +504,7 @@ def _make_local_encoder(
     order_cols: tuple[str, ...],
     target_rows: int,
     budget: int | None = None,
+    shared_tables: dict | None = None,
 ):
     """Shuffle-free encoder: blocks are carved from the task's own scan
     stream (~target_rows each), sorted by order_cols in-memory, block_id =
@@ -528,7 +529,8 @@ def _make_local_encoder(
                 return None
             tbl = pa.Table.from_batches(buf).sort_by(sort_keys)
             rows = _encode_one_block(
-                tbl, (pid << 32) | seq, manifest, codec_overrides, budget
+                tbl, (pid << 32) | seq, manifest, codec_overrides, budget,
+                shared_tables,
             )
             seq += 1
             buf = []
@@ -560,8 +562,18 @@ def encode_table(
     mode: str = "local",
     target_block_rows: int = 65536,
     max_block_col_bytes: int | None = None,
+    shared_fsst_tables: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """Encode every column of ``df`` into a blocks DataFrame.
+
+    ``shared_fsst_tables`` ({column: code-ordered token list}) lets a
+    caller reuse the two-pass shared-table FSST scheme on the DataFrame
+    path — e.g. pass ``build_shared_fsst_tables(paths, manifest)`` when
+    the DataFrame is a parquet scan. The scan-fused
+    :func:`encode_parquet_files` builds them automatically; here the
+    engine cannot sample the input deterministically (an unordered
+    ``limit`` varies run to run, which would break bitwise-deterministic
+    blocks), so the sample stays in the caller's hands.
 
     Returns ``(blocks_df, manifest)``; ``manifest`` is required by
     :func:`decode_table`. Lazy: nothing executes until an action.
@@ -582,7 +594,7 @@ def encode_table(
         blocks = phys.mapInArrow(
             _make_local_encoder(
                 manifest, codec_overrides, order_cols, target_block_rows,
-                max_block_col_bytes,
+                max_block_col_bytes, shared_fsst_tables,
             ),
             BLOCKS_SCHEMA,
         )
