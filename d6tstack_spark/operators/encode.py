@@ -964,6 +964,7 @@ def decode_parquet_blocks(
     complete-block invariant is enforced at write time (sinks.write_blocks
     rejects a nonzero spark.sql.files.maxRecordsPerFile) and re-checked at
     decode (incomplete blocks raise)."""
+    full_manifest = manifest  # zone filter may target a non-projected column
     if columns is not None:
         missing = [c for c in columns if c not in manifest]
         if missing:
@@ -982,8 +983,8 @@ def decode_parquet_blocks(
     if block_filter is not None:
         stats = spark.read.parquet(*paths)
         if "vmin_num" in stats.columns:  # pre-zone-map dirs: no pruning
-            col, keep = _zone_keep_condition(manifest, block_filter)
-            m = manifest[col]
+            col, keep = _zone_keep_condition(full_manifest, block_filter)
+            m = full_manifest[col]
             is_str = m["ptype"] in ("str", "bin")
             zf = (
                 col,

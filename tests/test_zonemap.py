@@ -224,3 +224,20 @@ def test_vanished_file_raises_clear_error(spark, tmp_path):
     os.remove(sorted(glob.glob(f"{bdir}/*.parquet"))[0])
     with pytest.raises(Exception, match="blocks dir changed under the running decode"):
         dec.count()
+
+
+def test_zone_filter_on_non_projected_column(spark, multi_block):
+    """The classic decode shape at 100 TB: 'give me column X for rows whose
+    ingest key is in [lo, hi]' — the zone-filter column is pruned OUT of
+    the projection. Both decode paths must prune on it anyway."""
+    src, bdir, man = multi_block
+    dec = decode_parquet_blocks(
+        spark, bdir, man, columns=["grp"], block_filter=("k", 100, 300)
+    )
+    assert dec.columns == ["grp"]
+    assert dec.count() < 20_000 / 2  # pruning engaged
+    dec2 = decode_table(
+        spark.read.parquet(bdir), man, columns=["grp"],
+        block_filter=("k", 100, 300),
+    )
+    assert dec2.columns == ["grp"] and dec2.count() < 20_000 / 2
