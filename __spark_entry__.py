@@ -1008,6 +1008,37 @@ def q_jdbc_roundtrip(spark, sf_dir):
     )
 
 
+def q_stream_decode_roundtrip(spark, sf_dir):
+    """Continuous decode driven to completion as a bounded run: events is
+    encoded to a blocks sink, a Structured Streaming decode stream
+    (file-source micro-batches, complete blocks per batch by the per-file
+    invariant, idempotent epoch=N output) drains it, and the decoded rows
+    must equal the source table exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from d6tstack_spark.operators.encode import encode_parquet_files
+    from d6tstack_spark.operators.sinks import write_blocks
+    from d6tstack_spark.streaming.decode_stream import start_decode_stream
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"stream_dec_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(base, ignore_errors=True)  # fresh offsets per invocation
+    bdir, out, ckpt = (os.path.join(base, d) for d in ("blocks", "rows", "ckpt"))
+    blocks, manifest = encode_parquet_files(
+        spark, f"{sf_dir}/events.parquet", order_cols=("event_id",)
+    )
+    write_blocks(blocks, bdir)
+    q = start_decode_stream(spark, bdir, manifest, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).drop("epoch")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: if the grading driver evaluates a prefix, the
     # queries that have never been driver-graded (r2 gap: embedding_neardup,
@@ -1020,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_dims": q_media_jpeg_dims,
         "iceberg_eq_delete_seq": q_iceberg_eq_delete_seq,
         "jdbc_roundtrip": q_jdbc_roundtrip,
+        "stream_decode_roundtrip": q_stream_decode_roundtrip,
         "dedup_fingerprint": q_dedup_fingerprint,
         "topk_per_user": q_topk_per_user,
         "distinct_users": q_distinct_users,
@@ -1244,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
               AND event_id < 100
         """,
         "jdbc_roundtrip": "SELECT * FROM orders",
+        "stream_decode_roundtrip": "SELECT * FROM events",
         "encdec_events": "SELECT * FROM events",
         "encdec_iceberg": "SELECT * FROM events",
         "iceberg_v2_deletes": "SELECT * FROM events WHERE event_id >= 10 AND event_id <> 500",
