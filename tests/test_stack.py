@@ -129,3 +129,55 @@ def test_helpers_algebra():
         helpers.check_valid_files(["a.xls"])
     helpers.check_valid_files(["a.csv", "b.csv"])
     assert helpers.basename("/x/y/z.csv") == "z.csv"
+
+
+# ------------------------------------------------------------------- jsonl
+
+
+def test_jsonl_stacked_drift_alignment(spark, tmp_path):
+    """Two JSONL files with drifted schemas stack into the aligned
+    superset: absent fields null, conflicting types widened, provenance
+    attached — the CSV combiner semantics on the LLM-corpus format."""
+    import json as _json
+
+    from d6tstack_spark.sources.jsonl import read_jsonl_stacked, sniff_jsonl
+
+    a = tmp_path / "a.jsonl"
+    b = tmp_path / "b.jsonl"
+    a.write_text(
+        "\n".join(_json.dumps({"id": i, "text": f"t{i}", "score": i})  # long
+                  for i in range(5)) + "\n"
+    )
+    b.write_text(
+        "\n".join(_json.dumps({"id": i, "score": i / 2, "lang": "en"})  # double
+                  for i in range(5, 8)) + "\n"
+    )
+    sa = sniff_jsonl(spark, str(a))
+    assert [f.name for f in sa.fields] == ["id", "score", "text"]
+    df = read_jsonl_stacked(spark, [str(a), str(b)])
+    assert set(df.columns) == {"id", "text", "score", "lang", "filename"}
+    assert dict(df.dtypes)["score"] == "double"  # widened long+double
+    got = df.orderBy("id").collect()
+    assert len(got) == 8
+    assert got[0]["text"] == "t0" and got[0]["lang"] is None
+    assert got[7]["text"] is None and got[7]["lang"] == "en"
+    assert got[7]["score"] == 3.5
+    assert {r["filename"] for r in got} == {"a.jsonl", "b.jsonl"}
+    # column selection keeps provenance
+    sel = read_jsonl_stacked(spark, [str(a), str(b)], columns_select=["id", "lang"])
+    assert sel.columns == ["id", "lang", "filename"]
+
+
+def test_jsonl_failfast_on_corrupt_line(spark, tmp_path):
+    import pytest as _p
+
+    from d6tstack_spark.sources.jsonl import read_jsonl_stacked
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"id": 1}\n{not json}\n{"id": 2}\n')
+    df = read_jsonl_stacked(spark, [str(bad)], mode="FAILFAST")
+    with _p.raises(Exception, match="Malformed|FAILFAST"):
+        df.collect()
+    # permissive default: corrupt line becomes a null row, scan survives
+    ok = read_jsonl_stacked(spark, [str(bad)])
+    assert ok.count() == 3
