@@ -291,3 +291,127 @@ def write_avro(
     with open(path, "wb") as f:
         f.write(out.getvalue())
     return path
+
+
+# ---------------------------------------------------------------------------
+# distributed Avro table source (engine-beyond-reference ingest format)
+# ---------------------------------------------------------------------------
+
+
+def read_avro_schema(path: str) -> dict:
+    """OCF header only → the writer's Avro schema (no record decode —
+    metadata-sized work for planning a distributed read)."""
+    with open(path, "rb") as f:
+        data = f.read(1 << 20)  # header lives in the first block map
+    r = _Reader(data)
+    if r.read(4) != _MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            k = r.string()
+            meta[k] = r.bytes_()
+    return json.loads(meta["avro.schema"])
+
+
+def avro_to_spark_type(avro_type):
+    """Avro type (possibly a ["null", X] union or logicalType-annotated
+    primitive) → Spark DataType. Unsupported shapes raise."""
+    from pyspark.sql import types as T
+
+    if isinstance(avro_type, list):  # union: only null|X supported
+        non_null = [t for t in avro_type if t != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"unsupported Avro union {avro_type}")
+        return avro_to_spark_type(non_null[0])
+    if isinstance(avro_type, dict):
+        lt = avro_type.get("logicalType")
+        t = avro_type.get("type")
+        if lt == "timestamp-micros" and t == "long":
+            return T.TimestampNTZType()
+        if lt == "date" and t == "int":
+            return T.DateType()
+        if t == "array":
+            return T.ArrayType(avro_to_spark_type(avro_type["items"]))
+        if t in ("record", "map", "enum", "fixed"):
+            raise ValueError(f"unsupported Avro type for table read: {t}")
+        return avro_to_spark_type(t)
+    prim = {
+        "string": T.StringType(), "long": T.LongType(), "int": T.IntegerType(),
+        "double": T.DoubleType(), "float": T.FloatType(),
+        "boolean": T.BooleanType(), "bytes": T.BinaryType(),
+    }
+    if avro_type not in prim:
+        raise ValueError(f"unsupported Avro primitive {avro_type!r}")
+    return prim[avro_type]
+
+
+def read_avro_table(spark, paths: list[str] | str):
+    """Distributed read of Avro OCF files → DataFrame: the driver parses
+    ONE header for the schema (files must agree — first file wins, drift
+    raises at decode), then one task per file decodes its records with the
+    stdlib codec and yields Arrow-batched pandas frames. No avro jar, no
+    per-row JVM crossing; the decode parallelism is the file count (the
+    natural Avro split unit without a block index)."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import types as T
+
+    if isinstance(paths, str):
+        paths = (
+            sorted(_glob.glob(os.path.join(paths, "*.avro")))
+            if os.path.isdir(paths)
+            else [paths]
+        )
+    if not paths:
+        raise ValueError("no Avro files to read")
+    schema = read_avro_schema(paths[0])
+    if schema.get("type") != "record":
+        raise ValueError("top-level Avro schema must be a record")
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    spark_schema = T.StructType(
+        [T.StructField(n, avro_to_spark_type(t), True) for n, t in fields]
+    )
+    ts_cols = [
+        n for n, t in fields
+        if isinstance(t, dict) and t.get("logicalType") == "timestamp-micros"
+    ] + [
+        n for n, t in fields
+        if isinstance(t, list) and any(
+            isinstance(b, dict) and b.get("logicalType") == "timestamp-micros"
+            for b in t
+        )
+    ]
+    date_cols = [
+        n for n, t in fields
+        if isinstance(t, dict) and t.get("logicalType") == "date"
+    ]
+    sdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                recs, sch = read_avro(p)
+                if [f["name"] for f in sch["fields"]] != [n for n, _ in fields]:
+                    raise ValueError(
+                        f"Avro schema drift: {p} fields differ from {paths[0]}"
+                    )
+                out = pd.DataFrame.from_records(recs, columns=[n for n, _ in fields])
+                for c in ts_cols:
+                    out[c] = pd.to_datetime(out[c], unit="us")
+                for c in date_cols:
+                    out[c] = pd.to_datetime(out[c], unit="D").dt.date
+                yield out
+
+    return sdf.mapInPandas(run, spark_schema)

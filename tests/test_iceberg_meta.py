@@ -315,3 +315,59 @@ def test_encode_iceberg_table_respects_deletes(spark, tmp_path):
     write_iceberg_table_minimal(td2, [src])
     blocks2, man2 = encode_iceberg_table(spark, td2, order_cols=("event_id",))
     assert decode_table(blocks2, man2).count() == 1000
+
+
+def test_read_avro_table_distributed(spark, tmp_path):
+    """Distributed Avro OCF source: stdlib-encoded files (incl. deflate +
+    timestamp-micros logical type + nullable union) read back as a typed
+    DataFrame, one task per file, values exact."""
+    import datetime as dt
+
+    from d6tstack_spark.sources.avro_lite import (
+        avro_to_spark_type,
+        read_avro_schema,
+        read_avro_table,
+        write_avro,
+    )
+
+    schema = {
+        "type": "record", "name": "ev",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "txt", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    }
+    epoch = dt.datetime(2026, 1, 1)
+    mk = lambda i: {  # noqa: E731
+        "id": i,
+        "txt": None if i % 3 == 0 else f"row{i}",
+        "score": i / 7,
+        "ts": int((epoch - dt.datetime(1970, 1, 1)).total_seconds() * 1e6) + i,
+    }
+    p1, p2 = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    write_avro(p1, [mk(i) for i in range(50)], schema, codec="deflate")
+    write_avro(p2, [mk(i) for i in range(50, 80)], schema)
+    assert read_avro_schema(p1) == schema
+    assert avro_to_spark_type("long").simpleString() == "bigint"
+
+    df = read_avro_table(spark, [p1, p2])
+    assert df.rdd.getNumPartitions() == 2  # one task per file
+    assert dict(df.dtypes) == {
+        "id": "bigint", "txt": "string", "score": "double",
+        "ts": "timestamp_ntz",
+    }
+    got = df.orderBy("id").collect()
+    assert len(got) == 80
+    assert got[0]["txt"] is None and got[1]["txt"] == "row1"
+    assert got[79]["score"] == 79 / 7
+    assert got[5]["ts"] == epoch + dt.timedelta(microseconds=5)
+    # directory form + schema-drift guard
+    assert read_avro_table(spark, str(tmp_path)).count() == 80
+    drift = {"type": "record", "name": "x",
+             "fields": [{"name": "other", "type": "long"}]}
+    p3 = str(tmp_path / "c.avro")
+    write_avro(p3, [{"other": 1}], drift)
+    with pytest.raises(Exception, match="schema drift"):
+        read_avro_table(spark, [p1, p3]).collect()
