@@ -183,6 +183,189 @@ def make_jpeg_header(
     return b"\xff\xd8" + app0 + sof + sos + b"\xff\xd9"
 
 
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Walk ISO BMFF boxes in buf[start:end] → (type, body_start, body_end).
+    Handles 64-bit largesize (size==1) and to-end-of-file (size==0)."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i : i + 4], "big")
+        btype = buf[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated largesize box")
+            size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr:
+            raise ValueError(f"bad box size {size} at offset {i}")
+        yield btype, i + hdr, min(i + size, end)
+        i += size
+
+
+def decode_mp4_header(buf: bytes) -> dict:
+    """MP4/MOV container metadata via a pure-stdlib ISO BMFF box walk:
+    ftyp brand, movie duration from mvhd (timescale-normalized to ms), and
+    the first video track's pixel dimensions from tkhd (16.16 fixed
+    point). Frame decode needs a codec and stays out of scope — but
+    duration/dimensions for the dominant video container are real."""
+    boxes = dict()
+    brand = None
+    n_tracks = 0
+    width = height = duration_ms = None
+    for btype, s, e in _iter_boxes(buf, 0, len(buf)):
+        if btype == b"ftyp":
+            brand = buf[s : s + 4].decode("latin-1")
+        elif btype == b"moov":
+            for mtype, ms, me in _iter_boxes(buf, s, e):
+                if mtype == b"mvhd":
+                    ver = buf[ms]
+                    if ver == 1:
+                        timescale = int.from_bytes(buf[ms + 20 : ms + 24], "big")
+                        duration = int.from_bytes(buf[ms + 24 : ms + 32], "big")
+                    else:
+                        timescale = int.from_bytes(buf[ms + 12 : ms + 16], "big")
+                        duration = int.from_bytes(buf[ms + 16 : ms + 20], "big")
+                    if timescale:
+                        duration_ms = duration * 1000 // timescale
+                elif mtype == b"trak":
+                    n_tracks += 1
+                    for ttype, ts, te in _iter_boxes(buf, ms, me):
+                        if ttype != b"tkhd":
+                            continue
+                        ver = buf[ts]
+                        # tkhd v0: ver/flags(4) created(4) modified(4)
+                        # id(4) rsvd(4) dur(4) rsvd(8) layer(2) group(2)
+                        # volume(2) rsvd(2) matrix(36) width(4) height(4)
+                        off = ts + (88 if ver == 1 else 76)
+                        w = int.from_bytes(buf[off : off + 4], "big") >> 16
+                        h = int.from_bytes(buf[off + 4 : off + 8], "big") >> 16
+                        if w and h and width is None:
+                            width, height = w, h
+        boxes[btype] = (s, e)
+    if b"moov" not in boxes and brand is None:
+        raise ValueError("not an ISO BMFF file (no ftyp/moov)")
+    return {"brand": brand, "width": width, "height": height,
+            "duration_ms": duration_ms, "n_tracks": n_tracks}
+
+
+def make_mp4_header(width: int, height: int, duration_ms: int,
+                    brand: bytes = b"isom") -> bytes:
+    """Minimal structurally-valid MP4 (ftyp + moov(mvhd + trak(tkhd)) +
+    empty mdat) for fixtures — real enough for any box-walking metadata
+    parser, no encoded samples."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    timescale = 1000
+    mvhd = box(b"mvhd", struct.pack(">BxxxIIII", 0, 0, 0, timescale,
+                                    duration_ms)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", struct.pack(">BxxxIIIxxxxI", 0, 0, 0, 1, duration_ms)
+               + b"\x00" * 52
+               + struct.pack(">II", width << 16, height << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    return ftyp + moov + box(b"mdat", b"")
+
+
+# --- Matroska/WebM: a real (minimal) EBML walk -----------------------------
+
+_EBML_CONTAINERS = {
+    0x1A45DFA3,  # EBML header
+    0x18538067,  # Segment
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+    0xAE,        # TrackEntry
+    0xE0,        # Video
+}
+
+
+def _ebml_vint(buf: bytes, i: int, keep_marker: bool) -> tuple[int, int]:
+    """Read one EBML variable-length integer at offset i → (value, width).
+    Element IDs keep the length-marker bit; sizes mask it off."""
+    b0 = buf[i]
+    if b0 == 0:
+        raise ValueError(f"invalid EBML vint at {i}")
+    width = 9 - b0.bit_length()
+    if i + width > len(buf):
+        raise ValueError("truncated EBML vint")
+    raw = int.from_bytes(buf[i : i + width], "big")
+    return (raw if keep_marker else raw & ((1 << (7 * width)) - 1)), width
+
+
+def _ebml_walk(buf: bytes, start: int, end: int, out: dict) -> None:
+    i = start
+    while i < end:
+        eid, w = _ebml_vint(buf, i, keep_marker=True)
+        i += w
+        size, w = _ebml_vint(buf, i, keep_marker=False)
+        i += w
+        # all-ones size = unknown (streamed Segment): runs to container end
+        body_end = end if size == (1 << (7 * w)) - 1 else min(i + size, end)
+        if eid in _EBML_CONTAINERS:
+            _ebml_walk(buf, i, body_end, out)
+        elif eid == 0x4282:  # DocType
+            out["doctype"] = buf[i:body_end].rstrip(b"\x00").decode("latin-1")
+        elif eid == 0x2AD7B1:  # TimestampScale (ns per tick)
+            out["scale_ns"] = int.from_bytes(buf[i:body_end], "big")
+        elif eid == 0x4489:  # Duration (float ticks)
+            n = body_end - i
+            out["duration_ticks"] = struct.unpack_from(
+                ">f" if n == 4 else ">d", buf, i
+            )[0]
+        elif eid == 0xB0:  # PixelWidth
+            out["width"] = int.from_bytes(buf[i:body_end], "big")
+        elif eid == 0xBA:  # PixelHeight
+            out["height"] = int.from_bytes(buf[i:body_end], "big")
+        i = body_end
+
+
+def decode_webm_header(buf: bytes) -> dict:
+    """WebM/Matroska metadata via a pure-stdlib EBML walk: DocType,
+    duration (TimestampScale-normalized to ms), and the first video
+    track's pixel dimensions."""
+    if buf[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML/Matroska file")
+    out: dict = {}
+    _ebml_walk(buf, 0, len(buf), out)
+    scale_ns = out.get("scale_ns", 1_000_000)
+    ticks = out.get("duration_ticks")
+    return {
+        "doctype": out.get("doctype"),
+        "width": out.get("width"),
+        "height": out.get("height"),
+        "duration_ms": None if ticks is None
+        else int(ticks * scale_ns / 1e6),
+    }
+
+
+def make_webm_header(width: int, height: int, duration_ms: int,
+                     doctype: bytes = b"webm") -> bytes:
+    """Minimal structurally-valid Matroska prefix (EBML header +
+    Segment(Info + Tracks(TrackEntry(Video)))) for fixtures."""
+
+    def vint(n: int) -> bytes:
+        for width_ in range(1, 9):
+            if n < (1 << (7 * width_)) - 1:
+                return (n | (1 << (7 * width_))).to_bytes(width_, "big")
+        raise ValueError(n)
+
+    def elem(eid: int, body: bytes) -> bytes:
+        return eid.to_bytes((eid.bit_length() + 7) // 8, "big") + vint(len(body)) + body
+
+    info = elem(0x1549A966,
+                elem(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                + elem(0x4489, struct.pack(">d", float(duration_ms))))
+    video = elem(0xE0, elem(0xB0, width.to_bytes(2, "big"))
+                 + elem(0xBA, height.to_bytes(2, "big")))
+    tracks = elem(0x1654AE6B, elem(0xAE, video))
+    header = elem(0x1A45DFA3, elem(0x4282, doctype))
+    return header + elem(0x18538067, info + tracks)
+
+
 def try_decode(buf: bytes) -> dict | None:
     """Sniff magic bytes and run the matching REAL decoder. Returns
     {kind, width, height, duration_ms, ...} or None if no real decoder
@@ -204,6 +387,14 @@ def try_decode(buf: bytes) -> dict | None:
             d = decode_jpeg_header(buf)
             return {"kind": "jpeg", "width": d["width"], "height": d["height"],
                     "duration_ms": None}
+        if buf[4:8] == b"ftyp":
+            d = decode_mp4_header(buf)
+            return {"kind": "mp4", "width": d["width"], "height": d["height"],
+                    "duration_ms": d["duration_ms"]}
+        if buf[:4] == b"\x1aE\xdf\xa3":
+            d = decode_webm_header(buf)
+            return {"kind": d.get("doctype") or "mkv", "width": d["width"],
+                    "height": d["height"], "duration_ms": d["duration_ms"]}
     except Exception:
         # corrupt/truncated media must degrade (strict-raise or fake), not
         # kill a 100 TB job mid-stage
@@ -229,13 +420,16 @@ def decode_media(
     """Decode media → (…, dec_width, dec_height, dec_duration_ms, dec_kind).
     Arrow-batched mapInPandas; one pandas DataFrame per batch.
 
-    BMP/WAV decode and PNG/JPEG header parse are REAL (pure stdlib — see
-    decode_bmp / decode_wav / decode_png_header / decode_jpeg_header; JPEG
-    dimensions come from the SOF marker scan). For formats without any
-    stdlib parser (video containers — MP4/WebM): strict=True raises
-    NotImplementedError — the production integration point for ffmpeg;
-    strict=False falls back to the deterministic fake (dec_kind='fake') so
-    the distributed plumbing is testable end-to-end."""
+    BMP/WAV decode and PNG/JPEG/MP4/WebM metadata parse are REAL (pure
+    stdlib — decode_bmp / decode_wav / decode_png_header /
+    decode_jpeg_header / decode_mp4_header / decode_webm_header: JPEG
+    dimensions from the SOF marker scan, MP4 duration+dimensions from the
+    ISO BMFF box walk, WebM from the EBML walk). Frame/pixel decode for
+    compressed formats needs a codec (ffmpeg/PIL — not in this image):
+    for bytes NO parser recognizes, strict=True raises
+    NotImplementedError — the production codec integration point;
+    strict=False falls back to the deterministic fake (dec_kind='fake')
+    so the distributed plumbing is testable end-to-end."""
     from pyspark.sql import types as T
 
     # note: StructType.add MUTATES in place — never call it on df.schema
