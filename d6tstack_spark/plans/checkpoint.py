@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import json
 import os
+import socket
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -57,6 +59,104 @@ def _files_path(state_dir: str) -> str:
 # decode_state would then return twice and repair_duplicate_blocks could
 # not heal (the ids differ).
 ID_SCHEME = "subblock8"
+
+
+# ---------------------------------------------------------------- writer lease
+#
+# The checkpoint model is SINGLE-writer: two drivers appending to one state
+# dir interleave commit batches and publish overlapping block sets that the
+# resume anti-join cannot untangle. The lease makes that operator error fail
+# fast instead of corrupting 100 TB of state. Heartbeat = the lease file's
+# mtime, touched by a daemon thread; takeover needs the holder to be
+# provably gone (dead pid on this host, or heartbeat older than the TTL).
+# This is a best-effort guard for POSIX-like filesystems — on object stores
+# (S3) there is no atomic create-exclusive, so production deployments there
+# should hold the lock in the catalog/coordination service instead.
+
+LEASE_TTL_SEC = 120.0
+
+
+def _lease_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "writer.lock")
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
+def _acquire_lease(state_dir: str) -> str:
+    os.makedirs(state_dir, exist_ok=True)
+    lp = _lease_path(state_dir)
+    me = {"pid": os.getpid(), "host": socket.gethostname(),
+          "acquired": time.time()}
+    for _ in range(5):
+        try:
+            fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump(me, f)
+            return lp
+        except FileExistsError:
+            pass
+        try:
+            with open(lp) as f:
+                cur = json.load(f)
+            age = time.time() - os.path.getmtime(lp)
+        except (OSError, ValueError):
+            time.sleep(0.05)  # holder vanished or mid-write — retry
+            continue
+        dead = (
+            cur.get("host") == me["host"]
+            and isinstance(cur.get("pid"), int)
+            and not _pid_alive(cur["pid"])
+        )
+        if dead or age > LEASE_TTL_SEC:
+            try:
+                os.unlink(lp)  # break it; O_EXCL retry picks ONE winner
+            except FileNotFoundError:
+                pass
+            continue
+        raise RuntimeError(
+            f"state dir {state_dir} is locked by an active writer "
+            f"(pid {cur.get('pid')} on {cur.get('host')}, heartbeat "
+            f"{age:.0f}s ago, TTL {LEASE_TTL_SEC:.0f}s). Concurrent "
+            "writers corrupt the blocks table; wait for it to finish, or "
+            f"delete {lp} if you are certain it is dead."
+        )
+    raise RuntimeError(f"could not acquire writer lease in {state_dir}")
+
+
+class _LeaseHeartbeat:
+    """Touch the lease file's mtime every ``interval`` seconds so a live
+    writer's lease never looks stale, however long its Spark jobs block
+    the driver thread."""
+
+    def __init__(self, path: str, interval: float = 15.0):
+        self._path = path
+        self._stop = threading.Event()
+        self._t = threading.Thread(
+            target=self._run, args=(interval,), daemon=True
+        )
+        self._t.start()
+
+    def _run(self, interval: float) -> None:
+        while not self._stop.wait(interval):
+            try:
+                os.utime(self._path)
+            except OSError:
+                return  # lease gone (released or broken) — stop quietly
+
+    def release(self) -> None:
+        self._stop.set()
+        try:
+            os.unlink(self._path)
+        except FileNotFoundError:
+            pass
 
 
 def _format_path(state_dir: str) -> str:
@@ -225,6 +325,30 @@ def encode_resume(
 
     if isinstance(paths, str):
         paths = [paths]
+    # single-writer lease guards every state mutation below (files.json,
+    # manifest, _temporary cleanup, appends, lineage overwrite)
+    lease = _acquire_lease(state_dir)
+    hb = _LeaseHeartbeat(lease)
+    try:
+        return _encode_resume_locked(
+            spark, paths, state_dir, order_cols, codec_overrides,
+            row_groups_per_split, checkpoint_every,
+        )
+    finally:
+        hb.release()
+
+
+def _encode_resume_locked(
+    spark: SparkSession,
+    paths: list[str],
+    state_dir: str,
+    order_cols: tuple[str, ...],
+    codec_overrides: dict | None,
+    row_groups_per_split: int,
+    checkpoint_every: int | None,
+) -> dict:
+    import pyarrow.parquet as pq
+
     manifest = build_manifest_arrow(pq.read_schema(paths[0]))
     if os.path.exists(_manifest_path(state_dir)):
         prior = load_manifest(state_dir)

@@ -443,6 +443,55 @@ def test_real_mp4_webm_metadata(spark):
     assert dec.loc[2, "dec_duration_ms"] == 98765
 
 
+def test_writer_lease_guards_state_dir(spark, multi_parquet, tmp_path):
+    """Single-writer lease: a live holder blocks a second writer fast; a
+    dead same-host holder and a stale-TTL foreign holder are broken and
+    the run proceeds; a clean run always releases its lease."""
+    import json
+    import socket
+    import subprocess
+    import time as time_mod
+
+    from d6tstack_spark.plans import checkpoint as cp
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    lp = cp._lease_path(state)
+
+    # 1. live holder (our own pid, fresh heartbeat) → refuse
+    with open(lp, "w") as f:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname(),
+                   "acquired": time_mod.time()}, f)
+    with pytest.raises(RuntimeError, match="locked by an active writer"):
+        encode_resume(spark, multi_parquet, state)
+
+    # 2. dead same-host holder → lease broken, encode proceeds
+    child = subprocess.Popen(["true"])
+    child.wait()
+    with open(lp, "w") as f:
+        json.dump({"pid": child.pid, "host": socket.gethostname(),
+                   "acquired": time_mod.time()}, f)
+    s = encode_resume(spark, multi_parquet, state)
+    assert s["encoded"] > 0
+    assert not os.path.exists(lp)  # released on success
+
+    # 3. foreign-host holder with stale heartbeat → TTL break
+    with open(lp, "w") as f:
+        json.dump({"pid": 1, "host": "other-host"}, f)
+    old = time_mod.time() - cp.LEASE_TTL_SEC - 5
+    os.utime(lp, (old, old))
+    s2 = encode_resume(spark, multi_parquet, state)
+    assert s2["already_complete"]
+    assert not os.path.exists(lp)
+
+    # 4. foreign-host holder with fresh heartbeat → refuse (pid check is
+    # same-host only; remote liveness is heartbeat-based)
+    with open(lp, "w") as f:
+        json.dump({"pid": 1, "host": "other-host"}, f)
+    with pytest.raises(RuntimeError, match="locked by an active writer"):
+        encode_resume(spark, multi_parquet, state)
+
+
 def test_stale_temporary_cleaned_and_duplicates_healed(
     spark, multi_parquet, tmp_path
 ):
