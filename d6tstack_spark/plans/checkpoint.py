@@ -414,23 +414,32 @@ def _encode_resume_locked(
         manifest, codec_overrides, order_cols,
         shared_tables=build_shared_fsst_tables(paths, manifest),
     )
+    from d6tstack_spark.operators.sinks import write_blocks
+
     if checkpoint_every and n_todo > checkpoint_every:
         # split metadata is tiny (path + 3 ints per split) — safe to hold
-        # driver-side and re-batch into independently-committed jobs
+        # driver-side and re-batch into independently-committed jobs.
+        # write_blocks (append mode) keeps the state dir on the same sink
+        # contract as every other blocks write: uncompressed (payloads are
+        # already entropy-coded), parquet dictionary off, and the
+        # maxRecordsPerFile guard that protects the per-file complete-block
+        # invariant the shuffle-free decode depends on.
         todo_list = todo_rows.collect()
         for i in range(0, len(todo_list), checkpoint_every):
             chunk = todo_list[i : i + checkpoint_every]
             cdf = spark.createDataFrame(
                 chunk, "file_idx int, path string, rg int, nrg int"
             ).repartition(len(chunk))
-            cdf.mapInArrow(enc, BLOCKS_SCHEMA).write.mode("append").parquet(
-                _blocks_dir(state_dir)
+            write_blocks(
+                cdf.mapInArrow(enc, BLOCKS_SCHEMA),
+                _blocks_dir(state_dir),
+                mode="append",
             )
     else:
         blocks = todo_rows.repartition(max(n_todo, 1)).mapInArrow(
             enc, BLOCKS_SCHEMA
         )
-        blocks.write.mode("append").parquet(_blocks_dir(state_dir))
+        write_blocks(blocks, _blocks_dir(state_dir), mode="append")
     duration = time.time() - t0
 
     # lineage: one row per (block, column) with codec + byte accounting,

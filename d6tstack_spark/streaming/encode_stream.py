@@ -54,9 +54,18 @@ def start_encode_stream(
         # the sink to effectively-once.
         from pyspark.sql import functions as F
 
-        blocks.withColumn(
-            "block_id", F.col("block_id") + F.lit(int(epoch_id) << 48)
-        ).write.mode("overwrite").parquet(f"{blocks_dir}/epoch={int(epoch_id)}")
+        from d6tstack_spark.operators.sinks import write_blocks
+
+        # write_blocks keeps the streaming sink on the same contract as
+        # the batch sinks: uncompressed payloads, parquet dictionary off,
+        # per-file complete-block guard
+        write_blocks(
+            blocks.withColumn(
+                "block_id", F.col("block_id") + F.lit(int(epoch_id) << 48)
+            ),
+            f"{blocks_dir}/epoch={int(epoch_id)}",
+            mode="overwrite",
+        )
 
     return (
         stream.writeStream.foreachBatch(encode_batch)
