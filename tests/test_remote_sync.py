@@ -110,6 +110,35 @@ def test_s3_pagination_roundtrip():
         ]
 
 
+def test_ftp_sync_many_files_distributed(spark, tmp_path):
+    """60 files across nested dirs: the transfer runs as multiple tasks
+    (repartition on relpath), every byte lands, and the S3 listing pages
+    through the diff correctly on the rerun."""
+    src = tmp_path / "big_root"
+    files = {}
+    for i in range(60):
+        rel = f"d{i % 5}/f{i:03d}.bin"
+        (src / f"d{i % 5}").mkdir(parents=True, exist_ok=True)
+        data = bytes([i]) * (100 + i)
+        (src / rel).write_bytes(data)
+        files[rel] = data
+    with StubFTPServer(str(src)) as srv, StubS3Server() as s3srv:
+        res = ftp_sync(spark, host=srv.host, port=srv.port,
+                       local_dir=str(tmp_path / "stage"),
+                       s3_endpoint=s3srv.endpoint, s3_bucket="bulk")
+        assert res == {"n_files": 60,
+                       "total_bytes": sum(len(v) for v in files.values())}
+        assert s3srv.objects("bulk") == files
+        # S3-side size drift is detected and re-pushed
+        c = S3Client(s3srv.endpoint)
+        c.put("bulk", "d0/f000.bin", b"truncated")
+        res2 = ftp_sync(spark, host=srv.host, port=srv.port,
+                        local_dir=str(tmp_path / "stage2"),
+                        s3_endpoint=s3srv.endpoint, s3_bucket="bulk")
+        assert res2["n_files"] == 1
+        assert s3srv.objects("bulk") == files
+
+
 def test_ftp_bad_login_rejected(ftp_tree):
     src, _ = ftp_tree
     import ftplib
