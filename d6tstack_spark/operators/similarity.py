@@ -293,3 +293,160 @@ def knn_lsh(
         F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cos")
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-bounded ANN
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 32,
+    seed: int = 42,
+    max_iter: int = 10,
+    deterministic: bool = False,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the D-dim space splits into
+    ``m`` subspaces of D/m dims, each with its own ``ks``-centroid seeded
+    k-means codebook (Jégou et al., TPAMI'11). A vector then stores m
+    small codes instead of D floats — dim 64 float32 → 8 bytes at
+    m=8/ks≤256, a 32× memory cut that lets the search set live in RAM at
+    corpus sizes where raw vectors cannot.
+
+    Training is distributed (one Spark ML k-means per subspace over the
+    sliced column); ``deterministic=True`` fits each on a single partition
+    so centroid float-aggregation order is parallelism-independent — the
+    correctness-gate mode, same contract as ivf_index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    base = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    if deterministic:
+        base = base.coalesce(1)
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        feat = base.withColumn(
+            "__features", array_to_vector(F.slice("__v", s * sub + 1, sub))
+        )
+        km = KMeans(
+            k=ks, seed=seed + s, maxIter=max_iter,
+            featuresCol="__features", predictionCol="__p",
+        )
+        books.append([c.tolist() for c in km.fit(feat).clusterCenters()])
+    return books
+
+
+def pq_encode(
+    df: DataFrame, codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every vector to its per-subspace nearest-centroid codes →
+    ``pq_code`` array<int> of length m. Vectorized: one numpy GEMM per
+    (batch, subspace) against the broadcast codebooks — no per-row Python."""
+    from pyspark.sql import types as T
+
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("pq_code", T.ArrayType(T.IntegerType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(pq_code=pd.Series([], dtype=object))
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(V), m), dtype=np.int64)
+            for s, B in enumerate(books):
+                X = V[:, s * sub : (s + 1) * sub]
+                # argmin ||x-b||^2 = argmin(-2 x.B^T + |b|^2); ties -> first
+                d = -2.0 * (X @ B.T) + (B * B).sum(axis=1)[None, :]
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pdf.assign(pq_code=[c.tolist() for c in codes])
+
+    return df.mapInPandas(run, schema)
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    refine: DataFrame | None = None,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): precompute the
+    m × ks table of squared distances from the query's subvectors to every
+    sub-centroid (driver-side, tiny), then score each stored vector as a
+    pure table-lookup sum over its m codes — never touching the original
+    floats. The scan reads only the code column (m ints/vector), so the
+    working set at 10^9 vectors is GBs, not TBs.
+
+    ``refine`` (a DataFrame carrying ``id_col`` + ``vec_col`` original
+    vectors) switches on the standard PQ serving layout: the ADC pass only
+    nominates a ``shortlist`` (default 20·k) of candidates, which are then
+    re-ranked by EXACT L2 on their fetched original vectors (JVM-side
+    higher-order functions). Codes stay resident for the coarse pass; only
+    shortlist·D floats are ever touched per query — at 10^9 vectors that
+    is a ~10^5-row targeted fetch, not a corpus scan. Shortlist size is
+    the recall knob: quantization error bounds how far a true neighbor
+    can sink in ADC order, so the shortlist must out-span that bound."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    q = np.asarray(query_vec, dtype=np.float64)
+    table = np.stack([
+        ((books[s] - q[s * sub : (s + 1) * sub][None, :]) ** 2).sum(axis=1)
+        for s in range(m)
+    ])  # m x ks
+    sidx = np.arange(m)[None, :]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({id_col: [], "adc_d2": []})
+                continue
+            C = np.asarray(pdf["pq_code"].tolist(), dtype=np.int64)
+            d = table[sidx, C].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "adc_d2": d})
+
+    scored = encoded.select(id_col, "pq_code").mapInPandas(
+        run, f"{id_col} long, adc_d2 double"
+    )
+    if refine is None:
+        return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col)).limit(k)
+    n_short = shortlist or 20 * k
+    cand = scored.orderBy(F.col("adc_d2").asc(), F.col(id_col)).limit(
+        n_short
+    ).select(id_col)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact_d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), qcol,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    fetched = refine.join(F.broadcast(cand), id_col)
+    return (
+        fetched.select(id_col, exact_d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col(id_col))
+        .limit(k)
+    )

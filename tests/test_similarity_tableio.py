@@ -57,6 +57,55 @@ def test_knn_lsh_multiprobe_recall_sweep(spark, emb):
     assert hits[0] < 10, hits  # the single-bucket cliff multi-probe fixes
 
 
+def test_pq_roundtrip_and_search(spark, emb):
+    """Product quantization: codes have the right shape, the memory math
+    holds (m ints per vector vs D floats), encode is deterministic, and
+    ADC top-k recall against the exact L2 ranking is high on the
+    clustered embedding fixture."""
+    import numpy as np
+
+    from d6tstack_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=8, ks=16, deterministic=True)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+
+    enc = pq_encode(emb, books)
+    codes = enc.select("vec_id", "pq_code").toPandas().set_index("vec_id")
+    assert all(len(c) == 8 for c in codes["pq_code"])
+    assert all(0 <= v < 16 for c in codes["pq_code"] for v in c)
+
+    # deterministic: re-encode gives identical codes
+    codes2 = pq_encode(emb, books).select("vec_id", "pq_code").toPandas(
+    ).set_index("vec_id")
+    assert codes["pq_code"].map(tuple).equals(codes2["pq_code"].map(tuple))
+
+    # ADC search vs exact L2 (numpy oracle on the collected fixture)
+    pdf = emb.toPandas()
+    V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = V[ids == 0][0]
+    mask = ids != 0
+    d2 = ((V[mask] - q) ** 2).sum(axis=1)
+    order = np.lexsort((ids[mask], d2))
+    exact50 = set(ids[mask][order[:50]].tolist())
+    approx = [r["vec_id"] for r in pq_search(
+        enc.filter("vec_id != 0"), books, list(q), 10).collect()]
+    assert len(approx) == 10
+    assert len(set(approx) & exact50) >= 8, (sorted(approx), sorted(exact50))
+
+    # refined mode (ADC shortlist + exact re-rank of fetched vectors):
+    # recovers the exact top-10 exactly, in exact order
+    exact10 = ids[mask][order[:10]].tolist()
+    refined = [r["vec_id"] for r in pq_search(
+        enc.filter("vec_id != 0"), books, list(q), 10,
+        refine=emb.filter("vec_id != 0"), shortlist=400).collect()]
+    assert refined == exact10, (refined, exact10)
+
+
 def test_multiprobe_bucket_sequence():
     """The expand/shift enumeration yields distinct buckets in increasing
     total-flipped-margin order, home bucket first."""
