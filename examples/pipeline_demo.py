@@ -101,6 +101,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     ok = roundtrip_ok(final, dec)
     print(f"[5] decode multiset-identical: {ok}")
     assert ok
+
+    # 6. serving index: product-quantization over the embeddings — codes
+    # are m small ints per vector (the RAM-resident coarse index), one
+    # query runs ADC shortlist + exact re-rank of the fetched originals
+    from d6tstack_spark.operators.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=8, ks=32)
+    enc = pq_encode(emb, books)
+    qvec = list(emb.first()["embedding"])
+    top = pq_search(enc, books, qvec, 5, refine=emb, shortlist=200)
+    print(f"[6] PQ index: {enc.count()} vectors @ 8 bytes of codes each; "
+          f"query top-5 ids: {[r['vec_id'] for r in top.collect()]}")
     spark.stop()
 
 
