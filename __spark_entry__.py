@@ -1170,6 +1170,26 @@ def q_jsonl_stacked(spark, sf_dir):
     )
 
 
+def q_avro_sink_roundtrip(spark, sf_dir):
+    """The WRITE half of the jar-less Avro layer: 3000 events written by
+    the DISTRIBUTED sink (one OCF container per partition, schema derived
+    from the DataFrame — nullable unions + timestamp-micros), read back by
+    the distributed source — values must equal the source table exactly.
+    Together with avro_roundtrip this drives both directions of the
+    format boundary."""
+    import tempfile
+
+    from d6tstack_spark.sources.avro_lite import (
+        read_avro_table,
+        write_avro_table,
+    )
+
+    src = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    out = tempfile.mkdtemp(prefix="avro_sink_")
+    write_avro_table(src.repartition(4), out, codec="deflate")
+    return read_avro_table(spark, out).select(*sorted(src.columns))
+
+
 def q_avro_roundtrip(spark, sf_dir):
     """Avro OCF as an ingest format, end to end with zero avro jars: 2000
     events written to two stdlib-encoded container files (deflate + null
@@ -1235,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decode_roundtrip": q_stream_decode_roundtrip,
         "jsonl_stacked": q_jsonl_stacked,
         "avro_roundtrip": q_avro_roundtrip,
+        "avro_sink_roundtrip": q_avro_sink_roundtrip,
         "dedup_fingerprint": q_dedup_fingerprint,
         "topk_per_user": q_topk_per_user,
         "distinct_users": q_distinct_users,
@@ -1470,6 +1491,7 @@ def oracle_sql() -> dict[str, str]:
         "jdbc_roundtrip": "SELECT * FROM orders",
         "stream_decode_roundtrip": "SELECT * FROM events",
         "avro_roundtrip": "SELECT * FROM events WHERE event_id < 2000",
+        "avro_sink_roundtrip": "SELECT * FROM events WHERE event_id < 3000",
         "jsonl_stacked": """
             SELECT event_id,
                    CASE WHEN event_id % 2 = 0 THEN user_id END AS user_id,

@@ -337,8 +337,11 @@ def decode_webm_header(buf: bytes) -> dict:
         "doctype": out.get("doctype"),
         "width": out.get("width"),
         "height": out.get("height"),
+        # divide the (small) scale first: ticks * scale_ns overflows float64
+        # integer precision past 2^53 (hypothesis-found on a 2^48 ms
+        # duration), while scale_ns/1e6 is exact for the common ns scales
         "duration_ms": None if ticks is None
-        else int(ticks * scale_ns / 1e6),
+        else round(ticks * (scale_ns / 1e6)),
     }
 
 

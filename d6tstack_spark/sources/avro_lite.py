@@ -415,3 +415,122 @@ def read_avro_table(spark, paths: list[str] | str):
                 yield out
 
     return sdf.mapInPandas(run, spark_schema)
+
+
+# ---------------------------------------------------------------------------
+# distributed Avro table sink (the write half of read_avro_table)
+# ---------------------------------------------------------------------------
+
+def spark_to_avro_type(dt):
+    """Spark type → Avro schema type (inverse of avro_to_spark_type)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.ArrayType):
+        return {"type": "array", "items": spark_to_avro_type(dt.elementType)}
+    raise ValueError(f"avro sink: unsupported Spark type {dt}")
+
+
+def spark_to_avro_schema(schema, name: str = "row") -> dict:
+    """Spark StructType → Avro record schema; nullable fields become
+    ["null", T] unions (how Iceberg/Java writers emit optionals)."""
+    fields = []
+    for f in schema.fields:
+        at = spark_to_avro_type(f.dataType)
+        fields.append(
+            {"name": f.name, "type": ["null", at] if f.nullable else at}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def write_avro_table(df, out_dir: str, codec: str = "null") -> dict:
+    """Distributed Avro OCF sink: one container file per partition
+    (``part-{pid:05d}.avro``), schema derived from the DataFrame, records
+    encoded worker-side with the stdlib codec — the write half of
+    read_avro_table, same no-jar contract. Timestamps land as
+    timestamp-micros, dates as date logicals, so a write→read round-trip
+    is type-exact. Each partition buffers its records once (the minimal
+    OCF writer emits one block per file) — size partitions accordingly.
+    Returns {'n_files', 'n_records'}."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    avro_schema = spark_to_avro_schema(df.schema)
+    sschema = df.schema
+    os.makedirs(out_dir, exist_ok=True)
+    ts_cols = {
+        f.name for f in sschema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    }
+    date_cols = {
+        f.name for f in sschema.fields if isinstance(f.dataType, T.DateType)
+    }
+    arr_cols = {
+        f.name for f in sschema.fields if isinstance(f.dataType, T.ArrayType)
+    }
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        records: list[dict] = []
+        epoch = pd.Timestamp("1970-01-01").date()
+        for pdf in batches:
+            w = pdf.copy()
+            for c in w.columns:
+                s = w[c]
+                if c in ts_cols:
+                    unit = "us" if "us" in str(s.dtype) else "ns"
+                    iv = s.values.view("int64")
+                    w[c] = np.where(
+                        s.isna(), None, iv // 1000 if unit == "ns" else iv
+                    )
+                elif c in date_cols:
+                    w[c] = [
+                        None if d is None else (d - epoch).days for d in s
+                    ]
+                elif c in arr_cols:
+                    # numpy cells -> plain lists: _encode iterates and
+                    # tests truthiness, both of which ndarrays break
+                    w[c] = [None if v is None else list(v) for v in s]
+                else:
+                    m = s.isna()
+                    if m.any():
+                        s = s.astype(object)
+                        s[m] = None
+                    w[c] = s
+            records.extend(w.to_dict("records"))
+        if records:
+            path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+            write_avro(path, records, avro_schema, codec=codec)
+            yield pd.DataFrame({"path": [path], "n": [len(records)]})
+        else:
+            yield pd.DataFrame({"path": [], "n": []})
+
+    from pyspark.sql import functions as F
+
+    res = df.mapInPandas(run, "path string, n long").agg(
+        F.count("path").alias("f"), F.coalesce(F.sum("n"), F.lit(0)).alias("n")
+    ).first()
+    return {"n_files": int(res["f"]), "n_records": int(res["n"])}

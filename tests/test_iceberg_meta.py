@@ -371,3 +371,52 @@ def test_read_avro_table_distributed(spark, tmp_path):
     write_avro(p3, [{"other": 1}], drift)
     with pytest.raises(Exception, match="schema drift"):
         read_avro_table(spark, [p1, p3]).collect()
+
+
+def test_write_avro_table_distributed_roundtrip(spark, tmp_path, sf_dir):
+    """Distributed Avro OCF sink: one container per partition, schema
+    derived from the DataFrame (nullable unions, timestamp-micros, array
+    items), write → read_avro_table round-trip frame-exact on real tables
+    including nulls, timestamps and array<float> embeddings."""
+    from pyspark.sql import functions as F
+
+    from d6tstack_spark.sources.avro_lite import (
+        read_avro_table,
+        write_avro_table,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "event_id < 1000"
+    )
+    out = str(tmp_path / "ev_avro")
+    res = write_avro_table(ev.repartition(4), out, codec="deflate")
+    assert res["n_records"] == ev.count() and 1 <= res["n_files"] <= 4
+
+    back = read_avro_table(spark, out)
+    assert dict(back.dtypes) == dict(
+        (n, t.replace("timestamp", "timestamp_ntz") if t == "timestamp" else t)
+        for n, t in ev.dtypes
+    )
+    a = ev.orderBy("event_id").toPandas()
+    b = back.orderBy("event_id").toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True),
+        b.astype(a.dtypes.to_dict()).reset_index(drop=True),
+    )
+
+    # array<float> column (embeddings): element-exact through the union
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out2 = str(tmp_path / "emb_avro")
+    write_avro_table(emb.repartition(2), out2)
+    back2 = read_avro_table(spark, out2)
+    ae = emb.orderBy("vec_id").toPandas()
+    be = back2.orderBy("vec_id").toPandas()
+    assert list(ae["vec_id"]) == list(be["vec_id"])
+    import numpy as np
+
+    for x, y in zip(ae["embedding"], be["embedding"]):
+        np.testing.assert_array_equal(
+            np.asarray(x, dtype=np.float32), np.asarray(y, dtype=np.float32)
+        )
