@@ -870,6 +870,55 @@ def q_interval_join(spark, sf_dir):
     return out.select("event_id", "signup_id")
 
 
+def q_ftp_synced_stack(spark, sf_dir):
+    """The reference's FTPSync flow (sync.py:124-164) in the gate, driven
+    for real: 300 events become 3 CSV shards on an in-process loopback FTP
+    server, ftp_sync diff-lists them (recursive MLSD walk vs empty local,
+    anti-join) and downloads DISTRIBUTED (per-task ftplib connections),
+    then the synced tree is schema-sniffed and stacked — values compared
+    against the source table. Upgrades S13 from pass(test) to
+    pass(oracle)."""
+    import os
+    import tempfile
+
+    from d6tstack_spark.sources.csv_sniffer import read_csv_stacked
+    from d6tstack_spark.sources.remote import ftp_sync
+    from d6tstack_spark.testing import StubFTPServer
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 300)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    remote_root = tempfile.mkdtemp(prefix="ftpq_src_")
+    os.makedirs(os.path.join(remote_root, "shard"), exist_ok=True)
+    names = ["a.csv", "shard/b.csv", "shard/c.csv"]
+    for i, rel in enumerate(names):
+        lines = ["event_id,user_id,value"] + [
+            f"{r['event_id']},{r['user_id']},{r['value']!r}"
+            for r in rows
+            if r["event_id"] % 3 == i
+        ]
+        with open(os.path.join(remote_root, rel), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    local = tempfile.mkdtemp(prefix="ftpq_dst_")
+    with StubFTPServer(remote_root, user="gate", password="pw") as srv:
+        res = ftp_sync(spark, host=srv.host, port=srv.port, user="gate",
+                       password="pw", local_dir=local)
+    assert res["n_files"] == 3, res
+    out = read_csv_stacked(
+        spark, [os.path.join(local, rel) for rel in names]
+    )
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+        F.element_at(F.split("filename", "/"), -1).alias("filename"),
+    )
+
+
 def q_csv_stacked(spark, sf_dir):
     """The CombinerCSV chain in the gate: 200 events → 2 CSV 'files' (one
     with a 2-line preamble), dialect + skiprows + header sniffed, schema
@@ -1256,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_stacked": q_jsonl_stacked,
         "avro_roundtrip": q_avro_roundtrip,
         "avro_sink_roundtrip": q_avro_sink_roundtrip,
+        "ftp_synced_stack": q_ftp_synced_stack,
         "dedup_fingerprint": q_dedup_fingerprint,
         "topk_per_user": q_topk_per_user,
         "distinct_users": q_distinct_users,
@@ -1492,6 +1542,13 @@ def oracle_sql() -> dict[str, str]:
         "stream_decode_roundtrip": "SELECT * FROM events",
         "avro_roundtrip": "SELECT * FROM events WHERE event_id < 2000",
         "avro_sink_roundtrip": "SELECT * FROM events WHERE event_id < 3000",
+        "ftp_synced_stack": """
+            SELECT event_id, user_id, value,
+                   CASE WHEN event_id % 3 = 0 THEN 'a.csv'
+                        WHEN event_id % 3 = 1 THEN 'b.csv'
+                        ELSE 'c.csv' END AS filename
+            FROM events WHERE event_id < 300
+        """,
         "jsonl_stacked": """
             SELECT event_id,
                    CASE WHEN event_id % 2 = 0 THEN user_id END AS user_id,
