@@ -934,12 +934,13 @@ def decode_parquet_blocks(
     blocks_dir: str,
     manifest: dict,
     columns: list[str] | None = None,
-    block_filter: tuple | None = None,
+    block_filter: tuple | list | None = None,
 ) -> DataFrame:
     """Shuffle-free bulk decode — the inverse twin of
     :func:`encode_parquet_files`.
 
-    ``block_filter=(col, lo, hi)`` prunes whole blocks via the zone map
+    ``block_filter=(col, lo, hi)`` — or a LIST of such tuples, ANDed —
+    prunes whole blocks via the zone map
     (see :func:`decode_table`) with NO driver-held id set: the driver only
     decides which FILES contain at least one qualifying block (a stats-only
     scan — payload column never read thanks to parquet column pruning;
@@ -979,26 +980,42 @@ def decode_parquet_blocks(
     #   2. each task re-derives its own file's qualifying block ids from
     #      that file's stats rows (the per-file complete-block invariant
     #      means a block's stats and payload always share a file).
-    zf: tuple | None = None  # (col, lo_phys, hi_phys, is_str) for tasks
-    if block_filter is not None:
+    # per-predicate (col, lo_phys, hi_phys, is_str) for tasks — O(#preds)
+    zf: list[tuple] | None = None
+    preds = _normalize_block_filters(block_filter)
+    if preds is not None:
         stats = spark.read.parquet(*paths)
         if "vmin_num" in stats.columns:  # pre-zone-map dirs: no pruning
-            col, keep = _zone_keep_condition(full_manifest, block_filter)
-            m = full_manifest[col]
-            is_str = m["ptype"] in ("str", "bin")
-            zf = (
-                col,
-                _normalize_zone_bound(block_filter[1], m["ptype"], m["logical"]),
-                _normalize_zone_bound(block_filter[2], m["ptype"], m["logical"]),
-                is_str,
-            )
+            zf = []
+            qual_df = None
+            for bf in preds:
+                col, keep = _zone_keep_condition(full_manifest, bf)
+                m = full_manifest[col]
+                zf.append(
+                    (
+                        col,
+                        _normalize_zone_bound(bf[1], m["ptype"], m["logical"]),
+                        _normalize_zone_bound(bf[2], m["ptype"], m["logical"]),
+                        m["ptype"] in ("str", "bin"),
+                    )
+                )
+                # a file qualifies iff SOME block in it passes EVERY
+                # predicate — intersect per-predicate (file, block) pairs
+                # in-plan; only the distinct file list reaches the driver
+                s = (
+                    stats.filter(F.col("column") == col)
+                    .filter(keep)
+                    .select(F.input_file_name().alias("f"), "block_id")
+                    .distinct()
+                )
+                qual_df = (
+                    s
+                    if qual_df is None
+                    else qual_df.join(s, ["f", "block_id"], "inner")
+                )
             qual = {
                 _norm_file_uri(r[0])
-                for r in stats.filter(F.col("column") == col)
-                .filter(keep)
-                .select(F.input_file_name())
-                .distinct()
-                .collect()
+                for r in qual_df.select("f").distinct().collect()
             }
             paths = [p for p in paths if _norm_file_uri(p) in qual]
             if not paths:
@@ -1027,13 +1044,22 @@ def decode_parquet_blocks(
                         st = pq.read_table(
                             p,
                             columns=[
-                                "block_id", "vmin_num", "vmax_num",
-                                "vmin_str", "vmax_str",
+                                "column", "block_id", "vmin_num",
+                                "vmax_num", "vmin_str", "vmax_str",
                             ],
-                            filters=[("column", "==", zf[0])],
+                            filters=[
+                                ("column", "in", [z[0] for z in zf])
+                            ],
                             use_threads=False,
                         )
-                        keep_ids = _zone_keep_ids_local(st, *zf[1:])
+                        for zcol, lo, hi, is_str in zf:
+                            sub = st.filter(
+                                pc.equal(st.column("column"), zcol)
+                            )
+                            ids = _zone_keep_ids_local(sub, lo, hi, is_str)
+                            keep_ids = (
+                                ids if keep_ids is None else keep_ids & ids
+                            )
                     t = pq.read_table(
                         p,
                         use_threads=False,
@@ -1136,6 +1162,32 @@ def _normalize_zone_bound(v, ptype: str, logical: str | None):
     return v
 
 
+def _normalize_block_filters(block_filter) -> list[tuple] | None:
+    """User-facing ``block_filter`` → list of ``(col, lo, hi)`` predicates.
+
+    Accepts None, one ``(col, lo, hi)`` tuple, or a list of them (ANDed —
+    a block must overlap EVERY predicate's range to qualify; the
+    conjunction is what a multi-column WHERE clause prunes with). A single
+    tuple is recognized by its string first element."""
+    if block_filter is None:
+        return None
+    if (
+        isinstance(block_filter, tuple)
+        and len(block_filter) == 3
+        and isinstance(block_filter[0], str)
+    ):
+        return [block_filter]
+    preds = list(block_filter)
+    if not preds:
+        return None
+    for p in preds:
+        if not (len(p) == 3 and isinstance(p[0], str)):
+            raise ValueError(
+                f"block_filter predicate must be (column, lo, hi): {p!r}"
+            )
+    return [tuple(p) for p in preds]
+
+
 def _zone_keep_condition(manifest: dict, block_filter: tuple):
     """(column, lo, hi) → (col_name, Column condition over the stats row).
     Conservative: blocks without stats always qualify; bounds are
@@ -1170,7 +1222,7 @@ def decode_table(
     blocks: DataFrame,
     manifest: dict,
     columns: list[str] | None = None,
-    block_filter: tuple | None = None,
+    block_filter: tuple | list | None = None,
 ) -> DataFrame:
     """Inverse of :func:`encode_table`: blocks → original logical columns.
 
@@ -1182,20 +1234,29 @@ def decode_table(
     ``block_filter=(col, lo, hi)`` prunes WHOLE BLOCKS via the zone map
     (per-block min/max recorded at encode): only blocks whose [min, max]
     for ``col`` overlaps the inclusive [lo, hi] range are decoded (None =
-    open end). Pruning is conservative — callers still apply the exact
-    row-level filter to the result; blocks written before zone maps (or
-    with unsupported stats) always qualify, so results are never wrong.
+    open end). A LIST of such tuples is a conjunction — the block must
+    overlap every range (multi-column WHERE pruning); the per-predicate
+    qualifying-id sets are intersected in-plan (inner joins on block_id,
+    each side a distinct over the tiny stats projection — no payload
+    touched until the final semi join). Pruning is conservative — callers
+    still apply the exact row-level filter to the result; blocks written
+    before zone maps (or with unsupported stats) always qualify, so
+    results are never wrong.
 
     Row order is unspecified (Spark semantics); the round-trip invariant is
     asserted under stable (conv_id, turn_idx) ordering by callers."""
-    if block_filter is not None and "vmin_num" in blocks.columns:
-        col, keep = _zone_keep_condition(manifest, block_filter)
-        ids = (
-            blocks.filter(F.col("column") == col)
-            .filter(keep)
-            .select("block_id")
-            .distinct()
-        )
+    preds = _normalize_block_filters(block_filter)
+    if preds is not None and "vmin_num" in blocks.columns:
+        ids = None
+        for bf in preds:
+            col, keep = _zone_keep_condition(manifest, bf)
+            s = (
+                blocks.filter(F.col("column") == col)
+                .filter(keep)
+                .select("block_id")
+                .distinct()
+            )
+            ids = s if ids is None else ids.join(s, "block_id", "inner")
         blocks = blocks.join(ids, "block_id", "leftsemi")
     if columns is not None:
         if not columns:

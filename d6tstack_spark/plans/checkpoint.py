@@ -471,7 +471,7 @@ def decode_state(
     spark: SparkSession,
     state_dir: str,
     columns: list[str] | None = None,
-    block_filter: tuple | None = None,
+    block_filter: tuple | list | None = None,
 ) -> DataFrame:
     """Decode a state dir back to the original table via the shuffle-free
     per-file bulk path (state files contain complete blocks by construction

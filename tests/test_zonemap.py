@@ -241,3 +241,84 @@ def test_zone_filter_on_non_projected_column(spark, multi_block):
         block_filter=("k", 100, 300),
     )
     assert dec2.columns == ["grp"] and dec2.count() < 20_000 / 2
+
+
+@pytest.mark.parametrize("path", ["bulk", "table"])
+def test_compound_filter_conjunction(spark, multi_block, path):
+    """Multi-predicate zone filter (list of (col, lo, hi), ANDed) — the
+    multi-column WHERE clause shape. The intersection must prune at least
+    as hard as either predicate alone and the decoded superset must still
+    contain every matching row."""
+    src, bdir, man = multi_block
+    preds = [("k", 4_000, 9_000), ("grp", "g00", "g00")]  # overlap: 4000-4999
+    full = spark.read.parquet(src)
+    want = (
+        full.filter(
+            (F.col("k") >= 4_000) & (F.col("k") <= 9_000)
+            & (F.col("grp") == "g00")
+        )
+        .orderBy("k")
+        .toPandas()
+    )
+    assert len(want) == 1_000
+    if path == "bulk":
+        dec = decode_parquet_blocks(spark, bdir, man, block_filter=preds)
+    else:
+        dec = decode_table(spark.read.parquet(bdir), man, block_filter=preds)
+    n_dec = dec.count()
+    assert n_dec <= 3_000, n_dec  # ~1 qualifying block (+ boundary blocks)
+    got = (
+        dec.filter(
+            (F.col("k") >= 4_000) & (F.col("k") <= 9_000)
+            & (F.col("grp") == "g00")
+        )
+        .orderBy("k")
+        .toPandas()[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(
+        want.reset_index(drop=True), got.reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("path", ["bulk", "table"])
+def test_compound_filter_disjoint_conjunction(spark, multi_block, path):
+    """Each predicate alone matches thousands of rows, but no block can
+    satisfy both — the conjunction must decode NOTHING (with the right
+    empty schema), proving the intersection happens at the block level,
+    not per-predicate-union."""
+    src, bdir, man = multi_block
+    preds = [("k", 0, 999), ("grp", "g03", "g03")]  # k<1000 lives in g00
+    if path == "bulk":
+        dec = decode_parquet_blocks(spark, bdir, man, block_filter=preds)
+    else:
+        dec = decode_table(spark.read.parquet(bdir), man, block_filter=preds)
+    assert dec.count() == 0
+    assert dec.columns == ["k", "grp", "val"]
+
+
+def test_compound_single_item_list_equals_tuple(spark, multi_block):
+    """A one-element list must behave exactly like the bare tuple."""
+    src, bdir, man = multi_block
+    a = decode_parquet_blocks(
+        spark, bdir, man, block_filter=("k", 3_000, 4_500)
+    ).count()
+    b = decode_parquet_blocks(
+        spark, bdir, man, block_filter=[("k", 3_000, 4_500)]
+    ).count()
+    assert a == b
+
+
+def test_compound_filter_projection_and_bad_pred(spark, multi_block):
+    """Compound filter on columns pruned out of the projection; malformed
+    predicate raises a clear error."""
+    src, bdir, man = multi_block
+    dec = decode_parquet_blocks(
+        spark, bdir, man, columns=["val"],
+        block_filter=[("k", 5_000, 5_999), ("grp", "g01", "g01")],
+    )
+    assert dec.columns == ["val"]
+    assert 1_000 <= dec.count() <= 3_000
+    with pytest.raises(ValueError, match="must be"):
+        decode_table(
+            spark.read.parquet(bdir), man, block_filter=[("k", 0)]
+        )
