@@ -25,6 +25,7 @@ batches out — no per-row Python (input_hint).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import numpy as np
@@ -1283,3 +1284,209 @@ def decode_table(
         .mapInArrow(_make_decoder(manifest), phys_schema)
     )
     return _restore_logical(dec, manifest)
+
+
+# --------------------------------------------------------------------------
+# decode_where: SQL predicate → zone pruning + exact row filter
+# --------------------------------------------------------------------------
+
+_LIT_RE = (
+    r"(?:DATE|TIMESTAMP)?\s*'(?:[^']|'')*'"
+    r"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+)
+_IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _split_conjuncts(where: str) -> list[str]:
+    """Split a boolean expression on top-level ANDs (outside parens and
+    string literals; the AND inside BETWEEN .. AND .. stays attached)."""
+    out, buf, depth, i, n = [], [], 0, 0, len(where)
+    pending_between = 0
+    while i < n:
+        ch = where[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if where[j] == "'":
+                    if j + 1 < n and where[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(where[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and ch in "AaBb":
+            word = re.match(r"(?i)\b(AND|BETWEEN)\b", where[i:])
+            prev_ok = i == 0 or not (where[i - 1].isalnum() or where[i - 1] == "_")
+            if word and prev_ok:
+                w = word.group(1).upper()
+                if w == "BETWEEN":
+                    pending_between += 1
+                elif pending_between:
+                    pending_between -= 1
+                else:
+                    out.append("".join(buf))
+                    buf = []
+                    i += 3
+                    continue
+        buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return [c.strip() for c in out if c.strip()]
+
+
+def _parse_zone_literal(text: str, m: dict):
+    """SQL literal text → python bound compatible with the column's
+    manifest entry, or None when the literal cannot express a zone bound
+    for this column type (conservative skip)."""
+    import datetime as _dt
+
+    text = text.strip()
+    logical = m.get("logical")
+    is_str_col = m["ptype"] in ("str", "bin")
+    kw = re.match(r"(?i)^(DATE|TIMESTAMP)\s*'(.*)'$", text, re.S)
+    quoted = re.match(r"^'(.*)'$", text, re.S)
+    if kw or quoted:
+        raw = (kw.group(2) if kw else quoted.group(1)).replace("''", "'")
+        if logical in ("ts", "ts_ntz"):
+            try:
+                return _dt.datetime.fromisoformat(raw)
+            except ValueError:
+                return None
+        if logical == "date":
+            try:
+                return _dt.date.fromisoformat(raw)
+            except ValueError:
+                return None
+        return raw if is_str_col else None
+    if is_str_col or logical in ("ts", "ts_ntz", "date"):
+        return None  # numeric literal on a non-numeric column
+    try:
+        return int(text)
+    except ValueError:
+        try:
+            return float(text)
+        except ValueError:
+            return None
+
+
+def zone_predicates_from_where(where: str, manifest: dict) -> list[tuple]:
+    """Extract zone-prunable ``(col, lo, hi)`` predicates from a SQL
+    boolean expression. Strictly conservative: only simple top-level
+    conjuncts of the forms ``col <op> literal``, ``literal <op> col`` and
+    ``col BETWEEN a AND b`` contribute (op: =, ==, <, <=, >, >=); strict
+    inequalities prune with inclusive bounds (a boundary block may
+    survive — the exact row filter removes its rows); everything else
+    (ORs, functions, IN, IS NULL, unknown columns) contributes nothing
+    and is left to the row filter. Never wrong, sometimes less pruning."""
+    preds: list[tuple] = []
+    for conj in _split_conjuncts(where):
+        while conj.startswith("(") and conj.endswith(")"):
+            # strip only when the opening paren matches the LAST char
+            depth = 0
+            match_at = -1
+            for k, c in enumerate(conj):
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        match_at = k
+                        break
+            if match_at != len(conj) - 1:
+                break
+            conj = conj[1:-1].strip()
+        sub = _split_conjuncts(conj)
+        if len(sub) > 1:  # parenthesized conjunction: recurse
+            for s in sub:
+                preds.extend(zone_predicates_from_where(s, manifest))
+            continue
+        mbet = re.match(
+            rf"(?i)^({_IDENT_RE})\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})$",
+            conj,
+        )
+        if mbet:
+            col = mbet.group(1)
+            if col in manifest:
+                lo = _parse_zone_literal(mbet.group(2), manifest[col])
+                hi = _parse_zone_literal(mbet.group(3), manifest[col])
+                if lo is not None and hi is not None:
+                    preds.append((col, lo, hi))
+            continue
+        mcmp = re.match(
+            rf"^({_IDENT_RE})\s*(>=|<=|==|=|<|>)\s*({_LIT_RE})$", conj
+        )
+        rev = False
+        if not mcmp:
+            mcmp = re.match(
+                rf"^({_LIT_RE})\s*(>=|<=|==|=|<|>)\s*({_IDENT_RE})$", conj
+            )
+            rev = True
+        if not mcmp:
+            continue
+        col, lit = (
+            (mcmp.group(1), mcmp.group(3))
+            if not rev
+            else (mcmp.group(3), mcmp.group(1))
+        )
+        if col not in manifest:
+            continue
+        v = _parse_zone_literal(lit, manifest[col])
+        if v is None:
+            continue
+        op = mcmp.group(2)
+        if rev:  # literal OP col  ≡  col FLIP(OP) literal
+            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+        if op in ("=", "=="):
+            preds.append((col, v, v))
+        elif op in (">", ">="):
+            preds.append((col, v, None))
+        else:
+            preds.append((col, None, v))
+    return preds
+
+
+def decode_where(
+    spark,
+    blocks,
+    manifest: dict,
+    where: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """The 100 TB slice API: decode only the rows matching a SQL boolean
+    expression. Range-expressible conjuncts become zone-map block filters
+    (whole blocks whose min/max cannot overlap are never read), the FULL
+    expression is then applied exactly on the decoded rows, and ``columns``
+    projects the result (the predicate may reference columns outside the
+    projection — they are decoded for the filter and dropped after).
+
+    ``blocks`` is a blocks directory (shuffle-free per-file bulk decode)
+    or a blocks DataFrame (shuffled :func:`decode_table` path)."""
+    preds = zone_predicates_from_where(where, manifest)
+    need = columns
+    if columns is not None:
+        referenced = [
+            c
+            for c in manifest
+            if c not in columns
+            and re.search(rf"\b{re.escape(c)}\b", where)
+        ]
+        need = list(columns) + referenced
+    if isinstance(blocks, str):
+        dec = decode_parquet_blocks(
+            spark, blocks, manifest, columns=need,
+            block_filter=preds or None,
+        )
+    else:
+        dec = decode_table(
+            blocks, manifest, columns=need, block_filter=preds or None
+        )
+    out = dec.filter(F.expr(where))
+    if columns is not None:
+        out = out.select(*columns)
+    return out

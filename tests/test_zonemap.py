@@ -322,3 +322,69 @@ def test_compound_filter_projection_and_bad_pred(spark, multi_block):
         decode_table(
             spark.read.parquet(bdir), man, block_filter=[("k", 0)]
         )
+
+
+def test_zone_predicates_from_where_forms():
+    from d6tstack_spark.operators.encode import zone_predicates_from_where
+
+    man = {
+        "k": {"ptype": "i64", "logical": None},
+        "grp": {"ptype": "str", "logical": None},
+        "ts": {"ptype": "i64", "logical": "ts_ntz"},
+        "d": {"ptype": "i32", "logical": "date"},
+    }
+    import datetime as dt
+
+    assert zone_predicates_from_where("k >= 10 AND k < 20", man) == [
+        ("k", 10, None), ("k", None, 20),
+    ]
+    assert zone_predicates_from_where("k BETWEEN 5 AND 9", man) == [("k", 5, 9)]
+    assert zone_predicates_from_where("grp = 'g01'", man) == [("grp", "g01", "g01")]
+    assert zone_predicates_from_where("100 <= k", man) == [("k", 100, None)]
+    assert zone_predicates_from_where(
+        "ts >= TIMESTAMP '2020-01-02 03:04:05'", man
+    ) == [("ts", dt.datetime(2020, 1, 2, 3, 4, 5), None)]
+    assert zone_predicates_from_where("d < DATE '2021-06-01'", man) == [
+        ("d", None, dt.date(2021, 6, 1)),
+    ]
+    # conservative skips: OR, IN, functions, unknown columns, type mismatch
+    assert zone_predicates_from_where("k = 1 OR k = 2", man) == []
+    assert zone_predicates_from_where("upper(grp) = 'G'", man) == []
+    assert zone_predicates_from_where("nope = 3", man) == []
+    assert zone_predicates_from_where("grp = 3", man) == []
+    assert zone_predicates_from_where("k IN (1, 2)", man) == []
+    # parenthesized conjunction recurses; OR-group contributes nothing
+    assert zone_predicates_from_where(
+        "(k >= 1 AND grp = 'a') AND (k = 2 OR k = 3)", man
+    ) == [("k", 1, None), ("grp", "a", "a")]
+    # BETWEEN's AND does not split; escaped quote stays one literal
+    assert zone_predicates_from_where(
+        "grp = 'a''nd' AND k BETWEEN 1 AND 2", man
+    ) == [("grp", "a'nd", "a'nd"), ("k", 1, 2)]
+
+
+def test_decode_where_end_to_end(spark, multi_block):
+    from d6tstack_spark.operators.encode import decode_where
+
+    src, bdir, man = multi_block
+    full = spark.read.parquet(src)
+    where = "k BETWEEN 4000 AND 9000 AND grp = 'g00' AND val >= 0.0"
+    want = full.filter(where).orderBy("k").toPandas()
+    got = (
+        decode_where(spark, bdir, man, where)
+        .orderBy("k")
+        .toPandas()[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(
+        want.reset_index(drop=True), got.reset_index(drop=True)
+    )
+    # projection with the predicate on non-projected columns
+    got2 = decode_where(spark, bdir, man, where, columns=["val"])
+    assert got2.columns == ["val"]
+    assert got2.count() == len(want)
+    # DataFrame (decode_table) path
+    got3 = decode_where(spark, spark.read.parquet(bdir), man, where)
+    assert got3.count() == len(want)
+    # un-prunable predicate still filters exactly
+    got4 = decode_where(spark, bdir, man, "k % 2 = 0 AND k < 10")
+    assert got4.count() == 5
