@@ -992,14 +992,22 @@ def decode_parquet_blocks(
             for bf in preds:
                 col, keep = _zone_keep_condition(full_manifest, bf)
                 m = full_manifest[col]
-                zf.append(
-                    (
-                        col,
-                        _normalize_zone_bound(bf[1], m["ptype"], m["logical"]),
-                        _normalize_zone_bound(bf[2], m["ptype"], m["logical"]),
-                        m["ptype"] in ("str", "bin"),
+                if len(bf) == 2:
+                    zf.append((col, bf[1], None, None, False))
+                else:
+                    zf.append(
+                        (
+                            col,
+                            "range",
+                            _normalize_zone_bound(
+                                bf[1], m["ptype"], m["logical"]
+                            ),
+                            _normalize_zone_bound(
+                                bf[2], m["ptype"], m["logical"]
+                            ),
+                            m["ptype"] in ("str", "bin"),
+                        )
                     )
-                )
                 # a file qualifies iff SOME block in it passes EVERY
                 # predicate — intersect per-predicate (file, block) pairs
                 # in-plan; only the distinct file list reaches the driver
@@ -1045,19 +1053,22 @@ def decode_parquet_blocks(
                         st = pq.read_table(
                             p,
                             columns=[
-                                "column", "block_id", "vmin_num",
-                                "vmax_num", "vmin_str", "vmax_str",
+                                "column", "block_id", "n_rows",
+                                "null_count", "vmin_num", "vmax_num",
+                                "vmin_str", "vmax_str",
                             ],
                             filters=[
                                 ("column", "in", [z[0] for z in zf])
                             ],
                             use_threads=False,
                         )
-                        for zcol, lo, hi, is_str in zf:
+                        for zcol, kind, lo, hi, is_str in zf:
                             sub = st.filter(
                                 pc.equal(st.column("column"), zcol)
                             )
-                            ids = _zone_keep_ids_local(sub, lo, hi, is_str)
+                            ids = _zone_keep_ids_local(
+                                sub, kind, lo, hi, is_str
+                            )
                             keep_ids = (
                                 ids if keep_ids is None else keep_ids & ids
                             )
@@ -1115,15 +1126,21 @@ def _norm_file_uri(p: str) -> str:
     return p
 
 
-def _zone_keep_ids_local(stats: "pa.Table", lo, hi, is_str: bool) -> set[int]:
+def _zone_keep_ids_local(
+    stats: "pa.Table", kind: str, lo, hi, is_str: bool
+) -> set[int]:
     """Task-side twin of :func:`_zone_keep_condition`: evaluate the
-    conservative zone-overlap predicate on ONE file's stats rows (already
+    conservative zone predicate on ONE file's stats rows (already
     filtered to the zone column) and return its qualifying block ids.
     Semantics must match the Column version exactly — blocks without stats
     always qualify; a null vmax_str with vmin_str set means unbounded
     above (0xFF truncation cut)."""
     ids: set[int] = set()
     rows = stats.to_pylist()
+    if kind == "is_null":
+        return {r["block_id"] for r in rows if r["null_count"] > 0}
+    if kind == "not_null":
+        return {r["block_id"] for r in rows if r["null_count"] < r["n_rows"]}
     for r in rows:
         vmin = r["vmin_str"] if is_str else r["vmin_num"]
         vmax = r["vmax_str"] if is_str else r["vmax_num"]
@@ -1164,38 +1181,56 @@ def _normalize_zone_bound(v, ptype: str, logical: str | None):
 
 
 def _normalize_block_filters(block_filter) -> list[tuple] | None:
-    """User-facing ``block_filter`` → list of ``(col, lo, hi)`` predicates.
+    """User-facing ``block_filter`` → list of predicates.
 
-    Accepts None, one ``(col, lo, hi)`` tuple, or a list of them (ANDed —
-    a block must overlap EVERY predicate's range to qualify; the
-    conjunction is what a multi-column WHERE clause prunes with). A single
-    tuple is recognized by its string first element."""
+    Accepts None, one predicate, or a list of them (ANDed — a block must
+    satisfy EVERY predicate to qualify; the conjunction is what a
+    multi-column WHERE clause prunes with). Predicate forms:
+
+    - ``(col, lo, hi)`` — inclusive range overlap (None = open end);
+    - ``(col, "is_null")`` / ``(col, "not_null")`` — the block's recorded
+      ``null_count`` proves it can(not) contain (non-)null rows.
+
+    A single predicate is recognized by its string first element."""
     if block_filter is None:
         return None
     if (
         isinstance(block_filter, tuple)
-        and len(block_filter) == 3
+        and len(block_filter) in (2, 3)
         and isinstance(block_filter[0], str)
     ):
-        return [block_filter]
-    preds = list(block_filter)
+        preds = [block_filter]
+    else:
+        preds = list(block_filter)
     if not preds:
         return None
     for p in preds:
-        if not (len(p) == 3 and isinstance(p[0], str)):
+        ok = isinstance(p[0], str) and (
+            len(p) == 3
+            or (len(p) == 2 and p[1] in ("is_null", "not_null"))
+        )
+        if not ok:
             raise ValueError(
-                f"block_filter predicate must be (column, lo, hi): {p!r}"
+                "block_filter predicate must be (column, lo, hi) or "
+                f"(column, 'is_null'|'not_null'): {p!r}"
             )
     return [tuple(p) for p in preds]
 
 
 def _zone_keep_condition(manifest: dict, block_filter: tuple):
-    """(column, lo, hi) → (col_name, Column condition over the stats row).
+    """Predicate → (col_name, Column condition over the stats row).
     Conservative: blocks without stats always qualify; bounds are
-    inclusive; lo/hi may be None for open ranges."""
-    col, lo, hi = block_filter
+    inclusive; lo/hi may be None for open ranges. Null predicates use the
+    per-block ``null_count`` / ``n_rows`` (always recorded): a block whose
+    every row is non-null cannot satisfy IS NULL, and vice versa."""
+    col = block_filter[0]
     if col not in manifest:
         raise ValueError(f"block_filter column {col!r} not in manifest")
+    if len(block_filter) == 2:
+        if block_filter[1] == "is_null":
+            return col, F.col("null_count") > 0
+        return col, F.col("null_count") < F.col("n_rows")
+    _, lo, hi = block_filter
     m = manifest[col]
     lo = _normalize_zone_bound(lo, m["ptype"], m["logical"])
     hi = _normalize_zone_bound(hi, m["ptype"], m["logical"])
@@ -1290,9 +1325,9 @@ def decode_table(
 # decode_where: SQL predicate → zone pruning + exact row filter
 # --------------------------------------------------------------------------
 
-_LIT_RE = (
-    r"(?:DATE|TIMESTAMP)?\s*'(?:[^']|'')*'"
-    r"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_LIT_RE = (  # self-contained (non-capturing) so it embeds next to | and *
+    r"(?:(?:DATE|TIMESTAMP)?\s*'(?:[^']|'')*'"
+    r"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
 )
 _IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
 
@@ -1378,12 +1413,14 @@ def _parse_zone_literal(text: str, m: dict):
 def zone_predicates_from_where(where: str, manifest: dict) -> list[tuple]:
     """Extract zone-prunable ``(col, lo, hi)`` predicates from a SQL
     boolean expression. Strictly conservative: only simple top-level
-    conjuncts of the forms ``col <op> literal``, ``literal <op> col`` and
-    ``col BETWEEN a AND b`` contribute (op: =, ==, <, <=, >, >=); strict
-    inequalities prune with inclusive bounds (a boundary block may
-    survive — the exact row filter removes its rows); everything else
-    (ORs, functions, IN, IS NULL, unknown columns) contributes nothing
-    and is left to the row filter. Never wrong, sometimes less pruning."""
+    conjuncts of the forms ``col <op> literal``, ``literal <op> col``,
+    ``col BETWEEN a AND b``, ``col IN (lit, ...)`` (the literals' [min,
+    max] envelope) and ``col IS [NOT] NULL`` (null-count predicates)
+    contribute (op: =, ==, <, <=, >, >=); strict inequalities prune with
+    inclusive bounds (a boundary block may survive — the exact row filter
+    removes its rows); everything else (ORs, functions, unknown columns)
+    contributes nothing and is left to the row filter. Never wrong,
+    sometimes less pruning."""
     preds: list[tuple] = []
     for conj in _split_conjuncts(where):
         while conj.startswith("(") and conj.endswith(")"):
@@ -1405,6 +1442,30 @@ def zone_predicates_from_where(where: str, manifest: dict) -> list[tuple]:
         if len(sub) > 1:  # parenthesized conjunction: recurse
             for s in sub:
                 preds.extend(zone_predicates_from_where(s, manifest))
+            continue
+        mnull = re.match(rf"(?i)^({_IDENT_RE})\s+IS\s+(NOT\s+)?NULL$", conj)
+        if mnull:
+            col = mnull.group(1)
+            if col in manifest:
+                preds.append(
+                    (col, "not_null" if mnull.group(2) else "is_null")
+                )
+            continue
+        min_list = re.match(
+            rf"(?i)^({_IDENT_RE})\s+IN\s*\(\s*"
+            rf"({_LIT_RE}(?:\s*,\s*(?:{_LIT_RE}))*)\s*\)$",
+            conj,
+        )
+        if min_list:
+            # IN-list → conservative [min, max] envelope of its literals
+            col = min_list.group(1)
+            if col in manifest:
+                lits = [
+                    _parse_zone_literal(t, manifest[col])
+                    for t in re.findall(_LIT_RE, min_list.group(2))
+                ]
+                if lits and all(v is not None for v in lits):
+                    preds.append((col, min(lits), max(lits)))
             continue
         mbet = re.match(
             rf"(?i)^({_IDENT_RE})\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})$",

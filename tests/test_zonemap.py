@@ -352,7 +352,15 @@ def test_zone_predicates_from_where_forms():
     assert zone_predicates_from_where("upper(grp) = 'G'", man) == []
     assert zone_predicates_from_where("nope = 3", man) == []
     assert zone_predicates_from_where("grp = 3", man) == []
-    assert zone_predicates_from_where("k IN (1, 2)", man) == []
+    assert zone_predicates_from_where("k IN (1, 7, 2)", man) == [("k", 1, 7)]
+    assert zone_predicates_from_where("grp IN ('b', 'a')", man) == [
+        ("grp", "a", "b"),
+    ]
+    assert zone_predicates_from_where("k IS NULL", man) == [("k", "is_null")]
+    assert zone_predicates_from_where("grp IS NOT NULL", man) == [
+        ("grp", "not_null"),
+    ]
+    assert zone_predicates_from_where("k IN (1, 'x')", man) == []
     # parenthesized conjunction recurses; OR-group contributes nothing
     assert zone_predicates_from_where(
         "(k >= 1 AND grp = 'a') AND (k = 2 OR k = 3)", man
@@ -388,3 +396,44 @@ def test_decode_where_end_to_end(spark, multi_block):
     # un-prunable predicate still filters exactly
     got4 = decode_where(spark, bdir, man, "k % 2 = 0 AND k < 10")
     assert got4.count() == 5
+
+
+@pytest.mark.parametrize("path", ["bulk", "table"])
+def test_null_predicate_pruning(spark, tmp_path, path):
+    """IS NULL / IS NOT NULL pruning via the per-block null_count: nulls
+    planted only in the first 2k rows, so 'x IS NULL' must decode a small
+    prefix of blocks and 'x IS NOT NULL' everything that has any value."""
+    from d6tstack_spark.operators.encode import decode_where
+
+    n = 20_000
+    x = np.arange(n, dtype=np.float64)
+    mask = np.zeros(n, dtype=bool)
+    mask[:2_000] = True  # nulls live in the first blocks only
+    xa = pa.array([None if m else float(v) for m, v in zip(mask, x)], pa.float64())
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(np.arange(n, dtype=np.int64)), "x": xa}),
+        src, row_group_size=1000,
+    )
+    blocks, man = encode_parquet_files(
+        spark, src, order_cols=("k",), row_groups_per_split=1
+    )
+    bdir = str(tmp_path / "blocks")
+    write_blocks(blocks, bdir)
+    if path == "bulk":
+        dec = decode_parquet_blocks(
+            spark, bdir, man, block_filter=("x", "is_null")
+        )
+    else:
+        dec = decode_table(
+            spark.read.parquet(bdir), man, block_filter=("x", "is_null")
+        )
+    assert dec.filter(F.col("x").isNull()).count() == 2_000
+    assert dec.count() <= 4_000  # only the null-bearing blocks decoded
+    # decode_where compiles the SQL form and applies the exact filter
+    dw = decode_where(spark, bdir, man, "x IS NULL")
+    assert dw.count() == 2_000
+    assert decode_where(spark, bdir, man, "x IS NOT NULL").count() == 18_000
+    # IN-list envelope prunes like a range
+    din = decode_where(spark, bdir, man, "k IN (5000, 5001, 5500)")
+    assert din.count() == 3
