@@ -437,3 +437,77 @@ def test_null_predicate_pruning(spark, tmp_path, path):
     # IN-list envelope prunes like a range
     din = decode_where(spark, bdir, man, "k IN (5000, 5001, 5500)")
     assert din.count() == 3
+
+
+# --------------------------------------------------------------------------
+# Property: decode_where == DuckDB on the source, for ANY generated predicate
+# --------------------------------------------------------------------------
+# The invariant that matters at 100 TB: zone pruning must NEVER lose a row.
+# Generate predicates from the whole supported grammar (comparisons,
+# BETWEEN, IN-lists, IS [NOT] NULL, AND, parenthesized OR) and compare the
+# pruned decode's row set against DuckDB evaluating the same SQL text on
+# the original parquet — same rows or the pruning is wrong.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_num_lit = hst.integers(min_value=-100, max_value=20_100)
+_grp_lit = hst.integers(min_value=-1, max_value=4).map(lambda i: f"'g{i:02d}'")
+_cmp_ops = hst.sampled_from(["=", "<", "<=", ">", ">="])
+
+
+def _simple_pred() -> hst.SearchStrategy[str]:
+    k_cmp = hst.tuples(_cmp_ops, _num_lit).map(lambda t: f"k {t[0]} {t[1]}")
+    k_between = (
+        hst.tuples(_num_lit, _num_lit)
+        .map(sorted)
+        .map(lambda t: f"k BETWEEN {t[0]} AND {t[1]}")
+    )
+    k_in = hst.lists(_num_lit, min_size=1, max_size=4).map(
+        lambda v: f"k IN ({', '.join(map(str, v))})"
+    )
+    grp_cmp = hst.tuples(_cmp_ops, _grp_lit).map(
+        lambda t: f"grp {t[0]} {t[1]}"
+    )
+    grp_in = hst.lists(_grp_lit, min_size=1, max_size=3).map(
+        lambda v: f"grp IN ({', '.join(v)})"
+    )
+    null_p = hst.tuples(
+        hst.sampled_from(["k", "grp", "val"]),
+        hst.sampled_from(["IS NULL", "IS NOT NULL"]),
+    ).map(lambda t: f"{t[0]} {t[1]}")
+    val_cmp = hst.tuples(
+        _cmp_ops, hst.floats(min_value=0.0, max_value=1.0, width=16)
+    ).map(lambda t: f"val {t[0]} {t[1]!r}")
+    return hst.one_of(k_cmp, k_between, k_in, grp_cmp, grp_in, null_p, val_cmp)
+
+
+def _predicate() -> hst.SearchStrategy[str]:
+    simple = _simple_pred()
+    or_group = hst.tuples(simple, simple).map(lambda t: f"({t[0]} OR {t[1]})")
+    conjunct = hst.one_of(simple, or_group)
+    return hst.lists(conjunct, min_size=1, max_size=3).map(" AND ".join)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=_predicate())
+def test_decode_where_matches_duckdb_any_predicate(spark, multi_block, where):
+    import duckdb
+
+    from d6tstack_spark.operators.encode import decode_where
+
+    src, bdir, man = multi_block
+    got = sorted(
+        r.k for r in decode_where(spark, bdir, man, where).select("k").collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT k FROM read_parquet('{src}') WHERE {where}"
+        ).fetchall()
+    )
+    assert got == want, f"row-set mismatch for WHERE {where}"
