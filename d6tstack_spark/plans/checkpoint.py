@@ -467,6 +467,27 @@ def load_manifest(state_dir: str) -> dict:
         return json.load(f)
 
 
+def save_manifest(manifest: dict, blocks_dir: str) -> str:
+    """Persist a codec manifest INSIDE a plain blocks dir (the
+    ``write_blocks`` sink path, which has no state dir), making the dir
+    self-describing: a later session can decode with nothing but the path.
+    The file is named ``_manifest.json`` — the leading underscore makes
+    Spark's parquet reader ignore it, and the bulk decoder lists only
+    ``*.parquet`` files, so neither path ever sees it as data."""
+    path = os.path.join(blocks_dir, "_manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, path)
+    return path
+
+
+def load_blocks_manifest(blocks_dir: str) -> dict:
+    """Read the manifest :func:`save_manifest` stored in a blocks dir."""
+    with open(os.path.join(blocks_dir, "_manifest.json")) as f:
+        return json.load(f)
+
+
 def decode_state(
     spark: SparkSession,
     state_dir: str,

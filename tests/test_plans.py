@@ -99,3 +99,44 @@ def test_encode_cluster_mode_single_shuffle(spark, transcripts_path):
     # exactly one Exchange node in the plan tree (the block repartition);
     # formatted output prints each node twice (tree + detail section)
     assert p.count("+- Exchange") == 1
+
+
+def test_blocks_dir_self_describing_manifest(spark, transcripts_path, tmp_path):
+    """save_manifest makes a plain write_blocks dir decodable by path alone
+    in a later session: load_blocks_manifest + decode_parquet_blocks round
+    trip, and the underscore-named sidecar is invisible to both the Spark
+    parquet reader and the bulk decoder's *.parquet listing."""
+    import pandas as pd
+
+    from d6tstack_spark.operators.encode import (
+        decode_parquet_blocks,
+        encode_parquet_files,
+    )
+    from d6tstack_spark.operators.sinks import write_blocks
+    from d6tstack_spark.plans.checkpoint import (
+        load_blocks_manifest,
+        save_manifest,
+    )
+
+    blocks, man = encode_parquet_files(
+        spark, transcripts_path, order_cols=("conv_id", "turn_idx")
+    )
+    bdir = str(tmp_path / "blocks")
+    write_blocks(blocks, bdir)
+    save_manifest(man, bdir)
+    man2 = load_blocks_manifest(bdir)
+    assert man2 == man
+    # sidecar present but ignored by the parquet scan of the same dir
+    assert (tmp_path / "blocks" / "_manifest.json").exists()
+    cols = spark.read.parquet(bdir).columns
+    assert "column" in cols and "payload" in cols
+    dec = decode_parquet_blocks(spark, bdir, man2)
+    want = (
+        spark.read.parquet(transcripts_path)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    got = dec.orderBy("conv_id", "turn_idx").toPandas()[want.columns.tolist()]
+    pd.testing.assert_frame_equal(
+        want.reset_index(drop=True), got.reset_index(drop=True)
+    )
