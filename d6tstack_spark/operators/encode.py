@@ -940,8 +940,9 @@ def decode_parquet_blocks(
     """Shuffle-free bulk decode — the inverse twin of
     :func:`encode_parquet_files`.
 
-    ``block_filter=(col, lo, hi)`` — or a LIST of such tuples, ANDed —
-    prunes whole blocks via the zone map
+    ``block_filter=(col, lo, hi)`` — or a LIST of such tuples (ANDed),
+    or a LIST OF LISTS (DNF: OR of ANDs, see :func:`zone_dnf_from_where`)
+    — prunes whole blocks via the zone map
     (see :func:`decode_table`) with NO driver-held id set: the driver only
     decides which FILES contain at least one qualifying block (a stats-only
     scan — payload column never read thanks to parquet column pruning;
@@ -981,46 +982,58 @@ def decode_parquet_blocks(
     #   2. each task re-derives its own file's qualifying block ids from
     #      that file's stats rows (the per-file complete-block invariant
     #      means a block's stats and payload always share a file).
-    # per-predicate (col, lo_phys, hi_phys, is_str) for tasks — O(#preds)
-    zf: list[tuple] | None = None
-    preds = _normalize_block_filters(block_filter)
-    if preds is not None:
+    # DNF of per-predicate (col, kind, lo_phys, hi_phys, is_str) tuples
+    # for tasks — O(#branches × #preds), independent of block count
+    zf: list[list[tuple]] | None = None
+    dnf = _normalize_block_filters(block_filter)
+    if dnf is not None:
         stats = spark.read.parquet(*paths)
         if "vmin_num" in stats.columns:  # pre-zone-map dirs: no pruning
             zf = []
-            qual_df = None
-            for bf in preds:
-                col, keep = _zone_keep_condition(full_manifest, bf)
-                m = full_manifest[col]
-                if len(bf) == 2:
-                    zf.append((col, bf[1], None, None, False))
-                else:
-                    zf.append(
-                        (
-                            col,
-                            "range",
-                            _normalize_zone_bound(
-                                bf[1], m["ptype"], m["logical"]
-                            ),
-                            _normalize_zone_bound(
-                                bf[2], m["ptype"], m["logical"]
-                            ),
-                            m["ptype"] in ("str", "bin"),
+            qual_df = None  # union over branches
+            for branch in dnf:
+                branch_zf = []
+                branch_df = None  # intersection within the branch
+                for bf in branch:
+                    col, keep = _zone_keep_condition(full_manifest, bf)
+                    m = full_manifest[col]
+                    if len(bf) == 2:
+                        branch_zf.append((col, bf[1], None, None, False))
+                    else:
+                        branch_zf.append(
+                            (
+                                col,
+                                "range",
+                                _normalize_zone_bound(
+                                    bf[1], m["ptype"], m["logical"]
+                                ),
+                                _normalize_zone_bound(
+                                    bf[2], m["ptype"], m["logical"]
+                                ),
+                                m["ptype"] in ("str", "bin"),
+                            )
                         )
+                    # a file qualifies iff SOME block in it passes SOME
+                    # branch's EVERY predicate — intersect per-predicate
+                    # (file, block) pairs in-plan within a branch, union
+                    # the branches; only the distinct file list reaches
+                    # the driver
+                    s = (
+                        stats.filter(F.col("column") == col)
+                        .filter(keep)
+                        .select(F.input_file_name().alias("f"), "block_id")
+                        .distinct()
                     )
-                # a file qualifies iff SOME block in it passes EVERY
-                # predicate — intersect per-predicate (file, block) pairs
-                # in-plan; only the distinct file list reaches the driver
-                s = (
-                    stats.filter(F.col("column") == col)
-                    .filter(keep)
-                    .select(F.input_file_name().alias("f"), "block_id")
-                    .distinct()
-                )
+                    branch_df = (
+                        s
+                        if branch_df is None
+                        else branch_df.join(s, ["f", "block_id"], "inner")
+                    )
+                zf.append(branch_zf)
                 qual_df = (
-                    s
+                    branch_df
                     if qual_df is None
-                    else qual_df.join(s, ["f", "block_id"], "inner")
+                    else qual_df.unionByName(branch_df)
                 )
             qual = {
                 _norm_file_uri(r[0])
@@ -1050,6 +1063,9 @@ def decode_parquet_blocks(
                 try:
                     keep_ids = None
                     if zf is not None:
+                        zcols = sorted(
+                            {z[0] for br in zf for z in br}
+                        )
                         st = pq.read_table(
                             p,
                             columns=[
@@ -1057,21 +1073,23 @@ def decode_parquet_blocks(
                                 "null_count", "vmin_num", "vmax_num",
                                 "vmin_str", "vmax_str",
                             ],
-                            filters=[
-                                ("column", "in", [z[0] for z in zf])
-                            ],
+                            filters=[("column", "in", zcols)],
                             use_threads=False,
                         )
-                        for zcol, kind, lo, hi, is_str in zf:
-                            sub = st.filter(
-                                pc.equal(st.column("column"), zcol)
-                            )
-                            ids = _zone_keep_ids_local(
-                                sub, kind, lo, hi, is_str
-                            )
-                            keep_ids = (
-                                ids if keep_ids is None else keep_ids & ids
-                            )
+                        keep_ids = set()
+                        for branch in zf:
+                            bids = None
+                            for zcol, kind, lo, hi, is_str in branch:
+                                sub = st.filter(
+                                    pc.equal(st.column("column"), zcol)
+                                )
+                                ids = _zone_keep_ids_local(
+                                    sub, kind, lo, hi, is_str
+                                )
+                                bids = (
+                                    ids if bids is None else bids & ids
+                                )
+                            keep_ids |= bids
                     t = pq.read_table(
                         p,
                         use_threads=False,
@@ -1180,12 +1198,21 @@ def _normalize_zone_bound(v, ptype: str, logical: str | None):
     return v
 
 
-def _normalize_block_filters(block_filter) -> list[tuple] | None:
-    """User-facing ``block_filter`` → list of predicates.
+def _normalize_block_filters(block_filter) -> list[list[tuple]] | None:
+    """User-facing ``block_filter`` → DNF: a list of BRANCHES (ORed),
+    each branch a list of predicates (ANDed). A block qualifies iff it
+    can satisfy SOME branch's EVERY predicate.
 
-    Accepts None, one predicate, or a list of them (ANDed — a block must
-    satisfy EVERY predicate to qualify; the conjunction is what a
-    multi-column WHERE clause prunes with). Predicate forms:
+    Accepted spellings:
+
+    - ``None`` — no pruning;
+    - one predicate ``(col, lo, hi)`` — single branch, single pred;
+    - a list of predicates — ONE branch (ANDed; what a conjunctive
+      WHERE clause prunes with — backwards compatible);
+    - a list of lists of predicates — full DNF (what
+      :func:`zone_dnf_from_where` emits for OR expressions).
+
+    Predicate forms:
 
     - ``(col, lo, hi)`` — inclusive range overlap (None = open end);
     - ``(col, "is_null")`` / ``(col, "not_null")`` — the block's recorded
@@ -1194,27 +1221,50 @@ def _normalize_block_filters(block_filter) -> list[tuple] | None:
     A single predicate is recognized by its string first element."""
     if block_filter is None:
         return None
-    if (
-        isinstance(block_filter, tuple)
-        and len(block_filter) in (2, 3)
-        and isinstance(block_filter[0], str)
-    ):
-        preds = [block_filter]
-    else:
-        preds = list(block_filter)
-    if not preds:
-        return None
-    for p in preds:
-        ok = isinstance(p[0], str) and (
-            len(p) == 3
-            or (len(p) == 2 and p[1] in ("is_null", "not_null"))
+
+    def _is_pred(p) -> bool:
+        return (
+            isinstance(p, (tuple, list))
+            and len(p) in (2, 3)
+            and isinstance(p[0], str)
         )
-        if not ok:
+
+    if _is_pred(block_filter):
+        dnf = [[block_filter]]
+    else:
+        items = list(block_filter)
+        if not items:
+            return None
+        if all(_is_pred(p) for p in items):
+            dnf = [items]  # one conjunction branch (backwards compatible)
+        elif all(
+            isinstance(b, (list, tuple)) and not _is_pred(b) for b in items
+        ):
+            dnf = [list(b) for b in items]
+            if any(not b for b in dnf):
+                return None  # an empty branch is TRUE → nothing prunable
+        else:
             raise ValueError(
-                "block_filter predicate must be (column, lo, hi) or "
-                f"(column, 'is_null'|'not_null'): {p!r}"
+                "block_filter must be a predicate tuple, a list of "
+                "predicates (ANDed), or a list of predicate lists "
+                f"(DNF) — got mixed forms: {block_filter!r}"
             )
-    return [tuple(p) for p in preds]
+    for branch in dnf:
+        for p in branch:
+            ok = (
+                isinstance(p, (tuple, list))
+                and isinstance(p[0], str)
+                and (
+                    len(p) == 3
+                    or (len(p) == 2 and p[1] in ("is_null", "not_null"))
+                )
+            )
+            if not ok:
+                raise ValueError(
+                    "block_filter predicate must be (column, lo, hi) or "
+                    f"(column, 'is_null'|'not_null'): {p!r}"
+                )
+    return [[tuple(p) for p in branch] for branch in dnf]
 
 
 def _zone_keep_condition(manifest: dict, block_filter: tuple):
@@ -1271,29 +1321,38 @@ def decode_table(
     (per-block min/max recorded at encode): only blocks whose [min, max]
     for ``col`` overlaps the inclusive [lo, hi] range are decoded (None =
     open end). A LIST of such tuples is a conjunction — the block must
-    overlap every range (multi-column WHERE pruning); the per-predicate
+    overlap every range (multi-column WHERE pruning); a LIST OF LISTS is
+    a disjunction of conjunctions (OR pruning — see
+    :func:`zone_dnf_from_where`). Within a branch the per-predicate
     qualifying-id sets are intersected in-plan (inner joins on block_id,
     each side a distinct over the tiny stats projection — no payload
-    touched until the final semi join). Pruning is conservative — callers
-    still apply the exact row-level filter to the result; blocks written
-    before zone maps (or with unsupported stats) always qualify, so
-    results are never wrong.
+    touched until the final semi join); branches are unioned. Pruning is
+    conservative — callers still apply the exact row-level filter to the
+    result; blocks written before zone maps (or with unsupported stats)
+    always qualify, so results are never wrong.
 
     Row order is unspecified (Spark semantics); the round-trip invariant is
     asserted under stable (conv_id, turn_idx) ordering by callers."""
-    preds = _normalize_block_filters(block_filter)
-    if preds is not None and "vmin_num" in blocks.columns:
-        ids = None
-        for bf in preds:
-            col, keep = _zone_keep_condition(manifest, bf)
-            s = (
-                blocks.filter(F.col("column") == col)
-                .filter(keep)
-                .select("block_id")
-                .distinct()
+    dnf = _normalize_block_filters(block_filter)
+    if dnf is not None and "vmin_num" in blocks.columns:
+        union_ids = None
+        for branch in dnf:
+            ids = None
+            for bf in branch:
+                col, keep = _zone_keep_condition(manifest, bf)
+                s = (
+                    blocks.filter(F.col("column") == col)
+                    .filter(keep)
+                    .select("block_id")
+                    .distinct()
+                )
+                ids = s if ids is None else ids.join(s, "block_id", "inner")
+            union_ids = (
+                ids if union_ids is None else union_ids.unionByName(ids)
             )
-            ids = s if ids is None else ids.join(s, "block_id", "inner")
-        blocks = blocks.join(ids, "block_id", "leftsemi")
+        blocks = blocks.join(
+            union_ids.distinct(), "block_id", "leftsemi"
+        )
     if columns is not None:
         if not columns:
             raise ValueError("columns must be non-empty (or None for all)")
@@ -1332,9 +1391,13 @@ _LIT_RE = (  # self-contained (non-capturing) so it embeds next to | and *
 _IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]*"
 
 
-def _split_conjuncts(where: str) -> list[str]:
-    """Split a boolean expression on top-level ANDs (outside parens and
-    string literals; the AND inside BETWEEN .. AND .. stays attached)."""
+def _split_toplevel(where: str, kw: str) -> list[str]:
+    """Split a boolean expression on a top-level connective (``AND`` or
+    ``OR``) outside parens and string literals; for ``AND``, the AND
+    inside ``BETWEEN .. AND ..`` stays attached."""
+    kw = kw.upper()
+    heads = "AaBb" if kw == "AND" else "Oo"
+    word_re = r"(?i)\b(AND|BETWEEN)\b" if kw == "AND" else r"(?i)\b(OR)\b"
     out, buf, depth, i, n = [], [], 0, 0, len(where)
     pending_between = 0
     while i < n:
@@ -1355,8 +1418,8 @@ def _split_conjuncts(where: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        if depth == 0 and ch in "AaBb":
-            word = re.match(r"(?i)\b(AND|BETWEEN)\b", where[i:])
+        if depth == 0 and ch in heads:
+            word = re.match(word_re, where[i:])
             prev_ok = i == 0 or not (where[i - 1].isalnum() or where[i - 1] == "_")
             if word and prev_ok:
                 w = word.group(1).upper()
@@ -1367,12 +1430,39 @@ def _split_conjuncts(where: str) -> list[str]:
                 else:
                     out.append("".join(buf))
                     buf = []
-                    i += 3
+                    i += len(w)
                     continue
         buf.append(ch)
         i += 1
     out.append("".join(buf))
     return [c.strip() for c in out if c.strip()]
+
+
+def _split_conjuncts(where: str) -> list[str]:
+    """Split a boolean expression on top-level ANDs (outside parens and
+    string literals; the AND inside BETWEEN .. AND .. stays attached)."""
+    return _split_toplevel(where, "AND")
+
+
+def _strip_outer_parens(expr: str) -> str:
+    """Remove parens that enclose the WHOLE expression (repeatedly);
+    ``(a) AND (b)`` is untouched — its opening paren closes early."""
+    expr = expr.strip()
+    while expr.startswith("(") and expr.endswith(")"):
+        depth = 0
+        match_at = -1
+        for k, c in enumerate(expr):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    match_at = k
+                    break
+        if match_at != len(expr) - 1:
+            break
+        expr = expr[1:-1].strip()
+    return expr
 
 
 def _parse_zone_literal(text: str, m: dict):
@@ -1420,96 +1510,132 @@ def zone_predicates_from_where(where: str, manifest: dict) -> list[tuple]:
     inclusive bounds (a boundary block may survive — the exact row filter
     removes its rows); everything else (ORs, functions, unknown columns)
     contributes nothing and is left to the row filter. Never wrong,
-    sometimes less pruning."""
+    sometimes less pruning. For OR-aware pruning see
+    :func:`zone_dnf_from_where` (what :func:`decode_where` uses)."""
     preds: list[tuple] = []
     for conj in _split_conjuncts(where):
-        while conj.startswith("(") and conj.endswith(")"):
-            # strip only when the opening paren matches the LAST char
-            depth = 0
-            match_at = -1
-            for k, c in enumerate(conj):
-                if c == "(":
-                    depth += 1
-                elif c == ")":
-                    depth -= 1
-                    if depth == 0:
-                        match_at = k
-                        break
-            if match_at != len(conj) - 1:
-                break
-            conj = conj[1:-1].strip()
+        conj = _strip_outer_parens(conj)
         sub = _split_conjuncts(conj)
         if len(sub) > 1:  # parenthesized conjunction: recurse
             for s in sub:
                 preds.extend(zone_predicates_from_where(s, manifest))
             continue
-        mnull = re.match(rf"(?i)^({_IDENT_RE})\s+IS\s+(NOT\s+)?NULL$", conj)
-        if mnull:
-            col = mnull.group(1)
-            if col in manifest:
-                preds.append(
-                    (col, "not_null" if mnull.group(2) else "is_null")
-                )
-            continue
-        min_list = re.match(
-            rf"(?i)^({_IDENT_RE})\s+IN\s*\(\s*"
-            rf"({_LIT_RE}(?:\s*,\s*(?:{_LIT_RE}))*)\s*\)$",
-            conj,
-        )
-        if min_list:
-            # IN-list → conservative [min, max] envelope of its literals
-            col = min_list.group(1)
-            if col in manifest:
-                lits = [
-                    _parse_zone_literal(t, manifest[col])
-                    for t in re.findall(_LIT_RE, min_list.group(2))
-                ]
-                if lits and all(v is not None for v in lits):
-                    preds.append((col, min(lits), max(lits)))
-            continue
-        mbet = re.match(
-            rf"(?i)^({_IDENT_RE})\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})$",
-            conj,
-        )
-        if mbet:
-            col = mbet.group(1)
-            if col in manifest:
-                lo = _parse_zone_literal(mbet.group(2), manifest[col])
-                hi = _parse_zone_literal(mbet.group(3), manifest[col])
-                if lo is not None and hi is not None:
-                    preds.append((col, lo, hi))
-            continue
-        mcmp = re.match(
-            rf"^({_IDENT_RE})\s*(>=|<=|==|=|<|>)\s*({_LIT_RE})$", conj
-        )
-        rev = False
-        if not mcmp:
-            mcmp = re.match(
-                rf"^({_LIT_RE})\s*(>=|<=|==|=|<|>)\s*({_IDENT_RE})$", conj
-            )
-            rev = True
-        if not mcmp:
-            continue
-        col, lit = (
-            (mcmp.group(1), mcmp.group(3))
-            if not rev
-            else (mcmp.group(3), mcmp.group(1))
-        )
-        if col not in manifest:
-            continue
-        v = _parse_zone_literal(lit, manifest[col])
-        if v is None:
-            continue
-        op = mcmp.group(2)
-        if rev:  # literal OP col  ≡  col FLIP(OP) literal
-            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
-        if op in ("=", "=="):
-            preds.append((col, v, v))
-        elif op in (">", ">="):
-            preds.append((col, v, None))
-        else:
-            preds.append((col, None, v))
+        preds.extend(_compile_atom(conj, manifest))
     return preds
+
+
+def _compile_atom(conj: str, manifest: dict) -> list[tuple]:
+    """One comparison atom (no top-level AND/OR/parens) → zero or one
+    zone predicates. Unrecognized forms → [] (prune nothing)."""
+    mnull = re.match(rf"(?i)^({_IDENT_RE})\s+IS\s+(NOT\s+)?NULL$", conj)
+    if mnull:
+        col = mnull.group(1)
+        if col in manifest:
+            return [(col, "not_null" if mnull.group(2) else "is_null")]
+        return []
+    min_list = re.match(
+        rf"(?i)^({_IDENT_RE})\s+IN\s*\(\s*"
+        rf"({_LIT_RE}(?:\s*,\s*(?:{_LIT_RE}))*)\s*\)$",
+        conj,
+    )
+    if min_list:
+        # IN-list → conservative [min, max] envelope of its literals
+        col = min_list.group(1)
+        if col in manifest:
+            lits = [
+                _parse_zone_literal(t, manifest[col])
+                for t in re.findall(_LIT_RE, min_list.group(2))
+            ]
+            if lits and all(v is not None for v in lits):
+                return [(col, min(lits), max(lits))]
+        return []
+    mbet = re.match(
+        rf"(?i)^({_IDENT_RE})\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})$",
+        conj,
+    )
+    if mbet:
+        col = mbet.group(1)
+        if col in manifest:
+            lo = _parse_zone_literal(mbet.group(2), manifest[col])
+            hi = _parse_zone_literal(mbet.group(3), manifest[col])
+            if lo is not None and hi is not None:
+                return [(col, lo, hi)]
+        return []
+    mcmp = re.match(
+        rf"^({_IDENT_RE})\s*(>=|<=|==|=|<|>)\s*({_LIT_RE})$", conj
+    )
+    rev = False
+    if not mcmp:
+        mcmp = re.match(
+            rf"^({_LIT_RE})\s*(>=|<=|==|=|<|>)\s*({_IDENT_RE})$", conj
+        )
+        rev = True
+    if not mcmp:
+        return []
+    col, lit = (
+        (mcmp.group(1), mcmp.group(3))
+        if not rev
+        else (mcmp.group(3), mcmp.group(1))
+    )
+    if col not in manifest:
+        return []
+    v = _parse_zone_literal(lit, manifest[col])
+    if v is None:
+        return []
+    op = mcmp.group(2)
+    if rev:  # literal OP col  ≡  col FLIP(OP) literal
+        op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+    if op in ("=", "=="):
+        return [(col, v, v)]
+    if op in (">", ">="):
+        return [(col, v, None)]
+    return [(col, None, v)]
+
+
+_MAX_DNF_BRANCHES = 64
+
+
+def zone_dnf_from_where(where: str, manifest: dict) -> list[list[tuple]]:
+    """OR-aware zone compiler: SQL boolean expression → disjunction of
+    conjunctions of zone predicates (the ``block_filter`` DNF form). A
+    block is decoded iff it can satisfy SOME branch's EVERY predicate.
+
+    Strictly conservative, like :func:`zone_predicates_from_where`:
+    an unrecognized atom is a TRUE factor inside a conjunction (its
+    branch prunes on the other factors) but poisons a disjunction
+    (``x OR unknown()`` can match rows anywhere → no pruning). DNF
+    distribution is capped at ``_MAX_DNF_BRANCHES`` branches — beyond
+    that the expression is left entirely to the row filter. Returns []
+    when nothing is prunable."""
+    dnf = _compile_dnf(where, manifest)
+    return dnf if dnf else []
+
+
+def _compile_dnf(expr: str, manifest: dict) -> list[list[tuple]] | None:
+    """Recursive DNF compiler; ``None`` means TRUE (prunes nothing)."""
+    expr = _strip_outer_parens(expr)
+    ors = _split_toplevel(expr, "OR")
+    if len(ors) > 1:
+        branches: list[list[tuple]] = []
+        for b in ors:
+            sub = _compile_dnf(b, manifest)
+            if not sub:  # one unprunable branch → rows can hide anywhere
+                return None
+            branches.extend(sub)
+        return branches if len(branches) <= _MAX_DNF_BRANCHES else None
+    conjs = _split_toplevel(expr, "AND")
+    if len(conjs) > 1:
+        acc: list[list[tuple]] = [[]]
+        for c in conjs:
+            sub = _compile_dnf(c, manifest)
+            if not sub:
+                continue  # TRUE factor: branch prunes on the others
+            acc = [a + list(b) for a in acc for b in sub]
+            if len(acc) > _MAX_DNF_BRANCHES:
+                return None
+        return acc if acc != [[]] else None
+    preds = _compile_atom(expr, manifest)
+    return [preds] if preds else None
 
 
 def decode_where(
@@ -1520,15 +1646,18 @@ def decode_where(
     columns: list[str] | None = None,
 ) -> DataFrame:
     """The 100 TB slice API: decode only the rows matching a SQL boolean
-    expression. Range-expressible conjuncts become zone-map block filters
-    (whole blocks whose min/max cannot overlap are never read), the FULL
-    expression is then applied exactly on the decoded rows, and ``columns``
-    projects the result (the predicate may reference columns outside the
-    projection — they are decoded for the filter and dropped after).
+    expression. Range-expressible predicates become zone-map block filters
+    (whole blocks whose min/max cannot overlap are never read) — including
+    OR expressions, compiled to a disjunction of conjunctions by
+    :func:`zone_dnf_from_where` (each OR branch prunes independently; the
+    qualifying block sets are unioned). The FULL expression is then
+    applied exactly on the decoded rows, and ``columns`` projects the
+    result (the predicate may reference columns outside the projection —
+    they are decoded for the filter and dropped after).
 
     ``blocks`` is a blocks directory (shuffle-free per-file bulk decode)
     or a blocks DataFrame (shuffled :func:`decode_table` path)."""
-    preds = zone_predicates_from_where(where, manifest)
+    preds = zone_dnf_from_where(where, manifest)
     need = columns
     if columns is not None:
         referenced = [

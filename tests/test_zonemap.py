@@ -371,6 +371,102 @@ def test_zone_predicates_from_where_forms():
     ) == [("grp", "a'nd", "a'nd"), ("k", 1, 2)]
 
 
+def test_zone_dnf_from_where_forms():
+    from d6tstack_spark.operators.encode import zone_dnf_from_where
+
+    man = {
+        "k": {"ptype": "i64", "logical": None},
+        "grp": {"ptype": "str", "logical": None},
+    }
+    # plain disjunction → one branch per arm
+    assert zone_dnf_from_where("k = 1 OR k = 2", man) == [
+        [("k", 1, 1)], [("k", 2, 2)],
+    ]
+    # AND binds tighter than OR (SQL precedence, no parens needed)
+    assert zone_dnf_from_where(
+        "k >= 1 AND grp = 'a' OR k <= -5", man
+    ) == [[("k", 1, None), ("grp", "a", "a")], [("k", None, -5)]]
+    # conjunction distributes over a parenthesized OR
+    assert zone_dnf_from_where(
+        "k >= 10 AND (grp = 'a' OR grp = 'b')", man
+    ) == [
+        [("k", 10, None), ("grp", "a", "a")],
+        [("k", 10, None), ("grp", "b", "b")],
+    ]
+    # an unprunable atom inside a conjunction is a TRUE factor...
+    assert zone_dnf_from_where("k > 3 AND k % 2 = 0", man) == [
+        [("k", 3, None)],
+    ]
+    # ...but poisons a disjunction: rows could match anywhere
+    assert zone_dnf_from_where("k > 3 OR k % 2 = 0", man) == []
+    assert zone_dnf_from_where("k = 1 OR upper(grp) = 'G'", man) == []
+    # a single conjunction matches zone_predicates_from_where's output
+    assert zone_dnf_from_where("k >= 10 AND k < 20", man) == [
+        [("k", 10, None), ("k", None, 20)],
+    ]
+    # branch-cap: a 2^7-branch cross product refuses to blow up
+    expr = " AND ".join(f"(k = {i} OR grp = 'g{i}')" for i in range(7))
+    assert zone_dnf_from_where(expr, man) == []
+    # nested parens + mixed arms
+    assert zone_dnf_from_where(
+        "((k BETWEEN 1 AND 3 AND grp IS NULL) OR (k > 100))", man
+    ) == [[("k", 1, 3), ("grp", "is_null")], [("k", 100, None)]]
+
+
+@pytest.mark.parametrize("path", ["bulk", "table"])
+def test_or_filter_unions_blocks(spark, multi_block, path):
+    """DNF block_filter (list of lists): both ends of the key range decode,
+    the middle is pruned — the union of two disjoint branch ranges."""
+    src, bdir, man = multi_block
+    dnf = [[("k", 0, 999)], [("k", 18_000, None)]]
+    if path == "bulk":
+        dec = decode_parquet_blocks(spark, bdir, man, block_filter=dnf)
+    else:
+        dec = decode_table(spark.read.parquet(bdir), man, block_filter=dnf)
+    n_dec = dec.count()
+    assert n_dec < 10_000, n_dec  # middle 16k keys pruned
+    assert dec.filter((F.col("k") <= 999) | (F.col("k") >= 18_000)).count() == 3_000
+    # cross-column branches: low keys OR the g03 group
+    dnf2 = [[("k", None, 499)], [("grp", "g03", "g03")]]
+    if path == "bulk":
+        dec2 = decode_parquet_blocks(spark, bdir, man, block_filter=dnf2)
+    else:
+        dec2 = decode_table(spark.read.parquet(bdir), man, block_filter=dnf2)
+    assert dec2.filter(
+        (F.col("k") <= 499) | (F.col("grp") == "g03")
+    ).count() == 5_500
+    assert dec2.count() < 10_000
+    # disjoint both-branch miss decodes nothing
+    dnf3 = [[("k", 1_000_000, None)], [("grp", "zzz", "zzz")]]
+    if path == "bulk":
+        dec3 = decode_parquet_blocks(spark, bdir, man, block_filter=dnf3)
+    else:
+        dec3 = decode_table(spark.read.parquet(bdir), man, block_filter=dnf3)
+    assert dec3.count() == 0
+
+
+def test_decode_where_or_end_to_end(spark, multi_block):
+    from d6tstack_spark.operators.encode import decode_where
+
+    src, bdir, man = multi_block
+    full = spark.read.parquet(src)
+    for where in (
+        "k < 1000 OR k >= 18000",
+        "k < 500 OR grp = 'g03'",
+        "(k BETWEEN 100 AND 200 AND grp = 'g00') OR k > 19500",
+        "k < 100 OR k % 7 = 0",  # unprunable arm: full scan, exact filter
+    ):
+        want = full.filter(where).orderBy("k").toPandas()
+        got = (
+            decode_where(spark, bdir, man, where)
+            .orderBy("k")
+            .toPandas()[want.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(
+            want.reset_index(drop=True), got.reset_index(drop=True)
+        )
+
+
 def test_decode_where_end_to_end(spark, multi_block):
     from d6tstack_spark.operators.encode import decode_where
 
@@ -486,7 +582,11 @@ def _predicate() -> hst.SearchStrategy[str]:
     simple = _simple_pred()
     or_group = hst.tuples(simple, simple).map(lambda t: f"({t[0]} OR {t[1]})")
     conjunct = hst.one_of(simple, or_group)
-    return hst.lists(conjunct, min_size=1, max_size=3).map(" AND ".join)
+    conj_chain = hst.lists(conjunct, min_size=1, max_size=3).map(" AND ".join)
+    # top-level disjunctions of AND-chains exercise the DNF compiler's
+    # OR-first split and SQL precedence (AND binds tighter, no parens)
+    disjunction = hst.lists(conj_chain, min_size=2, max_size=2).map(" OR ".join)
+    return hst.one_of(conj_chain, disjunction)
 
 
 @settings(
