@@ -1603,7 +1603,10 @@ def zone_dnf_from_where(where: str, manifest: dict) -> list[list[tuple]]:
     Strictly conservative, like :func:`zone_predicates_from_where`:
     an unrecognized atom is a TRUE factor inside a conjunction (its
     branch prunes on the other factors) but poisons a disjunction
-    (``x OR unknown()`` can match rows anywhere → no pruning). DNF
+    (``x OR unknown()`` can match rows anywhere → no pruning). ``NOT``
+    is compiled through De Morgan with atom-level negation (flipped
+    comparisons, BETWEEN → two outer ranges, IS [NOT] NULL swapped;
+    ``NOT col = v`` and ``NOT col IN (...)`` are unprunable). DNF
     distribution is capped at ``_MAX_DNF_BRANCHES`` branches — beyond
     that the expression is left entirely to the row filter. Returns []
     when nothing is prunable."""
@@ -1634,8 +1637,96 @@ def _compile_dnf(expr: str, manifest: dict) -> list[list[tuple]] | None:
             if len(acc) > _MAX_DNF_BRANCHES:
                 return None
         return acc if acc != [[]] else None
+    mnot = re.match(r"(?i)^NOT\b(.*)$", expr, re.S)
+    if mnot:
+        return _compile_neg(mnot.group(1).strip(), manifest)
     preds = _compile_atom(expr, manifest)
     return [preds] if preds else None
+
+
+def _compile_neg(expr: str, manifest: dict) -> list[list[tuple]] | None:
+    """DNF of the NEGATION of ``expr`` (De Morgan), or None = unprunable.
+    Bounds stay inclusive-conservative: ``NOT k <= 5`` prunes with
+    ``[5, ∞)`` — the k=5 boundary block survives for the row filter."""
+    expr = _strip_outer_parens(expr)
+    ors = _split_toplevel(expr, "OR")
+    if len(ors) > 1:  # ¬(a OR b) = ¬a AND ¬b — distribute
+        acc: list[list[tuple]] = [[]]
+        for b in ors:
+            sub = _compile_neg(b, manifest)
+            if not sub:
+                continue  # unprunable ¬arm is a TRUE factor
+            acc = [a + list(s) for a in acc for s in sub]
+            if len(acc) > _MAX_DNF_BRANCHES:
+                return None
+        return acc if acc != [[]] else None
+    conjs = _split_toplevel(expr, "AND")
+    if len(conjs) > 1:  # ¬(a AND b) = ¬a OR ¬b — any unprunable arm poisons
+        branches: list[list[tuple]] = []
+        for c in conjs:
+            sub = _compile_neg(c, manifest)
+            if not sub:
+                return None
+            branches.extend(sub)
+        return branches if len(branches) <= _MAX_DNF_BRANCHES else None
+    mnot = re.match(r"(?i)^NOT\b(.*)$", expr, re.S)
+    if mnot:  # ¬¬x = x
+        return _compile_dnf(mnot.group(1).strip(), manifest)
+    return _compile_atom_neg(expr, manifest)
+
+
+def _compile_atom_neg(conj: str, manifest: dict) -> list[list[tuple]] | None:
+    """DNF of the negation of one atom, or None when the complement is
+    not range-expressible (``NOT col = v``, IN-lists, unknown forms)."""
+    mnull = re.match(rf"(?i)^({_IDENT_RE})\s+IS\s+(NOT\s+)?NULL$", conj)
+    if mnull:
+        col = mnull.group(1)
+        if col in manifest:
+            return [[(col, "is_null" if mnull.group(2) else "not_null")]]
+        return None
+    mbet = re.match(
+        rf"(?i)^({_IDENT_RE})\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})$",
+        conj,
+    )
+    if mbet:
+        col = mbet.group(1)
+        if col in manifest:
+            lo = _parse_zone_literal(mbet.group(2), manifest[col])
+            hi = _parse_zone_literal(mbet.group(3), manifest[col])
+            if lo is not None and hi is not None:
+                # ¬(lo ≤ col ≤ hi) = col < lo OR col > hi
+                return [[(col, None, lo)], [(col, hi, None)]]
+        return None
+    mcmp = re.match(
+        rf"^({_IDENT_RE})\s*(>=|<=|==|=|<|>)\s*({_LIT_RE})$", conj
+    )
+    rev = False
+    if not mcmp:
+        mcmp = re.match(
+            rf"^({_LIT_RE})\s*(>=|<=|==|=|<|>)\s*({_IDENT_RE})$", conj
+        )
+        rev = True
+    if not mcmp:
+        return None
+    col, lit = (
+        (mcmp.group(1), mcmp.group(3))
+        if not rev
+        else (mcmp.group(3), mcmp.group(1))
+    )
+    if col not in manifest:
+        return None
+    v = _parse_zone_literal(lit, manifest[col])
+    if v is None:
+        return None
+    op = mcmp.group(2)
+    if rev:
+        op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+    if op in ("=", "=="):
+        return None  # complement of a point keeps every block anyway
+    neg = {"<": ">=", "<=": ">", ">": "<=", ">=": "<"}[op]
+    if neg in (">", ">="):
+        return [[(col, v, None)]]
+    return [[(col, None, v)]]
 
 
 def decode_where(

@@ -411,6 +411,28 @@ def test_zone_dnf_from_where_forms():
     assert zone_dnf_from_where(
         "((k BETWEEN 1 AND 3 AND grp IS NULL) OR (k > 100))", man
     ) == [[("k", 1, 3), ("grp", "is_null")], [("k", 100, None)]]
+    # NOT: atom negation (inclusive-conservative bounds)
+    assert zone_dnf_from_where("NOT k <= 5", man) == [[("k", 5, None)]]
+    assert zone_dnf_from_where("NOT (k BETWEEN 10 AND 20)", man) == [
+        [("k", None, 10)], [("k", 20, None)],
+    ]
+    # De Morgan: ¬(a OR b) = ¬a AND ¬b; ¬(a AND b) = ¬a OR ¬b
+    assert zone_dnf_from_where("NOT (k < 5 OR k > 100)", man) == [
+        [("k", 5, None), ("k", None, 100)],
+    ]
+    assert zone_dnf_from_where("NOT (NOT k > 7)", man) == [[("k", 7, None)]]
+    assert zone_dnf_from_where("NOT grp IS NULL", man) == [[("grp", "not_null")]]
+    # unprunable negations: point complement; poisoned ¬AND arm;
+    # unprunable ¬arm inside ¬OR is just a TRUE factor
+    assert zone_dnf_from_where("NOT k = 3", man) == []
+    assert zone_dnf_from_where("NOT (k >= 5 AND grp = 'a')", man) == []
+    assert zone_dnf_from_where(
+        "NOT (k < 5 OR upper(grp) = 'G')", man
+    ) == [[("k", 5, None)]]
+    # NOT binds tighter than AND
+    assert zone_dnf_from_where("NOT k < 100 AND grp = 'a'", man) == [
+        [("k", 100, None), ("grp", "a", "a")],
+    ]
 
 
 @pytest.mark.parametrize("path", ["bulk", "table"])
@@ -455,6 +477,9 @@ def test_decode_where_or_end_to_end(spark, multi_block):
         "k < 500 OR grp = 'g03'",
         "(k BETWEEN 100 AND 200 AND grp = 'g00') OR k > 19500",
         "k < 100 OR k % 7 = 0",  # unprunable arm: full scan, exact filter
+        "NOT (k >= 1000 AND k < 18000)",  # De Morgan → two outer ranges
+        "NOT (k BETWEEN 500 AND 19000) OR grp = 'g02'",
+        "NOT k >= 2000 AND NOT grp IS NULL",
     ):
         want = full.filter(where).orderBy("k").toPandas()
         got = (
@@ -579,9 +604,13 @@ def _simple_pred() -> hst.SearchStrategy[str]:
 
 
 def _predicate() -> hst.SearchStrategy[str]:
-    simple = _simple_pred()
+    simple = hst.one_of(
+        _simple_pred(),
+        _simple_pred().map(lambda p: f"NOT {p}"),
+    )
     or_group = hst.tuples(simple, simple).map(lambda t: f"({t[0]} OR {t[1]})")
-    conjunct = hst.one_of(simple, or_group)
+    not_group = or_group.map(lambda g: f"NOT {g}")
+    conjunct = hst.one_of(simple, or_group, not_group)
     conj_chain = hst.lists(conjunct, min_size=1, max_size=3).map(" AND ".join)
     # top-level disjunctions of AND-chains exercise the DNF compiler's
     # OR-first split and SQL precedence (AND binds tighter, no parens)
