@@ -97,6 +97,17 @@ def _stat_upper_bytes(hi: bytes) -> bytes | None:
     return None
 
 
+def _prefix_upper_bytes(p: bytes) -> bytes | None:
+    """Strict upper bound for EVERY byte string starting with prefix
+    ``p``: increment the last non-0xFF byte and truncate after it
+    (``b"g0"`` → ``b"g1"``; any ``"g0..."`` sorts below ``"g1"``).
+    All-0xFF prefixes are unbounded above (None)."""
+    for i in range(len(p) - 1, -1, -1):
+        if p[i] != 0xFF:
+            return p[:i] + bytes([p[i] + 1])
+    return None
+
+
 def _block_stats(arr: pa.Array, ptype: str) -> dict:
     """Conservative zone map of one block column — an optimization only:
     any failure or unsupported type degrades to null stats (= never
@@ -1560,6 +1571,23 @@ def _compile_atom(conj: str, manifest: dict) -> list[tuple]:
             hi = _parse_zone_literal(mbet.group(3), manifest[col])
             if lo is not None and hi is not None:
                 return [(col, lo, hi)]
+        return []
+    mlike = re.match(
+        rf"(?i)^({_IDENT_RE})\s+LIKE\s+'((?:[^']|'')*)'$", conj
+    )
+    if mlike:
+        col = mlike.group(1)
+        if col in manifest and manifest[col]["ptype"] in ("str", "bin"):
+            pat = mlike.group(2).replace("''", "'")
+            if pat.endswith("%") and not re.search(r"[%_\\]", pat[:-1]):
+                # prefix match: [prefix, strict-upper-bound(prefix)] — any
+                # string starting with the prefix sorts inside this range
+                pref = pat[:-1]
+                if not pref:
+                    return []  # LIKE '%' matches everything
+                return [(col, pref, _prefix_upper_bytes(pref.encode()))]
+            if not re.search(r"[%_\\]", pat):
+                return [(col, pat, pat)]  # no wildcard at all: equality
         return []
     mcmp = re.match(
         rf"^({_IDENT_RE})\s*(>=|<=|==|=|<|>)\s*({_LIT_RE})$", conj

@@ -433,6 +433,18 @@ def test_zone_dnf_from_where_forms():
     assert zone_dnf_from_where("NOT k < 100 AND grp = 'a'", man) == [
         [("k", 100, None), ("grp", "a", "a")],
     ]
+    # prefix LIKE → [prefix, strict-upper-bound) range; wildcard-free
+    # LIKE → equality; interior wildcards and NOT LIKE are unprunable
+    assert zone_dnf_from_where("grp LIKE 'g0%'", man) == [
+        [("grp", "g0", b"g1")],
+    ]
+    assert zone_dnf_from_where("grp LIKE 'abc'", man) == [
+        [("grp", "abc", "abc")],
+    ]
+    assert zone_dnf_from_where("grp LIKE '%x'", man) == []
+    assert zone_dnf_from_where("grp LIKE 'a_c%'", man) == []
+    assert zone_dnf_from_where("NOT grp LIKE 'g0%'", man) == []
+    assert zone_dnf_from_where("k LIKE 'g%'", man) == []  # non-string col
 
 
 @pytest.mark.parametrize("path", ["bulk", "table"])
@@ -480,6 +492,7 @@ def test_decode_where_or_end_to_end(spark, multi_block):
         "NOT (k >= 1000 AND k < 18000)",  # De Morgan → two outer ranges
         "NOT (k BETWEEN 500 AND 19000) OR grp = 'g02'",
         "NOT k >= 2000 AND NOT grp IS NULL",
+        "grp LIKE 'g03%' OR k < 250",  # prefix-LIKE branch prunes
     ):
         want = full.filter(where).orderBy("k").toPandas()
         got = (
@@ -597,10 +610,15 @@ def _simple_pred() -> hst.SearchStrategy[str]:
         hst.sampled_from(["k", "grp", "val"]),
         hst.sampled_from(["IS NULL", "IS NOT NULL"]),
     ).map(lambda t: f"{t[0]} {t[1]}")
+    grp_like = hst.sampled_from(
+        ["'g%'", "'g0%'", "'g01%'", "'g01'", "'%1'", "'h%'", "''"]
+    ).map(lambda p: f"grp LIKE {p}")
     val_cmp = hst.tuples(
         _cmp_ops, hst.floats(min_value=0.0, max_value=1.0, width=16)
     ).map(lambda t: f"val {t[0]} {t[1]!r}")
-    return hst.one_of(k_cmp, k_between, k_in, grp_cmp, grp_in, null_p, val_cmp)
+    return hst.one_of(
+        k_cmp, k_between, k_in, grp_cmp, grp_in, null_p, val_cmp, grp_like
+    )
 
 
 def _predicate() -> hst.SearchStrategy[str]:
