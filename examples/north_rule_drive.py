@@ -38,7 +38,10 @@ def main(work_dir: str, sf: float = 0.05) -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from d6tstack_spark.datagen import write_transcripts
-    from d6tstack_spark.operators.encode import decode_parquet_blocks
+    from d6tstack_spark.operators.encode import (
+        decode_parquet_blocks,
+        decode_where,
+    )
     from d6tstack_spark.plans.checkpoint import encode_resume, load_manifest
     from d6tstack_spark.plans.metrics import table_totals
     from d6tstack_spark.sources.iceberg_meta import write_iceberg_table_minimal
@@ -78,6 +81,16 @@ def main(work_dir: str, sf: float = 0.05) -> None:
     )
     n_pruned = pruned.filter(F.col("conv_id") == first_conv).count()
 
+    # disjunctive SQL slice: the DNF compiler prunes each OR branch
+    # independently and unions the qualifying blocks
+    last_conv = full_src.agg(F.max("conv_id")).first()[0]
+    n_sliced = decode_where(
+        spark,
+        os.path.join(state, "blocks"),
+        man,
+        f"conv_id = '{first_conv}' OR (conv_id = '{last_conv}' AND turn_idx < 2)",
+    ).count()
+
     print(
         json.dumps(
             {
@@ -93,6 +106,7 @@ def main(work_dir: str, sf: float = 0.05) -> None:
                 },
                 "decode_bit_identical": mismatch == 0,
                 "zone_pruned_rows_for_one_conv": n_pruned,
+                "or_slice_rows": n_sliced,
             }
         )
     )
