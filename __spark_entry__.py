@@ -382,6 +382,43 @@ def q_encdec_pruned_range(spark, sf_dir):
     return dec.filter((F.col("event_id") >= 100) & (F.col("event_id") <= 400))
 
 
+def q_encdec_drift_stack(spark, sf_dir):
+    """Schema-drift encode (the reference's headline capability at the
+    codec layer — combine_csv.py sniff/align/stack): two parquet files
+    carved from orders with DIFFERENT column subsets encode into one
+    blocks table under the union manifest; decode null-pads exactly
+    where each file lacked the column. Oracle: the equivalent UNION ALL
+    with typed NULL casts."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from d6tstack_spark.operators.drift import encode_parquet_files_drift
+    from d6tstack_spark.operators.encode import decode_table
+
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    even = pc.equal(pc.bit_wise_and(t.column("o_orderkey"), 1), 0)
+    d = os.path.join(
+        tempfile.gettempdir(), f"driftq_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(d, exist_ok=True)
+    f1 = os.path.join(d, "even.parquet")
+    f2 = os.path.join(d, "odd.parquet")
+    pq.write_table(t.filter(even).select(["o_orderkey", "o_custkey"]), f1)
+    pq.write_table(
+        t.filter(pc.invert(even)).select(["o_orderkey", "o_totalprice"]), f2
+    )
+    blocks, man = encode_parquet_files_drift(
+        spark, [f1, f2], order_cols=("o_orderkey",)
+    )
+    return decode_table(blocks, man)
+
+
 # shared by the Spark query and its DuckDB oracle: every construct here
 # (OR, NOT, BETWEEN, prefix LIKE) is zone-prunable via the DNF compiler
 _OR_WHERE = (
@@ -1321,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver grades the first 50 registered queries — keep every
         # query's grade <= 1 round old by rotating here)
         "encdec_or_where": q_encdec_or_where,
+        "encdec_drift_stack": q_encdec_drift_stack,
         "media_video_meta": q_media_video_meta,
         "knn_pq": q_knn_pq,
         "media_jpeg_dims": q_media_jpeg_dims,
@@ -1588,6 +1626,12 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_v2_deletes": "SELECT * FROM events WHERE event_id >= 10 AND event_id <> 500",
         "encdec_pruned_range": "SELECT * FROM events WHERE event_id BETWEEN 100 AND 400",
         "encdec_or_where": f"SELECT * FROM events WHERE {_OR_WHERE}",
+        "encdec_drift_stack": (
+            "SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice"
+            " FROM orders WHERE o_orderkey % 2 = 0 UNION ALL "
+            "SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, o_totalprice"
+            " FROM orders WHERE o_orderkey % 2 = 1"
+        ),
         "encdec_lineitem": "SELECT * FROM lineitem",
         "encdec_orders": "SELECT * FROM orders",
         "encdec_documents": "SELECT * FROM documents",
