@@ -493,13 +493,33 @@ def decode_state(
     state_dir: str,
     columns: list[str] | None = None,
     block_filter: tuple | list | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Decode a state dir back to the original table via the shuffle-free
     per-file bulk path (state files contain complete blocks by construction
     — every write here is one task's whole partition). ``columns`` and
-    ``block_filter`` pass through to the zone-map-aware decoder."""
-    from d6tstack_spark.operators.encode import decode_parquet_blocks
+    ``block_filter`` pass through to the zone-map-aware decoder; ``where``
+    routes through :func:`~d6tstack_spark.operators.encode.decode_where`
+    (SQL predicate → DNF zone pruning + exact row filter) and is mutually
+    exclusive with ``block_filter``."""
+    from d6tstack_spark.operators.encode import (
+        decode_parquet_blocks,
+        decode_where,
+    )
 
+    if where is not None:
+        if block_filter is not None:
+            raise ValueError(
+                "pass either where= (SQL, compiled to zone filters) or "
+                "block_filter= (explicit predicates), not both"
+            )
+        return decode_where(
+            spark,
+            _blocks_dir(state_dir),
+            load_manifest(state_dir),
+            where,
+            columns=columns,
+        )
     return decode_parquet_blocks(
         spark,
         _blocks_dir(state_dir),

@@ -546,6 +546,16 @@ def test_decode_state_projection_and_zone_filter(spark, multi_parquet, tmp_path)
     assert dec.columns == ["conv_id", "turn_idx"]
     want = src.filter(F.col("conv_id") == lo).count()
     assert dec.filter(F.col("conv_id") == lo).count() == want
+    # SQL slice route: where= compiles to zone filters + exact row filter
+    w = f"conv_id = '{lo}' OR (conv_id > '{lo}' AND turn_idx = 0)"
+    got = decode_state(spark, state, where=w).count()
+    assert got == src.filter(w).count()
+    got2 = decode_state(spark, state, columns=["turn_idx"], where=w)
+    assert got2.columns == ["turn_idx"] and got2.count() == got
+    with pytest.raises(ValueError, match="not both"):
+        decode_state(
+            spark, state, where=w, block_filter=("conv_id", lo, lo)
+        )
 
 
 def test_legacy_state_dir_without_id_scheme_marker_refused(
