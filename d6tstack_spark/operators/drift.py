@@ -69,12 +69,13 @@ def parquet_drift_report(spark, paths: list[str]) -> dict:
         n for n in union if all(n in m for m in as_maps.values())
     ]
     uniform = len(set(schemas.values())) == 1
+    # O(files × cols): per-file membership checks against the precomputed
+    # non-common set, not a rescan of every other file's schema
+    non_common = set(union) - set(common)
     per_file = {
         p: {
             "missing": [n for n in union if n not in m],
-            "added": [n for n in m if not all(
-                n in m2 for m2 in as_maps.values()
-            )],
+            "added": [n for n in m if n in non_common],
         }
         for p, m in as_maps.items()
         if len(m) != len(union) or any(n not in m for n in union)
@@ -120,6 +121,10 @@ def encode_parquet_files_drift(
         encode_table,
     )
 
+    if on_drift not in ("unify", "error"):  # validated even when inputs
+        # happen to be uniform today — a typo'd mode must not lie dormant
+        # until the first drifted file arrives months into a pipeline
+        raise ValueError(f"on_drift must be 'unify' or 'error': {on_drift!r}")
     if isinstance(paths, str):
         paths = [paths]
     report = parquet_drift_report(spark, paths)
@@ -138,8 +143,6 @@ def encode_parquet_files_drift(
         raise ValueError(
             f"input schemas drift across files: {report['per_file']}"
         )
-    if on_drift != "unify":
-        raise ValueError(f"on_drift must be 'unify' or 'error': {on_drift!r}")
     df = (
         spark.read.option("mergeSchema", "true").parquet(*paths)
     )

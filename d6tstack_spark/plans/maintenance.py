@@ -15,19 +15,27 @@ the decode paths rely on:
   blocks together, so the driver's stats-only file pruning stays as
   selective as before).
 
-Safety: takes the same writer lease the resumable encoder uses, writes
-the compacted table NEXT TO the live dir, verifies row parity, and only
-then swaps — a crash at any point leaves either the original dir intact
-or a stale ``.compact`` sibling that the next run clears. The
-``_manifest.json`` sidecar (self-describing dirs) survives the rewrite.
-This mirrors Iceberg's ``rewrite_data_files`` maintenance action for the
-reference's ingest-to-parquet output (d6tstack combine_csv.py writes
-one parquet per input CSV — same small-file accretion at scale).
+Safety: takes the writer lease FIRST (the same lock the resumable
+encoder uses when the dir belongs to a state dir), then writes the
+compacted table NEXT TO the live dir, verifies row parity, and swaps
+with a rename-aside (live → ``.old``, new → live, drop ``.old``) — a
+crash at any point leaves either the live dir intact or a completed
+``.old``/``.compact`` pair that the next run rolls back or clears under
+the lease. The ``_manifest.json`` sidecar (self-describing dirs) is
+MOVED into the new dir before the swap, so it survives on any
+Hadoop-resolvable filesystem. This mirrors Iceberg's
+``rewrite_data_files`` maintenance action for the reference's
+ingest-to-parquet output (d6tstack combine_csv.py writes one parquet
+per input CSV — same small-file accretion at scale).
+
+The writer lease itself (O_EXCL file + pid liveness, shared with
+``encode_resume``) assumes the lease home is on a locally-mounted path;
+on object stores, front compaction with your scheduler's own mutual
+exclusion, as for every other writer in this engine.
 """
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import SparkSession
@@ -60,40 +68,63 @@ def compact_blocks(
     def _hpath(p: str):
         return jvm.org.apache.hadoop.fs.Path(p)
 
-    fs = _hpath(blocks_dir).getFileSystem(conf)
-    tmp = blocks_dir.rstrip("/") + ".compact"
-    if fs.exists(_hpath(tmp)):  # stale sibling from a crashed run
-        fs.delete(_hpath(tmp), True)
-
-    # one globStatus call returns paths AND sizes (no per-file RPC loop)
-    sts = fs.globStatus(_hpath(blocks_dir.rstrip("/") + "/*.parquet"))
-    paths = [s.getPath().toString() for s in (sts or [])]
-    total_bytes = sum(s.getLen() for s in (sts or []))
-    if not paths:
-        raise ValueError(f"no blocks parquet files under {blocks_dir}")
-    n_out = max(1, -(-total_bytes // target_file_bytes))
-    report = {
-        "files_before": len(paths),
-        "files_after": min(len(paths), int(n_out)),
-        "bytes": int(total_bytes),
-        "compacted": len(paths) > n_out,
-    }
-    if dry_run or not report["compacted"]:
-        report["compacted"] = False if dry_run else report["compacted"]
-        return report
+    live = blocks_dir.rstrip("/")
+    fs = _hpath(live).getFileSystem(conf)
+    tmp = live + ".compact"
+    aside = live + ".old"
 
     # the lease must live OUTSIDE the blocks dir (a stray writer.lock
     # inside would poison plain parquet reads of the dir). A state dir
     # (parent carries format.json) uses the STATE dir lease — the same
     # lock encode_resume takes, so compaction and resume serialize; a
-    # plain blocks dir uses a sibling .lease dir.
-    parent = os.path.dirname(blocks_dir.rstrip("/"))
-    state_like = os.path.exists(os.path.join(parent, "format.json"))
-    lease_home = parent if state_like else blocks_dir.rstrip("/") + ".lease"
+    # plain blocks dir uses a sibling .lease dir. Acquired BEFORE any
+    # cleanup so two compactors cannot clear each other's tmp dirs.
+    parent = os.path.dirname(live)
+    state_like = fs.exists(_hpath(parent + "/format.json"))
+    lease_home = parent if state_like else live + ".lease"
     lease = _acquire_lease(lease_home)
     hb = _LeaseHeartbeat(lease)
     try:
-        blocks = spark.read.parquet(blocks_dir)
+        # crash recovery, oldest window first: a run that died between
+        # rename-aside and rename-in left no live dir — roll the aside
+        # copy back (it is the verified original). A completed swap that
+        # died before dropping the aside just leaves it to clear.
+        if fs.exists(_hpath(aside)):
+            if not fs.exists(_hpath(live)):
+                fs.rename(_hpath(aside), _hpath(live))
+            else:
+                fs.delete(_hpath(aside), True)
+        if fs.exists(_hpath(tmp)):  # stale sibling from a crashed run
+            # a crash between the sidecar move and the swap left the only
+            # _manifest.json inside tmp — rescue it before clearing
+            tside = _hpath(tmp + "/_manifest.json")
+            lside = _hpath(live + "/_manifest.json")
+            if (
+                fs.exists(_hpath(live))
+                and fs.exists(tside)
+                and not fs.exists(lside)
+            ):
+                fs.rename(tside, lside)
+            fs.delete(_hpath(tmp), True)
+
+        # one globStatus call returns paths AND sizes (no per-file RPC)
+        sts = fs.globStatus(_hpath(live + "/*.parquet"))
+        paths = [s.getPath().toString() for s in (sts or [])]
+        total_bytes = sum(s.getLen() for s in (sts or []))
+        if not paths:
+            raise ValueError(f"no blocks parquet files under {blocks_dir}")
+        n_out = max(1, -(-total_bytes // target_file_bytes))
+        report = {
+            "files_before": len(paths),
+            "files_after": min(len(paths), int(n_out)),
+            "bytes": int(total_bytes),
+            "compacted": len(paths) > n_out,
+        }
+        if dry_run or not report["compacted"]:
+            report["compacted"] = False if dry_run else report["compacted"]
+            return report
+
+        blocks = spark.read.parquet(live)
         rows_before = blocks.count()
         compacted = blocks.repartitionByRange(int(n_out), "block_id")
         write_blocks(compacted, tmp)
@@ -104,16 +135,16 @@ def compact_blocks(
                 f"compaction row parity check failed ({rows_before} → "
                 f"{rows_after}); original dir untouched"
             )
-        sidecar = os.path.join(blocks_dir, "_manifest.json")
-        manifest_text = None
-        if os.path.exists(sidecar):
-            with open(sidecar) as f:
-                manifest_text = f.read()
-        fs.delete(_hpath(blocks_dir), True)
-        fs.rename(_hpath(tmp), _hpath(blocks_dir))
-        if manifest_text is not None:
-            with open(sidecar, "w") as f:
-                f.write(manifest_text)
+        # move the sidecar INTO the new dir pre-swap (Hadoop-FS rename —
+        # works on any resolvable scheme, no local-path content read)
+        sidecar = _hpath(live + "/_manifest.json")
+        if fs.exists(sidecar):
+            fs.rename(sidecar, _hpath(tmp + "/_manifest.json"))
+        # rename-aside swap: at no instant is the data deleted while it
+        # is the only copy
+        fs.rename(_hpath(live), _hpath(aside))
+        fs.rename(_hpath(tmp), _hpath(live))
+        fs.delete(_hpath(aside), True)
     finally:
         hb.release()
         try:

@@ -115,6 +115,12 @@ def test_on_drift_error_raises_with_report(spark, drifted):
         encode_parquet_files_drift(
             spark, [f1, f2], order_cols=("k",), on_drift="nope"
         )
+    # a typo'd mode is rejected even when today's inputs are uniform —
+    # it must not lie dormant until the first drifted file arrives
+    with pytest.raises(ValueError, match="on_drift"):
+        encode_parquet_files_drift(
+            spark, [f1, f1], order_cols=("k",), on_drift="eror"
+        )
 
 
 def test_type_conflict_always_raises(spark, tmp_path, drifted):

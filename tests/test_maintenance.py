@@ -109,6 +109,34 @@ def test_compact_zone_pruning_still_selective(spark, fragmented):
     assert dec.count() < 20_000 / 2  # pruning still engages after rewrite
 
 
+def test_compact_recovers_crashed_swap(spark, fragmented):
+    """Crash windows of the rename-aside swap heal on the next run:
+    (a) died between rename-aside and rename-in → live dir missing,
+    the aside copy rolls back; (b) died between the sidecar move and
+    the swap → the only _manifest.json sits inside the stale tmp dir
+    and must be rescued, not deleted with it."""
+    import shutil
+
+    src, bdir, man = fragmented
+    # (a) aside exists, live missing
+    os.rename(bdir, bdir + ".old")
+    rep = compact_blocks(spark, bdir, target_file_bytes=1 << 40)
+    assert rep["compacted"] and not os.path.exists(bdir + ".old")
+    dec = decode_parquet_blocks(spark, bdir, load_blocks_manifest(bdir))
+    assert dec.count() == 20_000
+    # (b) sidecar stranded in a stale .compact sibling
+    os.makedirs(bdir + ".compact", exist_ok=True)
+    shutil.move(
+        os.path.join(bdir, "_manifest.json"),
+        os.path.join(bdir + ".compact", "_manifest.json"),
+    )
+    rep2 = compact_blocks(spark, bdir, target_file_bytes=1 << 40)
+    assert not rep2["compacted"]  # already one file — no rewrite needed
+    assert os.path.exists(os.path.join(bdir, "_manifest.json"))
+    assert not os.path.exists(bdir + ".compact")
+    assert load_blocks_manifest(bdir) == man
+
+
 def test_compact_respects_foreign_lease(spark, fragmented):
     src, bdir, man = fragmented
     lease_home = bdir + ".lease"
