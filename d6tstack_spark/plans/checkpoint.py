@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import socket
 import threading
 import time
@@ -159,6 +160,170 @@ class _LeaseHeartbeat:
             pass
 
 
+def _deletes_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "deletes.json")
+
+
+def _purge_journal_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "purge_commit.json")
+
+
+def _rewritten_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "rewritten")
+
+
+def _purge_seq_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "purge_seq.json")
+
+
+def load_deletes(state_dir: str) -> list[dict]:
+    """Pending predicate tombstones: ``[{"id", "where", "ts"}, ...]``."""
+    dp = _deletes_path(state_dir)
+    if not os.path.exists(dp):
+        return []
+    with open(dp) as f:
+        return json.load(f)
+
+
+def _write_deletes(state_dir: str, items: list[dict]) -> None:
+    dp = _deletes_path(state_dir)
+    if not items:
+        try:
+            os.unlink(dp)
+        except FileNotFoundError:
+            pass
+        return
+    tmp = dp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(items, f, indent=1)
+    os.replace(tmp, dp)
+
+
+def _clear_tombstones(state_dir: str, ids: list[int]) -> None:
+    done = set(ids)
+    _write_deletes(
+        state_dir, [d for d in load_deletes(state_dir) if d["id"] not in done]
+    )
+
+
+def _tombstone_keep_expr(deletes: list[dict]) -> str | None:
+    """SQL keep-filter for pending tombstones, with DELETE null semantics:
+    a row is deleted only where the predicate is TRUE — a NULL predicate
+    keeps the row (``coalesce(p, false)``), exactly like SQL ``DELETE
+    WHERE p``. Plain ``NOT p`` would silently drop p-IS-NULL rows."""
+    if not deletes:
+        return None
+    return " AND ".join(
+        f"NOT coalesce(({d['where']}), false)" for d in deletes
+    )
+
+
+def _replay_purge_journal(spark: SparkSession, state_dir: str) -> bool:
+    """Finish (or finish rolling forward) a purge commit that crashed
+    mid-apply. The journal is written only AFTER the replacement blocks
+    are fully written and row-parity-verified, so replay always rolls
+    FORWARD: adopt any replacement files still sitting in the sibling
+    ``.purge`` dir, drop the listed original files, clear the covered
+    tombstones. Idempotent — every step checks existence first. Callers
+    must hold the state-dir writer lease."""
+    jp = _purge_journal_path(state_dir)
+    if not os.path.exists(jp):
+        return False
+    with open(jp) as f:
+        j = json.load(f)
+    bd = _blocks_dir(state_dir)
+    tmp = bd + ".purge"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _p(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _p(bd).getFileSystem(conf)
+    for b in j.get("adopt", []):
+        src, dst = _p(tmp + "/" + b), _p(bd + "/" + b)
+        if fs.exists(src) and not fs.exists(dst):
+            fs.rename(src, dst)
+    for b in j.get("remove", []):
+        dst = _p(bd + "/" + b)
+        if fs.exists(dst):
+            fs.delete(dst, False)
+    if fs.exists(_p(tmp)):
+        fs.delete(_p(tmp), True)
+    os.unlink(jp)
+    _clear_tombstones(state_dir, j.get("tombstones", []))
+    return True
+
+
+def delete_where(
+    spark: SparkSession,
+    state_dir: str,
+    where: str,
+    count_matches: bool = True,
+) -> dict:
+    """Record a predicate tombstone against an encoded state dir — the
+    logical half of ``DELETE FROM state WHERE <where>`` (SQL semantics:
+    only rows where the predicate is TRUE are deleted; NULL keeps).
+
+    O(metadata): no block is rewritten — :func:`decode_state` applies
+    pending tombstones as an exact row filter (merge-on-read, the
+    equality-delete idea of Iceberg v2, which ``sources/table_io.py``
+    reads on the ingest side). ``count_matches`` also reports how many
+    not-yet-deleted rows the predicate hits (a zone-map-pruned decode of
+    candidate blocks only); a predicate matching nothing is NOT recorded.
+
+    Physical reclamation is :func:`~d6tstack_spark.plans.maintenance.
+    purge_deletes`, which rewrites only the files the zone maps say can
+    contain matches. Until tombstones are purged, ``encode_resume``
+    refuses NEW appends — predicate tombstones are table-level at decode
+    and would otherwise also delete matching rows appended AFTER the
+    delete (the re-insert hazard Iceberg scopes with sequence numbers)."""
+    lease = _acquire_lease(state_dir)
+    hb = _LeaseHeartbeat(lease)
+    try:
+        _replay_purge_journal(spark, state_dir)
+        if not os.path.exists(_manifest_path(state_dir)):
+            raise ValueError(
+                f"{state_dir} is not an encoded state dir (no manifest.json)"
+            )
+        manifest = load_manifest(state_dir)
+        from d6tstack_spark.operators.encode import (
+            _phys_struct,
+            _restore_logical,
+        )
+
+        # eager predicate validation: Spark analyzes filter() immediately
+        # against the decoded (logical) schema — typos and unknown columns
+        # fail here, not at the next decode
+        empty = _restore_logical(
+            spark.createDataFrame([], _phys_struct(manifest)), manifest
+        )
+        empty.filter(F.expr(where))
+        report: dict = {"where": where, "recorded": True}
+        if count_matches:
+            from d6tstack_spark.operators.encode import decode_where
+
+            hit = decode_where(
+                spark, _blocks_dir(state_dir), manifest, where
+            )
+            keep = _tombstone_keep_expr(load_deletes(state_dir))
+            if keep:  # count only rows not already tombstoned
+                hit = hit.filter(F.expr(keep))
+            n = hit.count()
+            report["matched"] = n
+            if n == 0:
+                report["recorded"] = False
+                return report
+        items = load_deletes(state_dir)
+        nxt = max((d["id"] for d in items), default=0) + 1
+        items.append({"id": nxt, "where": where, "ts": time.time()})
+        _write_deletes(state_dir, items)
+        report["tombstone_id"] = nxt
+        return report
+    finally:
+        hb.release()
+
+
 def _format_path(state_dir: str) -> str:
     return os.path.join(state_dir, "format.json")
 
@@ -224,6 +389,15 @@ def _assign_file_indices(state_dir: str, paths: list[str]) -> dict[str, int]:
         if p not in fmap:
             fmap[p] = nxt
             nxt += 1
+    if nxt > (1 << 21):
+        # bit budget: stored id = file_idx<<40 | rg<<8 | sub must stay clear
+        # of bit 61, which marks purge-rewritten blocks (maintenance.py).
+        # 2M files × 2 GB would be 4 PB in one state dir — shard before then.
+        raise ValueError(
+            f"state dir {state_dir} would exceed 2^21 input files; the "
+            "block-id bit budget reserves bit 61 for purge-rewritten blocks. "
+            "Shard the input across multiple state dirs."
+        )
     tmp = fp + ".tmp"
     os.makedirs(state_dir, exist_ok=True)
     with open(tmp, "w") as f:
@@ -349,6 +523,7 @@ def _encode_resume_locked(
 ) -> dict:
     import pyarrow.parquet as pq
 
+    _replay_purge_journal(spark, state_dir)
     manifest = build_manifest_arrow(pq.read_schema(paths[0]))
     if os.path.exists(_manifest_path(state_dir)):
         prior = load_manifest(state_dir)
@@ -385,20 +560,47 @@ def _encode_resume_locked(
             done = completed_block_ids(spark, state_dir)
     n_done = 0
     todo = sdf
+    from d6tstack_spark.operators.encode import SUB_BLOCK_BITS
+
+    base_parts = []
     if done is not None:
         # the resume join: planned splits ⟕̸ completed blocks. Stored ids
         # carry SUB_BLOCK_BITS low bits (oversized-block sub-index); a split
         # is complete iff its BASE id appears — sub-blocks of one base block
         # are written by one task, hence atomically together.
-        from d6tstack_spark.operators.encode import SUB_BLOCK_BITS
-
-        done_base = done.select(
-            F.shiftright("block_id", SUB_BLOCK_BITS).alias("block_id")
-        ).distinct()
-        todo = sdf.join(F.broadcast(done_base), "block_id", "left_anti")
+        base_parts.append(
+            done.select(
+                F.shiftright("block_id", SUB_BLOCK_BITS).alias("block_id")
+            ).distinct()
+        )
         n_done = done.count()
+    try:
+        # base ids whose blocks a purge physically rewrote under new ids
+        # (maintenance.purge_deletes): those splits are complete too — their
+        # surviving rows live on under rewritten ids, and re-encoding the
+        # source split would resurrect the deleted rows
+        base_parts.append(
+            spark.read.parquet(_rewritten_dir(state_dir))
+            .select("block_id")
+            .distinct()
+        )
+    except Exception:
+        pass
+    if base_parts:
+        done_base = base_parts[0]
+        for extra in base_parts[1:]:
+            done_base = done_base.unionByName(extra).distinct()
+        todo = sdf.join(F.broadcast(done_base), "block_id", "left_anti")
     todo_rows = todo.select("file_idx", "path", "rg", "nrg")
     n_todo = todo_rows.count()
+    if n_todo and load_deletes(state_dir):
+        raise ValueError(
+            f"state dir {state_dir} has pending predicate tombstones "
+            "(delete_where): appending new data now would also delete any "
+            "matching rows in the NEW appends, because tombstones apply "
+            "table-level at decode. Run plans.maintenance.purge_deletes() "
+            "first, then append."
+        )
 
     summary = {
         "planned": len(splits),
@@ -501,29 +703,67 @@ def decode_state(
     ``block_filter`` pass through to the zone-map-aware decoder; ``where``
     routes through :func:`~d6tstack_spark.operators.encode.decode_where`
     (SQL predicate → DNF zone pruning + exact row filter) and is mutually
-    exclusive with ``block_filter``."""
+    exclusive with ``block_filter``.
+
+    Pending predicate tombstones (:func:`delete_where`) are applied
+    exactly (merge-on-read): the keep-filter is conjoined into the
+    ``where`` path, or applied on the decoded rows otherwise — columns a
+    tombstone references outside the projection are decoded for the
+    filter and dropped after. A state dir with an in-flight purge commit
+    journal refuses to decode (the blocks listing is mid-swap); any
+    writer entry point replays the journal to completion."""
     from d6tstack_spark.operators.encode import (
         decode_parquet_blocks,
         decode_where,
     )
 
+    if os.path.exists(_purge_journal_path(state_dir)):
+        raise RuntimeError(
+            f"state dir {state_dir} has an in-flight purge commit journal "
+            "(a purge_deletes() crashed mid-apply): the blocks listing is "
+            "mid-swap and a decode now could double- or under-count rows. "
+            "Run plans.maintenance.purge_deletes() to replay the journal, "
+            "then decode."
+        )
+    keep = _tombstone_keep_expr(load_deletes(state_dir))
+    manifest = load_manifest(state_dir)
     if where is not None:
         if block_filter is not None:
             raise ValueError(
                 "pass either where= (SQL, compiled to zone filters) or "
                 "block_filter= (explicit predicates), not both"
             )
+        eff = f"({where}) AND ({keep})" if keep else where
         return decode_where(
             spark,
             _blocks_dir(state_dir),
-            load_manifest(state_dir),
-            where,
+            manifest,
+            eff,
             columns=columns,
         )
-    return decode_parquet_blocks(
+    if keep is not None and block_filter is None:
+        return decode_where(
+            spark, _blocks_dir(state_dir), manifest, keep, columns=columns
+        )
+    dec = decode_parquet_blocks(
         spark,
         _blocks_dir(state_dir),
-        load_manifest(state_dir),
-        columns=columns,
+        manifest,
+        columns=(
+            columns
+            if columns is None or keep is None
+            else list(columns)
+            + [
+                c
+                for c in manifest
+                if c not in columns
+                and re.search(rf"\b{re.escape(c)}\b", keep)
+            ]
+        ),
         block_filter=block_filter,
     )
+    if keep is not None:
+        dec = dec.filter(F.expr(keep))
+        if columns is not None:
+            dec = dec.select(*columns)
+    return dec

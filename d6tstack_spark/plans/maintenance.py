@@ -36,9 +36,19 @@ exclusion, as for every other writer in this engine.
 
 from __future__ import annotations
 
+import json
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window, functions as F
+
+# deterministic test hook: raise after N adoption renames during a purge
+# apply, to drill the journal-replay recovery path (a real kill lands in a
+# metadata-ops window too narrow to hit reliably from outside)
+_TEST_CRASH_AFTER_ADOPTS: int | None = None
+
+# purge-rewritten block ids live above this bit; file-derived ids stay
+# below it (enforced by checkpoint._assign_file_indices' 2^21-file budget)
+_REWRITE_ID_BIT = 1 << 61
 
 
 def compact_blocks(
@@ -85,6 +95,12 @@ def compact_blocks(
     lease = _acquire_lease(lease_home)
     hb = _LeaseHeartbeat(lease)
     try:
+        if state_like:
+            # an in-flight purge commit must finish before the listing is
+            # trustworthy (adopt/remove file moves are journaled forward)
+            from d6tstack_spark.plans.checkpoint import _replay_purge_journal
+
+            _replay_purge_journal(spark, parent)
         # crash recovery, oldest window first: a run that died between
         # rename-aside and rename-in left no live dir — roll the aside
         # copy back (it is the verified original). A completed swap that
@@ -159,3 +175,294 @@ def compact_blocks(
         _hadoop_list_files(spark, blocks_dir, ".parquet")
     )
     return report
+
+
+def purge_deletes(
+    spark: SparkSession,
+    state_dir: str,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    target_block_rows: int = 65536,
+) -> dict:
+    """Physically apply pending predicate tombstones
+    (:func:`~d6tstack_spark.plans.checkpoint.delete_where`) by rewriting
+    ONLY the block files that can contain matching rows.
+
+    Targeting: the union-of-tombstones predicate compiles to zone-filter
+    DNF (``zone_dnf_from_where``); a stats-only scan keeps just the files
+    with ≥1 overlapping block (the same two-level pruning the bulk decode
+    plans with). Every other file is untouched — never read, never
+    rewritten — so I/O scales with the delete's footprint, not the table:
+    a point delete on a 100 TB state dir rewrites a handful of files. An
+    unprunable predicate degrades to a full rewrite, honestly reported
+    via ``files_rewritten``/``files_scanned``.
+
+    Rewrite: affected files decode (shuffled :func:`decode_table` path —
+    fine for maintenance, the payload is only the affected slice), the
+    keep-rows re-encode as fresh blocks, and block ids remap into a
+    reserved space (bit 61 | persistent counter — disjoint from
+    file-derived ids forever, across any number of purges). The original
+    base ids are appended to ``<state>/rewritten`` so ``encode_resume``
+    still treats their source splits as complete (re-encoding them would
+    resurrect the deleted rows).
+
+    Commit is journaled: replacements are fully written NEXT TO the live
+    dir and row-parity-verified BEFORE ``purge_commit.json`` records the
+    adopt/remove file lists; only then files move. A crash at any point
+    either leaves the live dir untouched (pre-journal) or rolls forward
+    idempotently (journal replay at every writer entry point); readers
+    (:func:`decode_state`) refuse while a journal exists rather than see
+    a half-applied listing. Same maintenance contract as
+    :func:`compact_blocks`: schedule it, don't race readers."""
+    from d6tstack_spark.operators.encode import (
+        SUB_BLOCK_BITS,
+        BLOCKS_SCHEMA,
+        _hadoop_list_files,
+        _norm_file_uri,
+        _zone_keep_condition,
+        decode_table,
+        encode_table,
+        zone_dnf_from_where,
+    )
+    from d6tstack_spark.operators.sinks import write_blocks
+    from d6tstack_spark.plans.checkpoint import (
+        _LeaseHeartbeat,
+        _acquire_lease,
+        _blocks_dir,
+        _clear_tombstones,
+        _lineage_dir,
+        _purge_journal_path,
+        _purge_seq_path,
+        _replay_purge_journal,
+        _rewritten_dir,
+        load_deletes,
+        load_manifest,
+    )
+
+    lease = _acquire_lease(state_dir)
+    hb = _LeaseHeartbeat(lease)
+    try:
+        replayed = _replay_purge_journal(spark, state_dir)
+        deletes = load_deletes(state_dir)
+        report: dict = {
+            "tombstones": len(deletes),
+            "replayed_journal": replayed,
+            "matched": 0,
+            "files_rewritten": 0,
+            "files_scanned": 0,
+        }
+        if not deletes:
+            return report
+        manifest = load_manifest(state_dir)
+        missing = [c for c in order_cols if c not in manifest]
+        if not order_cols or missing:
+            raise ValueError(
+                f"order_cols {order_cols} not all present in the stored "
+                f"manifest (missing: {missing}); pass the ordering columns "
+                "the state dir was encoded with"
+            )
+        bd = _blocks_dir(state_dir)
+        paths = sorted(_hadoop_list_files(spark, bd, ".parquet"))
+        tomb_ids = [d["id"] for d in deletes]
+        if not paths:
+            _clear_tombstones(state_dir, tomb_ids)
+            return report
+        report["files_scanned"] = len(paths)
+        matched_expr = " OR ".join(
+            f"coalesce(({d['where']}), false)" for d in deletes
+        )
+
+        # ---- plan: which files can contain a matching row (zone DNF of
+        # the OR of all tombstones; mirrors decode_parquet_blocks' driver
+        # pruning — intersect per-predicate (file, block) pairs within a
+        # branch, union branches, collect only the distinct file list)
+        affected = paths
+        dnf = zone_dnf_from_where(
+            " OR ".join(f"({d['where']})" for d in deletes), manifest
+        )
+        if dnf:
+            stats = spark.read.parquet(*paths)
+            if "vmin_num" in stats.columns:
+                qual_df = None
+                for branch in dnf:
+                    branch_df = None
+                    for bf in branch:
+                        col, keep = _zone_keep_condition(manifest, bf)
+                        s = (
+                            stats.filter(F.col("column") == col)
+                            .filter(keep)
+                            .select(
+                                F.input_file_name().alias("f"), "block_id"
+                            )
+                            .distinct()
+                        )
+                        branch_df = (
+                            s
+                            if branch_df is None
+                            else branch_df.join(s, ["f", "block_id"], "inner")
+                        )
+                    qual_df = (
+                        branch_df
+                        if qual_df is None
+                        else qual_df.unionByName(branch_df)
+                    )
+                qual = {
+                    _norm_file_uri(r[0])
+                    for r in qual_df.select("f").distinct().collect()
+                }
+                affected = [p for p in paths if _norm_file_uri(p) in qual]
+        if not affected:
+            _clear_tombstones(state_dir, tomb_ids)
+            return report
+
+        # ---- decode the affected slice, count matches exactly
+        ablocks = spark.read.parquet(*affected)
+        n_before = (
+            ablocks.groupBy("block_id")
+            .agg(F.max("n_rows").alias("r"))
+            .agg(F.sum("r"))
+            .collect()[0][0]
+        )
+        decoded = decode_table(ablocks, manifest)
+        n_matched = decoded.filter(F.expr(matched_expr)).count()
+        report["matched"] = int(n_matched)
+        if n_matched == 0:
+            _clear_tombstones(state_dir, tomb_ids)
+            return report
+
+        # ---- re-encode the keep-rows as fresh blocks under rewritten ids
+        kept = decoded.filter(F.expr(f"NOT ({matched_expr})")).repartition(
+            max(spark.sparkContext.defaultParallelism, len(affected))
+        )
+        new_blocks, new_manifest = encode_table(
+            kept,
+            order_cols=order_cols,
+            mode="local",
+            target_block_rows=target_block_rows,
+        )
+        if new_manifest != manifest:
+            raise RuntimeError(
+                "re-encode manifest drifted from the stored manifest — "
+                "decode→encode is no longer schema-stable; aborting purge"
+            )
+        try:
+            with open(_purge_seq_path(state_dir)) as f:
+                base_ord = json.load(f)["next"]
+        except FileNotFoundError:
+            base_ord = 0
+        ids = new_blocks.select("block_id").distinct()
+        # global row_number over the distinct id list only — block count of
+        # the affected slice, not rows; the payload never enters this window
+        mapping = ids.withColumn(
+            "new_id",
+            F.lit(_REWRITE_ID_BIT).cast("long")
+            + F.shiftleft(
+                (F.lit(base_ord) + F.row_number().over(
+                    Window.orderBy("block_id")
+                )).cast("long"),
+                SUB_BLOCK_BITS,
+            ),
+        )
+        remapped = (
+            new_blocks.join(F.broadcast(mapping), "block_id")
+            .drop("block_id")
+            .withColumnRenamed("new_id", "block_id")
+            .select(*[f.name for f in BLOCKS_SCHEMA.fields])
+        )
+
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+
+        def _p(p: str):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
+        fs = _p(bd).getFileSystem(conf)
+        tmp = bd + ".purge"
+        if fs.exists(_p(tmp)):  # unjournaled leftovers of a crashed run
+            fs.delete(_p(tmp), True)
+        write_blocks(remapped, tmp)
+
+        # ---- verify row parity BEFORE anything becomes visible
+        tmp_files = sorted(_hadoop_list_files(spark, tmp, ".parquet"))
+        n_tmp = 0
+        if tmp_files:
+            n_tmp = (
+                spark.read.parquet(*tmp_files)
+                .groupBy("block_id")
+                .agg(F.max("n_rows").alias("r"))
+                .agg(F.sum("r"))
+                .collect()[0][0]
+            ) or 0
+        if n_tmp != n_before - n_matched:
+            fs.delete(_p(tmp), True)
+            raise RuntimeError(
+                f"purge parity check failed: replacement holds {n_tmp} rows, "
+                f"expected {n_before} - {n_matched} matched = "
+                f"{n_before - n_matched}; original dir untouched"
+            )
+        n_new_blocks = mapping.count()
+
+        # ---- commit. Order matters: (1) rewritten-bases append and the
+        # id counter bump are harmless if orphaned by a crash (resume just
+        # skips splits whose blocks still exist); (2) the journal is the
+        # commit point; (3) apply is adopt-then-remove, replayable forward.
+        (
+            ablocks.select(
+                F.shiftright("block_id", SUB_BLOCK_BITS).alias("block_id")
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(_rewritten_dir(state_dir))
+        )
+        sp = _purge_seq_path(state_dir)
+        with open(sp + ".tmp", "w") as f:
+            json.dump({"next": base_ord + n_new_blocks}, f)
+        os.replace(sp + ".tmp", sp)
+        journal = {
+            "remove": [os.path.basename(p) for p in affected],
+            "adopt": [os.path.basename(p) for p in tmp_files],
+            "tombstones": tomb_ids,
+        }
+        jp = _purge_journal_path(state_dir)
+        with open(jp + ".tmp", "w") as f:
+            json.dump(journal, f, indent=1)
+        os.replace(jp + ".tmp", jp)
+        for i, b in enumerate(journal["adopt"]):
+            if (
+                _TEST_CRASH_AFTER_ADOPTS is not None
+                and i >= _TEST_CRASH_AFTER_ADOPTS
+            ):
+                raise RuntimeError("purge crash drill: died mid-apply")
+            fs.rename(_p(tmp + "/" + b), _p(bd + "/" + b))
+        for b in journal["remove"]:
+            fs.delete(_p(bd + "/" + b), False)
+        if fs.exists(_p(tmp)):
+            fs.delete(_p(tmp), True)
+        os.unlink(jp)
+        _clear_tombstones(state_dir, tomb_ids)
+
+        # refresh lineage from the post-purge state (same derivation as
+        # encode_resume; a crash between journal clear and here leaves
+        # lineage stale until the next resume rebuilds it — metadata only)
+        (
+            spark.read.parquet(bd)
+            .groupBy("block_id")
+            .agg(
+                F.max("n_rows").alias("rows"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.map_from_entries(
+                    F.array_distinct(
+                        F.collect_list(F.struct("column", "codec"))
+                    )
+                ).alias("codecs"),
+            )
+            .withColumn("run_duration_sec", F.lit(0.0))
+            .write.mode("overwrite")
+            .parquet(_lineage_dir(state_dir))
+        )
+        report["files_rewritten"] = len(affected)
+        report["blocks_written"] = int(n_new_blocks)
+        report["purged_rows"] = int(n_matched)
+        return report
+    finally:
+        hb.release()

@@ -1,0 +1,246 @@
+"""Predicate deletes over encoded state dirs: delete_where tombstones
+(merge-on-read, SQL DELETE null semantics), decode-side application under
+projections and where-composition, encode_resume's append refusal and
+rewritten-base bookkeeping, and purge_deletes' zone-targeted journaled
+rewrite including a deterministic crash drill of the commit journal.
+
+Mirrors the reference's idempotent-convert contract (convert_xls.py:
+238-245 skip-if-exists) extended to state MUTATION: delete + purge must
+leave the state dir exactly as if the deleted rows had never been
+encoded."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import d6tstack_spark.plans.maintenance as maintenance
+from d6tstack_spark.plans.checkpoint import (
+    decode_state,
+    delete_where,
+    encode_resume,
+    load_deletes,
+)
+from d6tstack_spark.plans.maintenance import purge_deletes
+
+
+def _mk_files(tmp_path, prefixes=("a", "b", "c"), n=1200):
+    """One sorted parquet file per conv-id prefix → disjoint zone ranges,
+    so a prefix-targeted delete affects exactly one file's blocks."""
+    os.makedirs(str(tmp_path), exist_ok=True)
+    paths = []
+    for i, p in enumerate(prefixes):
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([f"{p}{j // 6:04d}" for j in range(n)]),
+                "turn_idx": pa.array([j % 6 for j in range(n)], pa.int32()),
+                "text": pa.array([f"msg {p}{j}" for j in range(n)]),
+                "tool": pa.array(
+                    [None if j % 5 == 0 else f"t{j % 3}" for j in range(n)]
+                ),
+            }
+        )
+        path = str(tmp_path / f"src_{i}.parquet")
+        pq.write_table(tbl, path, row_group_size=400)
+        paths.append(path)
+    return paths
+
+
+def _rows(df):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.text, r.tool)
+        for r in df.select("conv_id", "turn_idx", "text", "tool").collect()
+    )
+
+
+@pytest.fixture()
+def state(spark, tmp_path):
+    paths = _mk_files(tmp_path)
+    sd = str(tmp_path / "state")
+    encode_resume(spark, paths, sd, order_cols=("conv_id", "turn_idx"))
+    src = spark.read.parquet(*paths)
+    return paths, sd, src
+
+
+def test_delete_where_merge_on_read(spark, state):
+    paths, sd, src = state
+    pred = "conv_id >= 'c0100' AND conv_id < 'c0150'"
+    rep = delete_where(spark, sd, pred)
+    assert rep["recorded"] and rep["matched"] == src.filter(pred).count() > 0
+    got = _rows(decode_state(spark, sd))
+    want = _rows(src.filter(f"NOT coalesce(({pred}), false)"))
+    assert got == want
+
+
+def test_delete_null_semantics_keeps_null_predicate_rows(spark, state):
+    paths, sd, src = state
+    # tool IS NULL on 1/5 of rows: DELETE WHERE tool='t1' must keep them
+    rep = delete_where(spark, sd, "tool = 't1'")
+    assert rep["matched"] == src.filter("tool = 't1'").count()
+    dec = decode_state(spark, sd)
+    assert dec.filter("tool IS NULL").count() == src.filter(
+        "tool IS NULL"
+    ).count()
+    assert dec.filter("tool = 't1'").count() == 0
+
+
+def test_delete_matching_nothing_not_recorded(spark, state):
+    paths, sd, _ = state
+    rep = delete_where(spark, sd, "conv_id = 'zzz-nope'")
+    assert rep["matched"] == 0 and not rep["recorded"]
+    assert load_deletes(sd) == []
+
+
+def test_delete_bad_predicate_raises_eagerly(spark, state):
+    paths, sd, _ = state
+    with pytest.raises(Exception, match="no_such_column|UNRESOLVED"):
+        delete_where(spark, sd, "no_such_column = 1")
+    assert load_deletes(sd) == []
+
+
+def test_tombstone_applies_under_projection_and_where(spark, state):
+    paths, sd, src = state
+    delete_where(spark, sd, "conv_id >= 'b' AND conv_id < 'c'")
+    # projection that EXCLUDES the tombstone column still filters by it
+    texts = decode_state(spark, sd, columns=["text"])
+    assert texts.columns == ["text"]
+    assert texts.count() == src.filter("conv_id < 'b' OR conv_id >= 'c'").count()
+    # user where= composes with the tombstone keep-filter
+    got = decode_state(spark, sd, where="turn_idx = 0", columns=["conv_id"])
+    want = src.filter(
+        "turn_idx = 0 AND (conv_id < 'b' OR conv_id >= 'c')"
+    ).count()
+    assert got.count() == want
+
+
+def test_tombstone_with_block_filter_and_projection(spark, state):
+    paths, sd, src = state
+    delete_where(spark, sd, "tool = 't2'")
+    bf = ("conv_id", "b", "bzzz")
+    dec_all = decode_state(spark, sd, block_filter=bf)
+    assert dec_all.filter("tool = 't2'").count() == 0
+    dec_proj = decode_state(spark, sd, columns=["conv_id"], block_filter=bf)
+    assert dec_proj.columns == ["conv_id"]
+    assert dec_proj.count() == dec_all.count()
+
+
+def test_resume_refuses_new_appends_with_pending_tombstones(
+    spark, state, tmp_path
+):
+    paths, sd, _ = state
+    delete_where(spark, sd, "conv_id >= 'c0100' AND conv_id < 'c0150'")
+    # re-running over the SAME inputs is fine — nothing new to encode
+    rep = encode_resume(spark, paths, sd, order_cols=("conv_id", "turn_idx"))
+    assert rep["already_complete"]
+    extra = _mk_files(tmp_path / "extra", prefixes=("d",))[0]
+    with pytest.raises(ValueError, match="pending predicate tombstones"):
+        encode_resume(
+            spark, paths + [extra], sd, order_cols=("conv_id", "turn_idx")
+        )
+
+
+def test_purge_rewrites_only_zone_affected_files(spark, state, tmp_path):
+    paths, sd, src = state
+    pred = "conv_id >= 'c0100' AND conv_id < 'c0150'"
+    delete_where(spark, sd, pred)
+    before_files = set(glob.glob(os.path.join(sd, "blocks", "*.parquet")))
+    rep = purge_deletes(spark, sd)
+    assert rep["matched"] == src.filter(pred).count()
+    # only the 'c'-prefix file's blocks can match — targeted, not full
+    assert 0 < rep["files_rewritten"] < rep["files_scanned"]
+    after_files = set(glob.glob(os.path.join(sd, "blocks", "*.parquet")))
+    assert before_files & after_files, "untouched files must survive as-is"
+    assert load_deletes(sd) == []
+    assert not os.path.exists(os.path.join(sd, "purge_commit.json"))
+    assert not os.path.exists(os.path.join(sd, "blocks.purge"))
+    want = _rows(src.filter(f"NOT coalesce(({pred}), false)"))
+    assert _rows(decode_state(spark, sd)) == want
+    # purge again: clean no-op
+    rep2 = purge_deletes(spark, sd)
+    assert rep2["tombstones"] == 0 and rep2["files_rewritten"] == 0
+    # resume over the SAME inputs must NOT resurrect the purged rows
+    rep3 = encode_resume(spark, paths, sd, order_cols=("conv_id", "turn_idx"))
+    assert rep3["already_complete"]
+    assert _rows(decode_state(spark, sd)) == want
+    # appending genuinely new data works after the purge
+    extra = _mk_files(tmp_path / "extra", prefixes=("d",), n=600)[0]
+    encode_resume(
+        spark, paths + [extra], sd, order_cols=("conv_id", "turn_idx")
+    )
+    want_all = sorted(want + _rows(spark.read.parquet(extra)))
+    assert _rows(decode_state(spark, sd)) == want_all
+
+
+def test_purge_whole_file_delete(spark, tmp_path):
+    # staged appends: one resume job per source file, so block files never
+    # mix prefixes and deleting a whole prefix leaves NOTHING to re-encode
+    # (exercises the empty-replacement commit path: adopt list is empty)
+    paths = _mk_files(tmp_path)
+    sd = str(tmp_path / "state")
+    for i in range(len(paths)):
+        encode_resume(
+            spark, paths[: i + 1], sd, order_cols=("conv_id", "turn_idx")
+        )
+    src = spark.read.parquet(*paths)
+    delete_where(spark, sd, "conv_id >= 'c'")
+    rep = purge_deletes(spark, sd)
+    assert rep["matched"] == src.filter("conv_id >= 'c'").count()
+    assert rep["blocks_written"] == 0  # nothing kept from affected files
+    assert _rows(decode_state(spark, sd)) == _rows(src.filter("conv_id < 'c'"))
+
+
+def test_purge_unprunable_predicate_degrades_to_full_rewrite(spark, state):
+    paths, sd, src = state
+    # turn_idx = 5 exists in every file: every file is zone-affected
+    delete_where(spark, sd, "turn_idx = 5")
+    rep = purge_deletes(spark, sd)
+    assert rep["files_rewritten"] == rep["files_scanned"]
+    assert _rows(decode_state(spark, sd)) == _rows(src.filter("turn_idx <> 5"))
+
+
+@pytest.mark.parametrize("after_adopts", [0, 1])
+def test_purge_crash_drill_journal_replay(spark, state, after_adopts):
+    paths, sd, src = state
+    # strict subset of the 'b' range: affected blocks always keep some
+    # rows, so the rewrite always has replacement files to adopt (an
+    # empty adopt list would skip the drill hook regardless of layout)
+    pred = "conv_id >= 'b0050' AND conv_id < 'b0150'"
+    delete_where(spark, sd, pred)
+    maintenance._TEST_CRASH_AFTER_ADOPTS = after_adopts
+    try:
+        with pytest.raises(RuntimeError, match="crash drill"):
+            purge_deletes(spark, sd)
+    finally:
+        maintenance._TEST_CRASH_AFTER_ADOPTS = None
+    # journal is the commit point: readers refuse rather than guess
+    assert os.path.exists(os.path.join(sd, "purge_commit.json"))
+    with pytest.raises(RuntimeError, match="in-flight purge commit"):
+        decode_state(spark, sd)
+    # any writer entry point rolls the commit forward
+    rep = purge_deletes(spark, sd)
+    assert rep["replayed_journal"] and rep["tombstones"] == 0
+    want = _rows(src.filter(f"NOT coalesce(({pred}), false)"))
+    assert _rows(decode_state(spark, sd)) == want
+    assert load_deletes(sd) == []
+    # and resume still treats the rewritten splits as complete
+    rep2 = encode_resume(spark, paths, sd, order_cols=("conv_id", "turn_idx"))
+    assert rep2["already_complete"]
+
+
+def test_two_purge_generations_ids_stay_disjoint(spark, state):
+    paths, sd, src = state
+    delete_where(spark, sd, "conv_id = 'a0001'")
+    purge_deletes(spark, sd)
+    delete_where(spark, sd, "conv_id = 'a0002'")
+    purge_deletes(spark, sd)
+    blocks = spark.read.parquet(os.path.join(sd, "blocks"))
+    assert (
+        blocks.select("block_id", "column").distinct().count()
+        == blocks.count()
+    ), "rewritten ids collided across purge generations"
+    want = _rows(src.filter("conv_id NOT IN ('a0001', 'a0002')"))
+    assert _rows(decode_state(spark, sd)) == want
