@@ -727,6 +727,23 @@ def decode_state(
         )
     keep = _tombstone_keep_expr(load_deletes(state_dir))
     manifest = load_manifest(state_dir)
+    from d6tstack_spark.operators.encode import (
+        _hadoop_list_files,
+        _phys_struct,
+        _restore_logical,
+    )
+
+    if not _hadoop_list_files(spark, _blocks_dir(state_dir), ".parquet"):
+        # a state dir whose blocks were all deleted+purged is a valid,
+        # EMPTY table — not a wrong path (the manifest check above is the
+        # wrong-path guard); return the empty logical frame
+        m = manifest
+        if columns is not None:
+            missing = [c for c in columns if c not in manifest]
+            if missing:
+                raise ValueError(f"columns not in manifest: {missing}")
+            m = {k: v for k, v in manifest.items() if k in columns}
+        return _restore_logical(spark.createDataFrame([], _phys_struct(m)), m)
     if where is not None:
         if block_filter is not None:
             raise ValueError(

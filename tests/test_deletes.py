@@ -231,6 +231,16 @@ def test_purge_crash_drill_journal_replay(spark, state, after_adopts):
     assert rep2["already_complete"]
 
 
+def test_delete_everything_leaves_valid_empty_state(spark, state):
+    paths, sd, src = state
+    delete_where(spark, sd, "turn_idx >= 0")  # matches every row
+    purge_deletes(spark, sd)
+    dec = decode_state(spark, sd)
+    assert dec.count() == 0
+    assert dec.columns == src.columns  # schema survives the empty table
+    assert decode_state(spark, sd, columns=["text"]).columns == ["text"]
+
+
 def test_two_purge_generations_ids_stay_disjoint(spark, state):
     paths, sd, src = state
     delete_where(spark, sd, "conv_id = 'a0001'")
@@ -244,3 +254,75 @@ def test_two_purge_generations_ids_stay_disjoint(spark, state):
     ), "rewritten ids collided across purge generations"
     want = _rows(src.filter("conv_id NOT IN ('a0001', 'a0002')"))
     assert _rows(decode_state(spark, sd)) == want
+
+
+# --------------------------------------------------------------- property
+# The full delete lifecycle vs DuckDB DELETE semantics over the same
+# predicate grammar the zone-pruning property test uses (comparisons,
+# BETWEEN, IN, IS [NOT] NULL, prefix LIKE, AND/OR/NOT chains): after
+# delete_where the merge-on-read decode — and after purge_deletes the
+# physically rewritten state — must both equal SELECT * WHERE the
+# predicate is not TRUE.
+
+import shutil
+import tempfile
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+
+from test_zonemap import _predicate  # noqa: E402  (shared grammar)
+
+
+@pytest.fixture(scope="module")
+def zstate(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("delstate")
+    n = 20_000
+    rng = np.random.default_rng(7)
+    tbl = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "grp": pa.array([f"g{(i // 5000):02d}" for i in range(n)]),
+            "val": pa.array(rng.random(n)),
+        }
+    )
+    src = str(d / "src.parquet")
+    pq.write_table(tbl, src, row_group_size=1000)
+    sd = str(d / "state")
+    encode_resume(spark, [src], sd, order_cols=("k",))
+    return src, sd
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=_predicate())
+def test_delete_lifecycle_matches_duckdb_delete(spark, zstate, where):
+    import duckdb
+
+    src, template = zstate
+    root = tempfile.mkdtemp()
+    sd = os.path.join(root, "state")
+    shutil.copytree(template, sd)
+    try:
+        delete_where(spark, sd, where, count_matches=False)
+        want = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT k FROM read_parquet('{src}') "
+                f"WHERE NOT coalesce(({where}), false)"
+            ).fetchall()
+        )
+        got = sorted(
+            r.k for r in decode_state(spark, sd).select("k").collect()
+        )
+        assert got == want, f"tombstone decode mismatch for WHERE {where}"
+        purge_deletes(spark, sd, order_cols=("k",))
+        got2 = sorted(
+            r.k for r in decode_state(spark, sd).select("k").collect()
+        )
+        assert got2 == want, f"post-purge decode mismatch for WHERE {where}"
+        assert load_deletes(sd) == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
