@@ -2,8 +2,9 @@
 
 Iceberg transcript table → snapshot file list (pure-python metadata reader)
 → checkpointed resumable encode (per-partition lineage + compression
-metrics) → zone-map-pruned decode spot-check → bit-identity assertion —
-run it under a multi-executor master at two cluster sizes:
+metrics) → zone-map-pruned decode spot-check → bit-identity assertion
+→ predicate delete + zone-targeted purge (on a copy of the state dir)
+— run it under a multi-executor master at two cluster sizes:
 
     zip -qr /tmp/pkg.zip d6tstack_spark
     spark-submit --master 'local-cluster[2,4,4096]' --py-files /tmp/pkg.zip \
@@ -91,6 +92,38 @@ def main(work_dir: str, sf: float = 0.05) -> None:
         f"conv_id = '{first_conv}' OR (conv_id = '{last_conv}' AND turn_idx < 2)",
     ).count()
 
+    # 4. delete lifecycle: tombstone (merge-on-read) → targeted purge
+    # (only zone-affected files rewrite) → decode still exact. Runs on a
+    # COPY of the state dir so re-invoking this script still demos the
+    # skip-everything resume against the pristine state.
+    import shutil
+
+    from d6tstack_spark.plans.checkpoint import decode_state, delete_where
+    from d6tstack_spark.plans.maintenance import purge_deletes
+
+    state_del = os.path.join(work_dir, "state_del")
+    shutil.rmtree(state_del, ignore_errors=True)
+    shutil.copytree(state, state_del)
+    # delete by a ts range: the stream is ts-ordered, so the zone maps
+    # confine the rewrite to the leading blocks' files (a conv-id range
+    # would NOT prune here — a conversation's turns scatter across the
+    # whole timeline, and the report would honestly say full rewrite)
+    cut_ts = (
+        full_src.select("ts")
+        .orderBy("ts")
+        .offset(int(n * 0.05))
+        .limit(1)
+        .first()[0]
+    )
+    del_pred = f"ts < TIMESTAMP '{cut_ts}' AND role = 'user'"
+    drep = delete_where(spark, state_del, del_pred)
+    prep = purge_deletes(spark, state_del)
+    want_after = full_src.filter(f"NOT coalesce(({del_pred}), false)")
+    dec2 = decode_state(spark, state_del)
+    del_mismatch = (
+        dec2.exceptAll(want_after).count() + want_after.exceptAll(dec2).count()
+    )
+
     print(
         json.dumps(
             {
@@ -107,6 +140,12 @@ def main(work_dir: str, sf: float = 0.05) -> None:
                 "decode_bit_identical": mismatch == 0,
                 "zone_pruned_rows_for_one_conv": n_pruned,
                 "or_slice_rows": n_sliced,
+                "delete": {
+                    "matched": drep.get("matched"),
+                    "files_rewritten": prep["files_rewritten"],
+                    "files_scanned": prep["files_scanned"],
+                    "decode_exact_after_purge": del_mismatch == 0,
+                },
             }
         )
     )
