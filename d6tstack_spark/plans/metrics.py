@@ -43,3 +43,71 @@ def table_totals(blocks: DataFrame) -> DataFrame:
             / F.greatest(F.sum("enc_bytes"), F.lit(1)).cast("double")
         ).alias("ratio"),
     )
+
+
+def state_info(spark, state_dir: str) -> dict:
+    """One-call operational inspection of an encoded state dir — the
+    ``DESCRIBE EXTENDED`` of the block format. Everything except the
+    blocks rollup is metadata-file reads; the rollup itself is a
+    stats-column scan (payload column pruned away by parquet projection).
+
+    Returns: format/id-scheme, column count, blocks totals (files,
+    blocks, rows, raw/enc bytes, ratio), pending tombstones, whether an
+    in-flight purge commit journal exists, rewritten-block generations
+    (purge counter), and the writer-lease holder if one is live."""
+    import json
+    import os
+    import time as _time
+
+    from d6tstack_spark.operators.encode import _hadoop_list_files
+    from d6tstack_spark.plans.checkpoint import (
+        _blocks_dir,
+        _format_path,
+        _lease_path,
+        _purge_journal_path,
+        _purge_seq_path,
+        _rewritten_dir,
+        load_deletes,
+        load_manifest,
+    )
+
+    info: dict = {"state_dir": state_dir}
+    fp = _format_path(state_dir)
+    if os.path.exists(fp):
+        with open(fp) as f:
+            info["format"] = json.load(f)
+    manifest = load_manifest(state_dir)  # raises on non-state dirs
+    info["columns"] = list(manifest)
+    paths = _hadoop_list_files(spark, _blocks_dir(state_dir), ".parquet")
+    info["n_files"] = len(paths)
+    if paths:
+        t = table_totals(
+            spark.read.parquet(*paths).select(
+                "block_id", "n_rows", "raw_bytes", "enc_bytes"
+            )
+        ).first()
+        info["n_blocks"] = int(t["n_blocks"])
+        info["raw_bytes"] = int(t["raw_bytes"])
+        info["enc_bytes"] = int(t["enc_bytes"])
+        info["ratio"] = round(float(t["ratio"]), 3)
+    else:
+        info.update(n_blocks=0, raw_bytes=0, enc_bytes=0, ratio=None)
+    info["pending_tombstones"] = load_deletes(state_dir)
+    info["purge_in_flight"] = os.path.exists(_purge_journal_path(state_dir))
+    sp = _purge_seq_path(state_dir)
+    if os.path.exists(sp):
+        with open(sp) as f:
+            info["rewritten_blocks_allocated"] = json.load(f)["next"]
+    info["has_rewritten_bases"] = os.path.isdir(_rewritten_dir(state_dir))
+    lp = _lease_path(state_dir)
+    if os.path.exists(lp):
+        try:
+            with open(lp) as f:
+                holder = json.load(f)
+            holder["heartbeat_age_sec"] = round(
+                _time.time() - os.path.getmtime(lp), 1
+            )
+            info["lease"] = holder
+        except (OSError, ValueError):
+            pass  # holder released mid-read
+    return info

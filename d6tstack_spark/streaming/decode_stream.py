@@ -43,6 +43,12 @@ def start_decode_stream(
     pruning rides the parquet filter into the blocks scan exactly as in
     batch decode. Returns the StreamingQuery; drive with
     ``q.processAllAvailable()`` (tests) or a trigger.
+
+    This decodes a raw BLOCKS dir; state-dir predicate tombstones
+    (``plans.checkpoint.delete_where``) are a ``decode_state`` concern —
+    run ``plans.maintenance.purge_deletes`` before streaming-decoding a
+    state dir's blocks, or filter the output with the same keep
+    expression.
     """
     stream = (
         spark.readStream.schema(BLOCKS_SCHEMA)

@@ -326,3 +326,24 @@ def test_delete_lifecycle_matches_duckdb_delete(spark, zstate, where):
         assert load_deletes(sd) == []
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_state_info_reports_lifecycle(spark, state):
+    from d6tstack_spark.plans.metrics import state_info
+
+    paths, sd, src = state
+    info = state_info(spark, sd)
+    assert info["format"]["id_scheme"] == "subblock8"
+    assert info["columns"] == ["conv_id", "turn_idx", "text", "tool"]
+    assert info["n_files"] > 0 and info["n_blocks"] > 0
+    assert info["ratio"] and "lease" not in info
+    assert info["pending_tombstones"] == []
+    delete_where(spark, sd, "conv_id >= 'c0100' AND conv_id < 'c0150'")
+    info2 = state_info(spark, sd)
+    assert len(info2["pending_tombstones"]) == 1
+    assert not info2["purge_in_flight"]
+    purge_deletes(spark, sd)
+    info3 = state_info(spark, sd)
+    assert info3["pending_tombstones"] == []
+    assert info3["has_rewritten_bases"]
+    assert info3["rewritten_blocks_allocated"] > 0
