@@ -200,10 +200,18 @@ def _write_deletes(state_dir: str, items: list[dict]) -> None:
 
 
 def _clear_tombstones(state_dir: str, ids: list[int]) -> None:
+    import shutil
+
     done = set(ids)
-    _write_deletes(
-        state_dir, [d for d in load_deletes(state_dir) if d["id"] not in done]
-    )
+    keep, dropped = [], []
+    for d in load_deletes(state_dir):
+        (dropped if d["id"] in done else keep).append(d)
+    _write_deletes(state_dir, keep)
+    for d in dropped:  # a keys tombstone owns a key-set parquet dir
+        if d.get("kind") == "keys":
+            shutil.rmtree(
+                os.path.join(state_dir, d["path"]), ignore_errors=True
+            )
 
 
 def _tombstone_keep_expr(deletes: list[dict]) -> str | None:
@@ -322,6 +330,136 @@ def delete_where(
         return report
     finally:
         hb.release()
+
+
+def delete_keys(
+    spark: SparkSession,
+    state_dir: str,
+    keys: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id",),
+    count_matches: bool = True,
+) -> dict:
+    """Record an equality-delete tombstone: every row whose ``key_cols``
+    tuple appears in ``keys`` is deleted — the write-side mirror of the
+    Iceberg v2 equality-delete files this engine reads in
+    ``sources/table_io.py``, over the block format.
+
+    The distinct key set persists as a parquet dir INSIDE the state dir
+    (the tombstone record references it), so application is a
+    ``left_anti`` join at decode — exact for arbitrarily many keys, where
+    an IN-list predicate would not scale past a few thousand. Decode
+    pruning still works range-wise: the key set's per-column [min, max]
+    envelope compiles to a zone filter, so key sets clustered in the sort
+    order only decode the overlapping blocks.
+
+    Same lifecycle as :func:`delete_where`: merge-on-read until
+    ``purge_deletes`` physically rewrites the zone-affected files;
+    appends are refused while tombstones pend. The natural upsert is
+    :func:`~d6tstack_spark.plans.maintenance.upsert_files`."""
+    lease = _acquire_lease(state_dir)
+    hb = _LeaseHeartbeat(lease)
+    try:
+        _replay_purge_journal(spark, state_dir)
+        if not os.path.exists(_manifest_path(state_dir)):
+            raise ValueError(
+                f"{state_dir} is not an encoded state dir (no manifest.json)"
+            )
+        manifest = load_manifest(state_dir)
+        missing = [c for c in key_cols if c not in manifest]
+        if not key_cols or missing:
+            raise ValueError(
+                f"key_cols {key_cols} not all in the stored manifest "
+                f"(missing: {missing})"
+            )
+        kdf = keys.select(*key_cols).distinct()
+        items = load_deletes(state_dir)
+        nxt = max((d["id"] for d in items), default=0) + 1
+        rel = os.path.join("delete_keys", str(nxt))
+        kdir = os.path.join(state_dir, rel)
+        kdf.write.mode("overwrite").parquet(kdir)
+        report: dict = {"key_cols": list(key_cols), "recorded": True}
+        report["n_keys"] = spark.read.parquet(kdir).count()
+        if report["n_keys"] == 0:
+            import shutil
+
+            shutil.rmtree(kdir, ignore_errors=True)
+            report["recorded"] = False
+            report["matched"] = 0
+            return report
+        if count_matches:
+            hit = _decode_keys_candidates(spark, state_dir, manifest, kdir,
+                                          key_cols)
+            keep = _tombstone_keep_expr(
+                [d for d in items if d.get("kind") != "keys"]
+            )
+            if keep:
+                hit = hit.filter(F.expr(keep))
+            for d in items:  # rows already key-deleted don't recount
+                if d.get("kind") == "keys":
+                    hit = hit.join(
+                        spark.read.parquet(
+                            os.path.join(state_dir, d["path"])
+                        ),
+                        on=list(d["cols"]),
+                        how="left_anti",
+                    )
+            n = hit.join(
+                spark.read.parquet(kdir), on=list(key_cols), how="left_semi"
+            ).count()
+            report["matched"] = n
+            if n == 0:
+                import shutil
+
+                shutil.rmtree(kdir, ignore_errors=True)
+                report["recorded"] = False
+                return report
+        items.append(
+            {
+                "id": nxt,
+                "kind": "keys",
+                "cols": list(key_cols),
+                "path": rel,
+                "ts": time.time(),
+            }
+        )
+        _write_deletes(state_dir, items)
+        report["tombstone_id"] = nxt
+        return report
+    finally:
+        hb.release()
+
+
+def key_envelope_filter(
+    spark: SparkSession, kdir: str, key_cols: tuple[str, ...]
+) -> list[list[tuple]] | None:
+    """Zone-filter DNF for a key set: the conjunction of each key
+    column's [min, max] envelope — conservative (a block inside the
+    envelope may hold none of the keys; the exact anti/semi join decides)
+    but sound, and selective when the keys cluster in the sort order."""
+    kdf = spark.read.parquet(kdir)
+    aggs = []
+    for c in key_cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    row = kdf.agg(*aggs).first()
+    branch = []
+    for c in key_cols:
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo is None:
+            return None  # all-null key column: envelope can't prune
+        branch.append((c, lo, hi))
+    return [branch]
+
+
+def _decode_keys_candidates(
+    spark, state_dir, manifest, kdir, key_cols
+) -> DataFrame:
+    """Decode only the blocks overlapping a key set's envelope."""
+    from d6tstack_spark.operators.encode import decode_parquet_blocks
+
+    env = key_envelope_filter(spark, kdir, key_cols)
+    return decode_parquet_blocks(
+        spark, _blocks_dir(state_dir), manifest, block_filter=env
+    )
 
 
 def _format_path(state_dir: str) -> str:
@@ -725,7 +863,11 @@ def decode_state(
             "Run plans.maintenance.purge_deletes() to replay the journal, "
             "then decode."
         )
-    keep = _tombstone_keep_expr(load_deletes(state_dir))
+    deletes = load_deletes(state_dir)
+    keep = _tombstone_keep_expr(
+        [d for d in deletes if d.get("kind") != "keys"]
+    )
+    ksets = [d for d in deletes if d.get("kind") == "keys"]
     manifest = load_manifest(state_dir)
     from d6tstack_spark.operators.encode import (
         _hadoop_list_files,
@@ -744,6 +886,27 @@ def decode_state(
                 raise ValueError(f"columns not in manifest: {missing}")
             m = {k: v for k, v in manifest.items() if k in columns}
         return _restore_logical(spark.createDataFrame([], _phys_struct(m)), m)
+
+    # columns a tombstone needs beyond the projection: decoded for the
+    # filter/anti-join, dropped by the final select
+    need = columns
+    if columns is not None:
+        extra: list[str] = []
+        if keep:
+            extra += [
+                c
+                for c in manifest
+                if c not in columns
+                and re.search(rf"\b{re.escape(c)}\b", keep, re.IGNORECASE)
+            ]
+        for d in ksets:
+            extra += [
+                c
+                for c in d["cols"]
+                if c not in columns and c not in extra
+            ]
+        need = list(columns) + extra
+
     if where is not None:
         if block_filter is not None:
             raise ValueError(
@@ -751,36 +914,29 @@ def decode_state(
                 "block_filter= (explicit predicates), not both"
             )
         eff = f"({where}) AND ({keep})" if keep else where
-        return decode_where(
+        dec = decode_where(
+            spark, _blocks_dir(state_dir), manifest, eff, columns=need
+        )
+    elif keep is not None and block_filter is None:
+        dec = decode_where(
+            spark, _blocks_dir(state_dir), manifest, keep, columns=need
+        )
+    else:
+        dec = decode_parquet_blocks(
             spark,
             _blocks_dir(state_dir),
             manifest,
-            eff,
-            columns=columns,
+            columns=need,
+            block_filter=block_filter,
         )
-    if keep is not None and block_filter is None:
-        return decode_where(
-            spark, _blocks_dir(state_dir), manifest, keep, columns=columns
+        if keep is not None:
+            dec = dec.filter(F.expr(keep))
+    for d in ksets:  # equality deletes: exact left_anti on the key set
+        dec = dec.join(
+            spark.read.parquet(os.path.join(state_dir, d["path"])),
+            on=list(d["cols"]),
+            how="left_anti",
         )
-    dec = decode_parquet_blocks(
-        spark,
-        _blocks_dir(state_dir),
-        manifest,
-        columns=(
-            columns
-            if columns is None or keep is None
-            else list(columns)
-            + [
-                c
-                for c in manifest
-                if c not in columns
-                and re.search(rf"\b{re.escape(c)}\b", keep)
-            ]
-        ),
-        block_filter=block_filter,
-    )
-    if keep is not None:
-        dec = dec.filter(F.expr(keep))
-        if columns is not None:
-            dec = dec.select(*columns)
+    if columns is not None:
+        dec = dec.select(*columns)
     return dec

@@ -234,6 +234,7 @@ def purge_deletes(
         _purge_seq_path,
         _replay_purge_journal,
         _rewritten_dir,
+        key_envelope_filter,
         load_deletes,
         load_manifest,
     )
@@ -267,18 +268,37 @@ def purge_deletes(
             _clear_tombstones(state_dir, tomb_ids)
             return report
         report["files_scanned"] = len(paths)
+        preds = [d for d in deletes if d.get("kind") != "keys"]
+        ksets = [d for d in deletes if d.get("kind") == "keys"]
         matched_expr = " OR ".join(
-            f"coalesce(({d['where']}), false)" for d in deletes
+            f"coalesce(({d['where']}), false)" for d in preds
         )
 
-        # ---- plan: which files can contain a matching row (zone DNF of
-        # the OR of all tombstones; mirrors decode_parquet_blocks' driver
-        # pruning — intersect per-predicate (file, block) pairs within a
-        # branch, union branches, collect only the distinct file list)
+        # ---- plan: which files can contain a matching row — zone DNF of
+        # the OR of all predicate tombstones, plus each key set's
+        # per-column [min, max] envelope branch (mirrors
+        # decode_parquet_blocks' driver pruning: intersect per-predicate
+        # (file, block) pairs within a branch, union branches, collect
+        # only the distinct file list). Any unprunable part degrades to a
+        # full rewrite, reported honestly.
         affected = paths
-        dnf = zone_dnf_from_where(
-            " OR ".join(f"({d['where']})" for d in deletes), manifest
-        )
+        dnf: list[list[tuple]] | None = []
+        if preds:
+            pd = zone_dnf_from_where(
+                " OR ".join(f"({d['where']})" for d in preds), manifest
+            )
+            dnf = pd if pd else None
+        if dnf is not None:
+            for d in ksets:
+                env = key_envelope_filter(
+                    spark,
+                    os.path.join(state_dir, d["path"]),
+                    tuple(d["cols"]),
+                )
+                if env is None:
+                    dnf = None
+                    break
+                dnf += env
         if dnf:
             stats = spark.read.parquet(*paths)
             if "vmin_num" in stats.columns:
@@ -314,7 +334,9 @@ def purge_deletes(
             _clear_tombstones(state_dir, tomb_ids)
             return report
 
-        # ---- decode the affected slice, count matches exactly
+        # ---- decode the affected slice; one pass computes the keep-rows
+        # (NOT any predicate, anti-joined against every key set) and the
+        # matched count falls out as n_before - n_kept
         ablocks = spark.read.parquet(*affected)
         n_before = (
             ablocks.groupBy("block_id")
@@ -323,14 +345,24 @@ def purge_deletes(
             .collect()[0][0]
         )
         decoded = decode_table(ablocks, manifest)
-        n_matched = decoded.filter(F.expr(matched_expr)).count()
+        kept = decoded
+        if preds:
+            kept = kept.filter(F.expr(f"NOT ({matched_expr})"))
+        for d in ksets:
+            kept = kept.join(
+                spark.read.parquet(os.path.join(state_dir, d["path"])),
+                on=list(d["cols"]),
+                how="left_anti",
+            )
+        n_kept = kept.count()
+        n_matched = n_before - n_kept
         report["matched"] = int(n_matched)
         if n_matched == 0:
             _clear_tombstones(state_dir, tomb_ids)
             return report
 
         # ---- re-encode the keep-rows as fresh blocks under rewritten ids
-        kept = decoded.filter(F.expr(f"NOT ({matched_expr})")).repartition(
+        kept = kept.repartition(
             max(spark.sparkContext.defaultParallelism, len(affected))
         )
         new_blocks, new_manifest = encode_table(
@@ -466,3 +498,60 @@ def purge_deletes(
         return report
     finally:
         hb.release()
+
+
+def upsert_files(
+    spark: SparkSession,
+    state_dir: str,
+    new_paths: list[str] | str,
+    key_cols: tuple[str, ...] = ("conv_id",),
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> dict:
+    """MERGE new parquet files into an encoded state dir by key: rows
+    whose ``key_cols`` tuple appears in the new files are REPLACED, rows
+    with new keys are inserted — re-delivered conversations overwrite
+    their old turns, the natural upsert for a transcript table.
+
+    Composition of the engine's own primitives, each already crash-safe:
+    :func:`~d6tstack_spark.plans.checkpoint.delete_keys` (equality
+    tombstone on the new files' distinct keys) → :func:`purge_deletes`
+    (zone-targeted physical rewrite of only the files holding old
+    versions) → ``encode_resume`` (the appends; prior splits all skip via
+    the resume anti-join). A crash between steps leaves a consistent
+    state dir that either finishes the purge on the next writer entry or
+    simply re-runs this function.
+
+    New content must arrive under NEW paths: the state dir records
+    path → file-index forever (block ids embed it), so re-delivering
+    under an already-recorded path would be silently skipped by resume —
+    refused here instead."""
+    from d6tstack_spark.plans.checkpoint import (
+        _files_path,
+        delete_keys,
+        encode_resume,
+    )
+
+    if isinstance(new_paths, str):
+        new_paths = [new_paths]
+    recorded: dict = {}
+    fp = _files_path(state_dir)
+    if os.path.exists(fp):
+        with open(fp) as f:
+            recorded = json.load(f)
+    clash = sorted(set(new_paths) & set(recorded))
+    if clash:
+        raise ValueError(
+            f"upsert files must arrive under NEW paths; {clash[0]} is "
+            "already recorded in the state dir (its splits would be "
+            "skipped as complete, silently dropping the new content)"
+        )
+    keys = spark.read.parquet(*new_paths).select(*key_cols)
+    drep = delete_keys(spark, state_dir, keys, key_cols=key_cols)
+    prep = (
+        purge_deletes(spark, state_dir, order_cols=order_cols)
+        if drep["recorded"]
+        else {"matched": 0, "files_rewritten": 0, "files_scanned": 0}
+    )
+    full = sorted(set(recorded) | set(new_paths))
+    append = encode_resume(spark, full, state_dir, order_cols=order_cols)
+    return {"replaced": prep, "appended": append, "n_keys": drep["n_keys"]}

@@ -347,3 +347,105 @@ def test_state_info_reports_lifecycle(spark, state):
     assert info3["pending_tombstones"] == []
     assert info3["has_rewritten_bases"]
     assert info3["rewritten_blocks_allocated"] > 0
+
+
+# ------------------------------------------------------- equality deletes
+def test_delete_keys_merge_on_read_and_purge(spark, state):
+    from d6tstack_spark.plans.checkpoint import delete_keys
+
+    paths, sd, src = state
+    keys = spark.createDataFrame(
+        [("c0010",), ("c0020",), ("zzz-nope",)], "conv_id string"
+    )
+    rep = delete_keys(spark, sd, keys, key_cols=("conv_id",))
+    assert rep["recorded"] and rep["n_keys"] == 3
+    assert rep["matched"] == src.filter(
+        "conv_id IN ('c0010', 'c0020')"
+    ).count()
+    want = _rows(src.filter("conv_id NOT IN ('c0010', 'c0020')"))
+    assert _rows(decode_state(spark, sd)) == want
+    # projection that excludes the key column still applies the delete
+    texts = decode_state(spark, sd, columns=["text"])
+    assert texts.columns == ["text"] and texts.count() == len(want)
+    # purge: keys cluster in the 'c' file → targeted rewrite
+    rep2 = purge_deletes(spark, sd)
+    assert rep2["matched"] == rep["matched"]
+    assert 0 < rep2["files_rewritten"] < rep2["files_scanned"]
+    assert _rows(decode_state(spark, sd)) == want
+    assert load_deletes(sd) == []
+    assert not os.path.isdir(os.path.join(sd, "delete_keys", "1"))
+
+
+def test_delete_keys_matching_nothing_not_recorded(spark, state):
+    from d6tstack_spark.plans.checkpoint import delete_keys
+
+    paths, sd, _ = state
+    keys = spark.createDataFrame([("zzz-nope",)], "conv_id string")
+    rep = delete_keys(spark, sd, keys)
+    assert not rep["recorded"] and rep["matched"] == 0
+    assert load_deletes(sd) == []
+    assert not os.path.isdir(os.path.join(sd, "delete_keys", "1"))
+
+
+def test_delete_keys_composes_with_predicate_tombstones(spark, state):
+    from d6tstack_spark.plans.checkpoint import delete_keys
+
+    paths, sd, src = state
+    delete_where(spark, sd, "tool = 't1'")
+    keys = spark.createDataFrame([("a0001",), ("b0002",)], "conv_id string")
+    rep = delete_keys(spark, sd, keys)
+    # matched counts only rows not already predicate-deleted
+    assert rep["matched"] == src.filter(
+        "conv_id IN ('a0001', 'b0002') AND NOT coalesce(tool = 't1', false)"
+    ).count()
+    want = _rows(
+        src.filter(
+            "NOT coalesce(tool = 't1', false) "
+            "AND conv_id NOT IN ('a0001', 'b0002')"
+        )
+    )
+    assert _rows(decode_state(spark, sd)) == want
+    purge_deletes(spark, sd)
+    assert _rows(decode_state(spark, sd)) == want
+    assert load_deletes(sd) == []
+
+
+def test_upsert_files_replaces_by_key(spark, state, tmp_path):
+    from d6tstack_spark.plans.maintenance import upsert_files
+
+    paths, sd, src = state
+    # re-deliver two 'b' conversations with corrected text + one new conv
+    upd = pa.table(
+        {
+            "conv_id": pa.array(
+                ["b0003"] * 4 + ["b0007"] * 2 + ["new01"] * 3
+            ),
+            "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 0, 1, 2], pa.int32()),
+            "text": pa.array([f"fixed {i}" for i in range(9)]),
+            "tool": pa.array([None, "t9", None, "t9", "t9", None, "t9",
+                              None, "t9"]),
+        }
+    )
+    upath = str(tmp_path / "upsert_batch.parquet")
+    pq.write_table(upd, upath)
+    rep = upsert_files(spark, sd, [upath], key_cols=("conv_id",))
+    assert rep["n_keys"] == 3
+    assert rep["replaced"]["matched"] == src.filter(
+        "conv_id IN ('b0003', 'b0007')"
+    ).count()
+    assert rep["appended"]["encoded"] > 0
+    want = sorted(
+        _rows(src.filter("conv_id NOT IN ('b0003', 'b0007')"))
+        + _rows(spark.read.parquet(upath))
+    )
+    assert _rows(decode_state(spark, sd)) == want
+    # re-delivering under an already-recorded path is refused
+    with pytest.raises(ValueError, match="NEW paths"):
+        upsert_files(spark, sd, [upath])
+    # idempotent-ish: a second upsert with another new path but the same
+    # content replaces its own previous delivery
+    upath2 = str(tmp_path / "upsert_batch2.parquet")
+    pq.write_table(upd, upath2)
+    rep2 = upsert_files(spark, sd, [upath2], key_cols=("conv_id",))
+    assert rep2["replaced"]["matched"] == 9  # the first delivery's rows
+    assert _rows(decode_state(spark, sd)) == want
