@@ -427,6 +427,34 @@ _OR_WHERE = (
 )
 
 
+_DELETE_PRED = "event_id BETWEEN 2000 AND 4000 AND event_type = 'click'"
+
+
+def q_encdec_delete_purge(spark, sf_dir):
+    """Full predicate-delete lifecycle on the block format, driver-graded:
+    events encode into a resumable state dir, delete_where records a
+    tombstone (SQL DELETE null semantics — only predicate-TRUE rows go),
+    purge_deletes physically rewrites only the zone-affected files under
+    the journaled roll-forward commit, and the decoded state must equal
+    the oracle's WHERE-NOT-coalesce scan of the source."""
+    import tempfile
+
+    from d6tstack_spark.plans.checkpoint import (
+        decode_state,
+        delete_where,
+        encode_resume,
+    )
+    from d6tstack_spark.plans.maintenance import purge_deletes
+
+    sd = tempfile.mkdtemp() + "/state"
+    encode_resume(
+        spark, [f"{sf_dir}/events.parquet"], sd, order_cols=("event_id",)
+    )
+    delete_where(spark, sd, _DELETE_PRED, count_matches=False)
+    purge_deletes(spark, sd, order_cols=("event_id",))
+    return decode_state(spark, sd)
+
+
 def q_encdec_or_where(spark, sf_dir):
     """Disjunctive slice decode: encode events, then decode_where with an
     OR/NOT/LIKE predicate — the DNF compiler prunes each branch
@@ -1357,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # front: new-this-round + queries whose last grade is oldest (the
         # driver grades the first 50 registered queries — keep every
         # query's grade <= 1 round old by rotating here)
+        "encdec_delete_purge": q_encdec_delete_purge,
         "encdec_or_where": q_encdec_or_where,
         "encdec_drift_stack": q_encdec_drift_stack,
         "media_video_meta": q_media_video_meta,
@@ -1577,6 +1606,10 @@ def _knn_lsh_oracle(bits: int = 6, seed: int = 42, dim: int = 64, k: int = 10) -
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "encdec_delete_purge": f"""
+            SELECT * FROM events
+            WHERE NOT coalesce(({_DELETE_PRED}), false)
+        """,
         "media_video_meta": """
             SELECT doc_id AS media_id,
                    CAST(16 + doc_id % 641 AS INT) AS dec_width,

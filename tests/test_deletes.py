@@ -405,6 +405,9 @@ def test_delete_keys_composes_with_predicate_tombstones(spark, state):
         )
     )
     assert _rows(decode_state(spark, sd)) == want
+    # user where= composes with BOTH tombstone kinds
+    n0 = decode_state(spark, sd, where="turn_idx = 0").count()
+    assert n0 == sum(1 for r in want if r[1] == 0)
     purge_deletes(spark, sd)
     assert _rows(decode_state(spark, sd)) == want
     assert load_deletes(sd) == []
