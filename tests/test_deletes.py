@@ -269,6 +269,7 @@ import tempfile
 
 import numpy as np
 from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
 
 from test_zonemap import _predicate  # noqa: E402  (shared grammar)
 
@@ -452,3 +453,50 @@ def test_upsert_files_replaces_by_key(spark, state, tmp_path):
     rep2 = upsert_files(spark, sd, [upath2], key_cols=("conv_id",))
     assert rep2["replaced"]["matched"] == 9  # the first delivery's rows
     assert _rows(decode_state(spark, sd)) == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ks=hst.lists(
+        hst.integers(min_value=-5, max_value=20_010),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_delete_keys_lifecycle_matches_duckdb(spark, zstate, ks):
+    import duckdb
+
+    from d6tstack_spark.plans.checkpoint import delete_keys
+
+    src, template = zstate
+    root = tempfile.mkdtemp()
+    sd = os.path.join(root, "state")
+    shutil.copytree(template, sd)
+    try:
+        keys = spark.createDataFrame([(int(k),) for k in ks], "k long")
+        delete_keys(spark, sd, keys, key_cols=("k",), count_matches=False)
+        inlist = ", ".join(str(k) for k in ks)
+        want = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT k FROM read_parquet('{src}') "
+                f"WHERE k NOT IN ({inlist})"
+            ).fetchall()
+        )
+        got = sorted(
+            r.k for r in decode_state(spark, sd).select("k").collect()
+        )
+        assert got == want, f"keys tombstone decode mismatch for {ks}"
+        purge_deletes(spark, sd, order_cols=("k",))
+        got2 = sorted(
+            r.k for r in decode_state(spark, sd).select("k").collect()
+        )
+        assert got2 == want, f"post-purge decode mismatch for {ks}"
+        assert load_deletes(sd) == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
