@@ -500,3 +500,24 @@ def test_delete_keys_lifecycle_matches_duckdb(spark, zstate, ks):
         assert load_deletes(sd) == []
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_keys_antijoin_broadcasts_small_key_sets(spark, state):
+    # the equality-delete anti-join must broadcast the (small) key set —
+    # a shuffle of the DECODED side would move the whole table at scale.
+    # No hint in the code: Spark's static size estimate of the key
+    # parquet picks broadcast under the threshold and correctly falls
+    # back to a shuffle join for key sets too big to broadcast.
+    from d6tstack_spark.plans.checkpoint import delete_keys
+
+    paths, sd, _ = state
+    keys = spark.createDataFrame([("c0010",)], "conv_id string")
+    delete_keys(spark, sd, keys, count_matches=False)
+    plan = (
+        decode_state(spark, sd)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
