@@ -521,3 +521,25 @@ def test_keys_antijoin_broadcasts_small_key_sets(spark, state):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_purge_then_compact_then_decode(spark, state):
+    # cross-feature: rewritten blocks (reserved-bit ids) survive a
+    # subsequent compaction — repartitionByRange handles the id-space gap
+    # and the decoded table stays exact
+    from d6tstack_spark.plans.maintenance import compact_blocks
+
+    paths, sd, src = state
+    pred = "conv_id >= 'b0100' AND conv_id < 'b0200'"
+    delete_where(spark, sd, pred)
+    purge_deletes(spark, sd)
+    rep = compact_blocks(
+        spark, os.path.join(sd, "blocks"), target_file_bytes=1 << 40
+    )
+    assert rep["files_after"] <= rep["files_before"]
+    want = _rows(src.filter(f"NOT coalesce(({pred}), false)"))
+    assert _rows(decode_state(spark, sd)) == want
+    # and resume still sees everything as complete afterwards
+    assert encode_resume(
+        spark, paths, sd, order_cols=("conv_id", "turn_idx")
+    )["already_complete"]
