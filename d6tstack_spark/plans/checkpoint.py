@@ -314,9 +314,21 @@ def delete_where(
             hit = decode_where(
                 spark, _blocks_dir(state_dir), manifest, where
             )
-            keep = _tombstone_keep_expr(load_deletes(state_dir))
+            prior = load_deletes(state_dir)
+            keep = _tombstone_keep_expr(
+                [d for d in prior if d.get("kind") != "keys"]
+            )
             if keep:  # count only rows not already tombstoned
                 hit = hit.filter(F.expr(keep))
+            for d in prior:  # nor rows an equality delete already covers
+                if d.get("kind") == "keys":
+                    hit = hit.join(
+                        spark.read.parquet(
+                            os.path.join(state_dir, d["path"])
+                        ),
+                        on=list(d["cols"]),
+                        how="left_anti",
+                    )
             n = hit.count()
             report["matched"] = n
             if n == 0:

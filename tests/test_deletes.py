@@ -543,3 +543,20 @@ def test_purge_then_compact_then_decode(spark, state):
     assert encode_resume(
         spark, paths, sd, order_cols=("conv_id", "turn_idx")
     )["already_complete"]
+
+
+def test_delete_where_counts_net_of_prior_keys_tombstone(spark, state):
+    from d6tstack_spark.plans.checkpoint import delete_keys
+
+    paths, sd, src = state
+    delete_keys(
+        spark,
+        sd,
+        spark.createDataFrame([("a0001",)], "conv_id string"),
+    )
+    # counting must not crash on the keys tombstone, and must not count
+    # its already-deleted rows again
+    rep = delete_where(spark, sd, "conv_id IN ('a0001', 'a0002')")
+    assert rep["matched"] == src.filter("conv_id = 'a0002'").count()
+    want = _rows(src.filter("conv_id NOT IN ('a0001', 'a0002')"))
+    assert _rows(decode_state(spark, sd)) == want
