@@ -177,7 +177,10 @@ def _purge_seq_path(state_dir: str) -> str:
 
 
 def load_deletes(state_dir: str) -> list[dict]:
-    """Pending predicate tombstones: ``[{"id", "where", "ts"}, ...]``."""
+    """Pending delete tombstones. Predicate kind: ``{"id", "where",
+    "ts"}``; equality kind: ``{"id", "kind": "keys", "cols", "path",
+    "ts"}`` (``path`` = key-set parquet dir, relative to the state
+    dir)."""
     dp = _deletes_path(state_dir)
     if not os.path.exists(dp):
         return []
@@ -745,9 +748,9 @@ def _encode_resume_locked(
     n_todo = todo_rows.count()
     if n_todo and load_deletes(state_dir):
         raise ValueError(
-            f"state dir {state_dir} has pending predicate tombstones "
-            "(delete_where): appending new data now would also delete any "
-            "matching rows in the NEW appends, because tombstones apply "
+            f"state dir {state_dir} has pending delete tombstones "
+            "(delete_where/delete_keys): appending now would also delete "
+            "any matching rows in the NEW appends — tombstones apply "
             "table-level at decode. Run plans.maintenance.purge_deletes() "
             "first, then append."
         )

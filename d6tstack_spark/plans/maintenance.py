@@ -183,9 +183,10 @@ def purge_deletes(
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     target_block_rows: int = 65536,
 ) -> dict:
-    """Physically apply pending predicate tombstones
-    (:func:`~d6tstack_spark.plans.checkpoint.delete_where`) by rewriting
-    ONLY the block files that can contain matching rows.
+    """Physically apply pending delete tombstones — predicate
+    (:func:`~d6tstack_spark.plans.checkpoint.delete_where`) and equality
+    (:func:`~d6tstack_spark.plans.checkpoint.delete_keys`) — by
+    rewriting ONLY the block files that can contain matching rows.
 
     Targeting: the union-of-tombstones predicate compiles to zone-filter
     DNF (``zone_dnf_from_where``); a stats-only scan keeps just the files

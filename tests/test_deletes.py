@@ -137,7 +137,7 @@ def test_resume_refuses_new_appends_with_pending_tombstones(
     rep = encode_resume(spark, paths, sd, order_cols=("conv_id", "turn_idx"))
     assert rep["already_complete"]
     extra = _mk_files(tmp_path / "extra", prefixes=("d",))[0]
-    with pytest.raises(ValueError, match="pending predicate tombstones"):
+    with pytest.raises(ValueError, match="pending delete tombstones"):
         encode_resume(
             spark, paths + [extra], sd, order_cols=("conv_id", "turn_idx")
         )
