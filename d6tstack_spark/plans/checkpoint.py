@@ -858,13 +858,16 @@ def decode_state(
     (SQL predicate → DNF zone pruning + exact row filter) and is mutually
     exclusive with ``block_filter``.
 
-    Pending predicate tombstones (:func:`delete_where`) are applied
-    exactly (merge-on-read): the keep-filter is conjoined into the
-    ``where`` path, or applied on the decoded rows otherwise — columns a
-    tombstone references outside the projection are decoded for the
-    filter and dropped after. A state dir with an in-flight purge commit
-    journal refuses to decode (the blocks listing is mid-swap); any
-    writer entry point replays the journal to completion."""
+    Pending delete tombstones are applied exactly (merge-on-read):
+    predicate keep-filters (:func:`delete_where`) conjoin into the
+    ``where`` path — unprunable there, they cost nothing extra — or
+    apply on the decoded rows otherwise; equality key sets
+    (:func:`delete_keys`) apply as ``left_anti`` joins (the small side
+    broadcasts). Columns a tombstone references outside the projection
+    are decoded for the filter/join and dropped after. A state dir with
+    an in-flight purge commit journal refuses to decode (the blocks
+    listing is mid-swap); any writer entry point replays the journal to
+    completion."""
     from d6tstack_spark.operators.encode import (
         decode_parquet_blocks,
         decode_where,
