@@ -83,11 +83,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     print(f"[3b] embedding near-dup pairs: {near}; fplist ratio "
           f"{es['r']/es['e']:.2f}x on the embedding column")
 
-    # 4. encode the final corpus (auto-selected codecs, shuffle-free)
+    # 4. encode the final corpus (auto-selected codecs, shuffle-free);
+    # write_blocks is the sink contract: uncompressed (payloads are
+    # already entropy-coded), parquet dictionary off, complete blocks
+    # per file — and the manifest sidecar makes the dir self-describing
+    from d6tstack_spark.operators.sinks import write_blocks
+    from d6tstack_spark.plans.checkpoint import save_manifest
+
     final = deduped.select("doc_id", "text", "lang_pred", "n_tokens", "filename")
     blocks, manifest = encode_table(final, order_cols=("doc_id",))
     out = tempfile.mkdtemp(prefix="pipeline_blocks_")
-    blocks.write.mode("overwrite").parquet(out)
+    write_blocks(blocks, out)
+    save_manifest(manifest, out)
     stats = (
         spark.read.parquet(out)
         .agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e"))
@@ -117,6 +124,32 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     top = pq_search(enc, books, qvec, 5, refine=emb, shortlist=200)
     print(f"[6] PQ index: {enc.count()} vectors @ 8 bytes of codes each; "
           f"query top-5 ids: {[r['vec_id'] for r in top.collect()]}")
+
+    # 7. takedown request: delete specific documents from the ENCODED
+    # corpus — tombstone (merge-on-read, immediate) then targeted purge
+    # (physical, only zone-affected block files rewrite)
+    from d6tstack_spark.plans.checkpoint import (
+        decode_state,
+        delete_keys,
+        encode_resume,
+    )
+    from d6tstack_spark.plans.maintenance import purge_deletes
+
+    corpus_pq = tempfile.mkdtemp(prefix="pipeline_corpus_")
+    final.coalesce(4).write.mode("overwrite").parquet(corpus_pq)
+    state = tempfile.mkdtemp(prefix="pipeline_state_") + "/state"
+    encode_resume(spark, sorted(
+        f"{corpus_pq}/{f}" for f in os.listdir(corpus_pq)
+        if f.endswith(".parquet")
+    ), state, order_cols=("doc_id",))
+    takedown = final.select("doc_id").orderBy("doc_id").limit(3)
+    delete_keys(spark, state, takedown, key_cols=("doc_id",))
+    prep = purge_deletes(spark, state, order_cols=("doc_id",))
+    remaining = decode_state(spark, state).count()
+    print(f"[7] takedown: {prep['matched']} docs purged "
+          f"({prep['files_rewritten']}/{prep['files_scanned']} block files "
+          f"rewritten), {remaining} remain, decode verified")
+    assert remaining == n_final - prep["matched"]
     spark.stop()
 
 
