@@ -455,6 +455,45 @@ def q_encdec_delete_purge(spark, sf_dir):
     return decode_state(spark, sd)
 
 
+# shared by the Spark query and its DuckDB oracle: IS NULL on the evolved
+# column exercises the zone-widening path (pre-evolution blocks have no
+# stats row for it and must still be kept)
+_EVO_WHERE = "o_totalprice IS NULL OR o_totalprice >= 200000"
+
+
+def q_encdec_schema_evolution(spark, sf_dir):
+    """Schema evolution on an APPENDED state dir: generation 1 encodes
+    orders without o_totalprice; the generation-2 append carries it, so
+    the column joins the manifest marked ``evolved`` and every
+    pre-evolution block decodes it as all-null. The graded decode runs a
+    WHERE mixing IS NULL (which must keep the old blocks despite their
+    missing zone stats) with a range predicate on the evolved column.
+    Reference parity: combine_csv.py:214-246 column-drift alignment,
+    extended to incremental columnar state."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from d6tstack_spark.plans.checkpoint import decode_state, encode_resume
+
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    even = pc.equal(pc.bit_wise_and(t.column("o_orderkey"), 1), 0)
+    d = tempfile.mkdtemp()
+    f1 = os.path.join(d, "gen1.parquet")
+    f2 = os.path.join(d, "gen2.parquet")
+    pq.write_table(t.filter(even).select(["o_orderkey", "o_custkey"]), f1)
+    pq.write_table(t.filter(pc.invert(even)), f2)
+    sd = os.path.join(d, "state")
+    encode_resume(spark, [f1], sd, order_cols=("o_orderkey",))
+    encode_resume(spark, [f1, f2], sd, order_cols=("o_orderkey",))
+    return decode_state(spark, sd, where=_EVO_WHERE)
+
+
 def q_encdec_or_where(spark, sf_dir):
     """Disjunctive slice decode: encode events, then decode_where with an
     OR/NOT/LIKE predicate — the DNF compiler prunes each branch
@@ -1385,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # front: new-this-round + queries whose last grade is oldest (the
         # driver grades the first 50 registered queries — keep every
         # query's grade <= 1 round old by rotating here)
+        "encdec_schema_evolution": q_encdec_schema_evolution,
         "encdec_delete_purge": q_encdec_delete_purge,
         "encdec_or_where": q_encdec_or_where,
         "encdec_drift_stack": q_encdec_drift_stack,
@@ -1606,6 +1646,16 @@ def _knn_lsh_oracle(bits: int = 6, seed: int = 42, dim: int = 64, k: int = 10) -
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "encdec_schema_evolution": f"""
+            SELECT * FROM (
+                SELECT o_orderkey, o_custkey,
+                       CAST(NULL AS DOUBLE) AS o_totalprice
+                FROM orders WHERE o_orderkey % 2 = 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_totalprice
+                FROM orders WHERE o_orderkey % 2 = 1
+            ) WHERE {_EVO_WHERE}
+        """,
         "encdec_delete_purge": f"""
             SELECT * FROM events
             WHERE NOT coalesce(({_DELETE_PRED}), false)

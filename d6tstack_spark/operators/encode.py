@@ -86,15 +86,12 @@ _STAT_STR_CAP = 64
 
 
 def _stat_upper_bytes(hi: bytes) -> bytes | None:
-    """Parquet-style truncated upper bound: increment the last non-0xFF
-    byte of the 64-byte prefix; all-0xFF means unbounded (None)."""
+    """Parquet-style truncated upper bound: short values pass through
+    UNCHANGED (this is NOT a prefix bound); longer ones increment the last
+    non-0xFF byte of the 64-byte prefix; all-0xFF means unbounded (None)."""
     if len(hi) <= _STAT_STR_CAP:
         return hi
-    b = bytearray(hi[:_STAT_STR_CAP])
-    for i in range(len(b) - 1, -1, -1):
-        if b[i] != 0xFF:
-            return bytes(b[: i]) + bytes([b[i] + 1])
-    return None
+    return _prefix_upper_bytes(hi[:_STAT_STR_CAP])
 
 
 def _prefix_upper_bytes(p: bytes) -> bytes | None:
@@ -769,9 +766,18 @@ def _make_fused_encoder(manifest: dict, codec_overrides: dict | None,
                     range(row["rg"], row["rg"] + row["nrg"]), use_threads=False
                 )
                 if sort_keys:
-                    t = t.sort_by(sort_keys)
+                    sk = [s for s in sort_keys if s[0] in t.column_names]
+                    if sk:
+                        t = t.sort_by(sk)
                 cols = {}
                 for name, m in manifest.items():
+                    if name not in t.column_names:
+                        # schema evolution: this source file predates (or
+                        # never had) the column — write an explicit all-null
+                        # block so the block stays complete on disk and the
+                        # per-file decode invariant holds
+                        cols[name] = pa.nulls(len(t), type=_null_arrow_type(m))
+                        continue
                     arr = t.column(name)
                     if m["logical"] in ("ts", "ts_ntz"):
                         # normalize the source unit first: parquet files may
@@ -860,14 +866,44 @@ def encode_parquet_files(
 # ---------------------------------------------------------------------------
 
 
+def _null_arrow_type(m: dict) -> pa.DataType:
+    """Arrow type for a null-padded column of manifest entry ``m`` on the
+    PHYSICAL side (logical restore happens later, so ts/date/bool pads are
+    int columns here)."""
+    if m["ptype"] != "any":
+        return _PHYS_ARROW_TYPE[m["ptype"]]
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(T._parse_datatype_string(m["logical"]))
+
+
 def _decode_one_block(rows: list[dict], manifest: dict) -> pa.Table:
+    """Decode one block's rows into a table with the manifest's columns.
+
+    Schema evolution: a column marked ``evolved`` in the manifest was added
+    to the state dir after this block may have been written — if the block
+    has no row for it, the column decodes as all-null (the value every
+    pre-evolution row logically has). A missing NON-evolved column is
+    corruption and raises."""
     from d6tstack_spark.codecs.blocks import decode_block_arrow
 
     by_col = {r["column"]: r for r in rows}
     arrays = {}
+    pad: list[str] = []
     n = None
     for name, m in manifest.items():
-        r = by_col[name]
+        r = by_col.get(name)
+        if r is None:
+            if not m.get("evolved"):
+                bid = rows[0]["block_id"] if rows else "?"
+                raise ValueError(
+                    f"incomplete block {bid}: column {name!r} missing and "
+                    "not marked evolved in the manifest — the blocks data "
+                    "is corrupt or the manifest belongs to another dir"
+                )
+            pad.append(name)
+            arrays[name] = None  # placeholder keeps manifest column order
+            continue
         ptype = m["ptype"]
         n = r["n_rows"]
         if ptype == "any" or r["codec"] == "arrow":
@@ -894,11 +930,20 @@ def _decode_one_block(rows: list[dict], manifest: dict) -> pa.Table:
             mask = None if valid.all() else ~valid
             arr = pa.array(values, type=_PHYS_ARROW_TYPE[ptype], mask=mask)
         arrays[name] = arr
+    if pad:
+        if n is None:
+            raise ValueError(
+                "block has only evolved columns missing and no decoded "
+                "column to take the row count from"
+            )
+        for name in pad:
+            arrays[name] = pa.nulls(n, type=_null_arrow_type(manifest[name]))
     return pa.table(arrays)
 
 
 def _make_decoder(manifest: dict, chunk_rows: int = 65536):
     ncols = len(manifest)
+    has_evolved = any(m.get("evolved") for m in manifest.values())
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pa.set_cpu_count(1)  # workers are the parallelism
@@ -911,9 +956,20 @@ def _make_decoder(manifest: dict, chunk_rows: int = 65536):
                     tbl = _decode_one_block(pending.pop(bid), manifest)
                     for b in tbl.to_batches(max_chunksize=chunk_rows):
                         yield b
-        if pending:
+        if pending and not has_evolved:
             missing = {k: len(v) for k, v in pending.items()}
             raise ValueError(f"incomplete blocks at decode: {missing}")
+        # evolved manifest: blocks written before a column was added can
+        # never reach ncols rows — they flush here, null-padded by
+        # _decode_one_block (which still raises if a NON-evolved column is
+        # missing, keeping the corruption check for the original schema).
+        # On the bulk per-file path this adds no memory (the task already
+        # holds the whole file); on the shuffle path pre-evolution blocks
+        # buffer to partition end.
+        for bid in sorted(pending):
+            tbl = _decode_one_block(pending[bid], manifest)
+            for b in tbl.to_batches(max_chunksize=chunk_rows):
+                yield b
 
     return decode_fn
 
@@ -979,11 +1035,23 @@ def decode_parquet_blocks(
     rejects a nonzero spark.sql.files.maxRecordsPerFile) and re-checked at
     decode (incomplete blocks raise)."""
     full_manifest = manifest  # zone filter may target a non-projected column
+    final_columns = None
     if columns is not None:
         missing = [c for c in columns if c not in manifest]
         if missing:
             raise ValueError(f"columns not in manifest: {missing}")
         manifest = {k: v for k, v in manifest.items() if k in columns}
+        if manifest and all(m.get("evolved") for m in manifest.values()):
+            # all-evolved projection: pre-evolution blocks have NO rows for
+            # any projected column, so they would silently vanish — decode
+            # one original (non-evolved) anchor column too, to carry their
+            # row counts, and drop it from the final frame
+            anchor = next(
+                k for k, m in full_manifest.items() if not m.get("evolved")
+            )
+            manifest = dict(manifest)
+            manifest[anchor] = full_manifest[anchor]
+            final_columns = list(columns)
     paths = sorted(_hadoop_list_files(spark, blocks_dir, ".parquet"))
     if not paths:
         raise ValueError(f"no blocks parquet files under {blocks_dir}")
@@ -996,7 +1064,9 @@ def decode_parquet_blocks(
     # DNF of per-predicate (col, kind, lo_phys, hi_phys, is_str) tuples
     # for tasks — O(#branches × #preds), independent of block count
     zf: list[list[tuple]] | None = None
-    dnf = _normalize_block_filters(block_filter)
+    dnf = _strip_evolved_unprunable(
+        _normalize_block_filters(block_filter), full_manifest
+    )
     if dnf is not None:
         stats = spark.read.parquet(*paths)
         if "vmin_num" in stats.columns:  # pre-zone-map dirs: no pruning
@@ -1054,9 +1124,12 @@ def decode_parquet_blocks(
             if not paths:
                 # no block qualifies anywhere: empty frame, right schema
                 phys_schema0 = _phys_struct(manifest)
-                return _restore_logical(
+                empty = _restore_logical(
                     spark.createDataFrame([], phys_schema0), manifest
                 )
+                if final_columns is not None:
+                    empty = empty.select(*final_columns)
+                return empty
     sdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         len(paths)
     )
@@ -1126,7 +1199,10 @@ def decode_parquet_blocks(
                 yield from decoder(t.to_batches())
 
     phys_schema = _phys_struct(manifest)
-    return _restore_logical(sdf.mapInArrow(run, phys_schema), manifest)
+    out = _restore_logical(sdf.mapInArrow(run, phys_schema), manifest)
+    if final_columns is not None:
+        out = out.select(*final_columns)  # drop the anchor column
+    return out
 
 
 def _phys_struct(manifest: dict) -> T.StructType:
@@ -1278,6 +1354,38 @@ def _normalize_block_filters(block_filter) -> list[list[tuple]] | None:
     return [[tuple(p) for p in branch] for branch in dnf]
 
 
+def _strip_evolved_unprunable(
+    dnf: list[list[tuple]] | None, manifest: dict
+) -> list[list[tuple]] | None:
+    """Schema evolution × zone maps: blocks written before a column was
+    added have NO stats row for it, which the id-set logic reads as "prune".
+    That is the CORRECT answer for range/point/IN and ``not_null`` atoms
+    (every pre-evolution row is null there, and null never matches), but
+    wrong for ``is_null`` — those old blocks are all-null and must be kept.
+    Drop ``is_null`` atoms on evolved columns (widening an AND branch is
+    always sound); a branch left empty is TRUE, so pruning disables
+    entirely (None)."""
+    if dnf is None:
+        return None
+    if not any(m.get("evolved") for m in manifest.values()):
+        return dnf
+    out = []
+    for branch in dnf:
+        kept = [
+            p
+            for p in branch
+            if not (
+                len(p) == 2
+                and p[1] == "is_null"
+                and manifest.get(p[0], {}).get("evolved")
+            )
+        ]
+        if not kept:
+            return None
+        out.append(kept)
+    return out
+
+
 def _zone_keep_condition(manifest: dict, block_filter: tuple):
     """Predicate → (col_name, Column condition over the stats row).
     Conservative: blocks without stats always qualify; bounds are
@@ -1344,7 +1452,9 @@ def decode_table(
 
     Row order is unspecified (Spark semantics); the round-trip invariant is
     asserted under stable (conv_id, turn_idx) ordering by callers."""
-    dnf = _normalize_block_filters(block_filter)
+    dnf = _strip_evolved_unprunable(
+        _normalize_block_filters(block_filter), manifest
+    )
     if dnf is not None and "vmin_num" in blocks.columns:
         union_ids = None
         for branch in dnf:
@@ -1364,14 +1474,24 @@ def decode_table(
         blocks = blocks.join(
             union_ids.distinct(), "block_id", "leftsemi"
         )
+    final_columns = None
     if columns is not None:
         if not columns:
             raise ValueError("columns must be non-empty (or None for all)")
         missing = [c for c in columns if c not in manifest]
         if missing:
             raise ValueError(f"columns not in manifest: {missing}")
-        manifest = {k: v for k, v in manifest.items() if k in columns}
-        blocks = blocks.filter(F.col("column").isin(list(columns)))
+        proj = {k: v for k, v in manifest.items() if k in columns}
+        if proj and all(m.get("evolved") for m in proj.values()):
+            # all-evolved projection: keep one original column as the row
+            # anchor for pre-evolution blocks (see decode_parquet_blocks)
+            anchor = next(
+                k for k, m in manifest.items() if not m.get("evolved")
+            )
+            proj[anchor] = manifest[anchor]
+            final_columns = list(columns)
+        manifest = proj
+        blocks = blocks.filter(F.col("column").isin(list(manifest)))
     phys_schema = T.StructType(
         [
             T.StructField(
@@ -1388,7 +1508,10 @@ def decode_table(
         blocks.repartition("block_id")
         .mapInArrow(_make_decoder(manifest), phys_schema)
     )
-    return _restore_logical(dec, manifest)
+    out = _restore_logical(dec, manifest)
+    if final_columns is not None:
+        out = out.select(*final_columns)  # drop the anchor column
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -665,6 +665,54 @@ def encode_resume(
         hb.release()
 
 
+def _union_input_manifest(paths: list[str]) -> dict:
+    """Manifest over the UNION of the input files' schemas (footer-only
+    scan — the split planner opens every footer anyway). Files missing a
+    union column get explicit all-null blocks from the fused encoder, so
+    every block written in one run is complete on disk. A column typed
+    differently across files is a hard error (the drift-stacker's policy:
+    widening silently would corrupt the decode contract)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for p in sorted(paths):
+        m = build_manifest_arrow(pq.read_schema(p))
+        for k, v in m.items():
+            have = out.get(k)
+            if have is None:
+                out[k] = v
+            elif (have["ptype"], have["logical"]) != (v["ptype"], v["logical"]):
+                raise ValueError(
+                    f"type conflict for column {k!r} across input files: "
+                    f"{have['ptype']}/{have['logical']} vs "
+                    f"{v['ptype']}/{v['logical']} ({p})"
+                )
+    return out
+
+
+def _evolve_manifest(prior: dict, new: dict) -> dict:
+    """Schema evolution on append: columns the state dir already has keep
+    their stored entry (type drift raises); columns the inputs add are
+    appended with ``evolved: true`` — already-written blocks have no data
+    for them, and the decoder null-pads exactly those (see
+    operators.encode._decode_one_block). Columns the inputs DROPPED stay in
+    the manifest; the fused encoder writes explicit all-null blocks for
+    them, so no marker is needed in that direction."""
+    merged = {k: dict(v) for k, v in prior.items()}
+    for k, v in new.items():
+        have = merged.get(k)
+        if have is None:
+            merged[k] = {**v, "evolved": True}
+        elif (have["ptype"], have["logical"]) != (v["ptype"], v["logical"]):
+            raise ValueError(
+                f"schema drift for column {k!r} vs the state dir: stored "
+                f"{have['ptype']}/{have['logical']}, input "
+                f"{v['ptype']}/{v['logical']} — evolution only ADDS "
+                "columns; a retyped column needs a fresh state dir"
+            )
+    return merged
+
+
 def _encode_resume_locked(
     spark: SparkSession,
     paths: list[str],
@@ -677,15 +725,9 @@ def _encode_resume_locked(
     import pyarrow.parquet as pq
 
     _replay_purge_journal(spark, state_dir)
-    manifest = build_manifest_arrow(pq.read_schema(paths[0]))
+    manifest = _union_input_manifest(paths)
     if os.path.exists(_manifest_path(state_dir)):
-        prior = load_manifest(state_dir)
-        if prior != manifest:
-            raise ValueError(
-                f"schema drift vs state dir {state_dir}: stored manifest "
-                "differs from this run's input schema; re-encode into a "
-                "fresh state dir"
-            )
+        manifest = _evolve_manifest(load_manifest(state_dir), manifest)
     fmap = _assign_file_indices(state_dir, paths)
     with open(_manifest_path(state_dir), "w") as f:
         json.dump(manifest, f, indent=1)

@@ -372,7 +372,12 @@ def purge_deletes(
             mode="local",
             target_block_rows=target_block_rows,
         )
-        if new_manifest != manifest:
+        def _types(m: dict) -> dict:
+            # compare ptype/logical only: the stored manifest may carry
+            # schema-evolution markers the frame-derived one never has
+            return {k: (v["ptype"], v["logical"]) for k, v in m.items()}
+
+        if _types(new_manifest) != _types(manifest):
             raise RuntimeError(
                 "re-encode manifest drifted from the stored manifest — "
                 "decode→encode is no longer schema-stable; aborting purge"

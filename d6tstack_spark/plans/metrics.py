@@ -78,6 +78,9 @@ def state_info(spark, state_dir: str) -> dict:
             info["format"] = json.load(f)
     manifest = load_manifest(state_dir)  # raises on non-state dirs
     info["columns"] = list(manifest)
+    evolved = [c for c, m in manifest.items() if m.get("evolved")]
+    if evolved:
+        info["evolved_columns"] = evolved
     paths = _hadoop_list_files(spark, _blocks_dir(state_dir), ".parquet")
     info["n_files"] = len(paths)
     if paths:
