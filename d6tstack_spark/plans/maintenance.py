@@ -177,6 +177,152 @@ def compact_blocks(
     return report
 
 
+def cluster_blocks(
+    spark: SparkSession,
+    state_dir: str,
+    cluster_by: tuple[str, ...],
+    target_block_rows: int = 65536,
+    partitions: int | None = None,
+) -> dict:
+    """Physically re-sort an encoded state dir on ``cluster_by`` — the
+    ``OPTIMIZE ... ZORDER``/``rewrite_data_files(sort)`` maintenance
+    action for the block format. A dir ingested in arrival order (the
+    transcript case: time) prunes beautifully on time but not at all on,
+    say, ``conv_id``; when the query pattern shifts, one clustering
+    rewrite makes the zone maps selective on the new key:
+    ``repartitionByRange`` on the cluster key gives every output FILE a
+    disjoint key range (the driver's stats-only file pruning), and the
+    within-partition sort gives every BLOCK inside a file a disjoint
+    subrange (the task-local block pruning).
+
+    This is a full rewrite by definition — I/O scales with the table, so
+    schedule it like any compaction. Crash-safety rides the exact same
+    journaled roll-forward commit as :func:`purge_deletes` (replacement
+    written + parity-verified next to the live dir, journal as the commit
+    point, adopt-then-remove replay). The original base ids are recorded
+    so ``encode_resume`` keeps treating every source split as complete;
+    later appends land unclustered (their zone stats still prune — just
+    per-append) until the next clustering pass.
+
+    Pending delete tombstones are refused — run
+    :func:`purge_deletes` first so "rows this rewrite materializes" and
+    "tombstones it clears" cannot diverge. After a successful rewrite the
+    manifest's schema-evolution markers are dropped: every block now
+    physically carries every column, so the decoder's exact
+    incomplete-block check (and IS NULL zone pruning) is restored for
+    the whole dir.
+
+    Returns ``{rows, files_before, files_after, blocks_written}``."""
+    from d6tstack_spark.operators.encode import (
+        SUB_BLOCK_BITS,
+        _hadoop_list_files,
+        decode_table,
+        encode_table,
+    )
+    from d6tstack_spark.plans.checkpoint import (
+        _LeaseHeartbeat,
+        _acquire_lease,
+        _blocks_dir,
+        _check_or_stamp_format,
+        _manifest_path,
+        _replay_purge_journal,
+        load_deletes,
+        load_manifest,
+    )
+
+    lease = _acquire_lease(state_dir)
+    hb = _LeaseHeartbeat(lease)
+    try:
+        _replay_purge_journal(spark, state_dir)
+        # the base-id extraction below is id-scheme-dependent — refuse
+        # legacy dirs the same way encode_resume does
+        _check_or_stamp_format(state_dir, has_blocks=True)
+        if load_deletes(state_dir):
+            raise ValueError(
+                f"state dir {state_dir} has pending delete tombstones; "
+                "run plans.maintenance.purge_deletes() first, then cluster"
+            )
+        manifest = load_manifest(state_dir)
+        missing = [c for c in cluster_by if c not in manifest]
+        if not cluster_by or missing:
+            raise ValueError(
+                f"cluster_by {cluster_by} not all present in the stored "
+                f"manifest (missing: {missing})"
+            )
+        bd = _blocks_dir(state_dir)
+        paths = sorted(_hadoop_list_files(spark, bd, ".parquet"))
+        if not paths:
+            raise ValueError(f"no blocks parquet files under {bd}")
+        ablocks = spark.read.parquet(*paths)
+        n_before = (
+            ablocks.groupBy("block_id")
+            .agg(F.max("n_rows").alias("r"))
+            .agg(F.sum("r"))
+            .collect()[0][0]
+        ) or 0
+        report = {"rows": int(n_before), "files_before": len(paths)}
+        if n_before == 0:
+            report.update({"files_after": len(paths), "blocks_written": 0})
+            return report
+        # ~16 blocks per output file unless the caller sizes it —
+        # range partitioning needs a target partition count up front
+        n_parts = partitions or max(
+            spark.sparkContext.defaultParallelism,
+            -(-int(n_before) // (target_block_rows * 16)),
+        )
+        decoded = decode_table(ablocks, manifest)
+        clustered = decoded.repartitionByRange(
+            int(n_parts), *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+        new_blocks, new_manifest = encode_table(
+            clustered,
+            order_cols=tuple(cluster_by),
+            mode="local",
+            target_block_rows=target_block_rows,
+        )
+
+        def _types(m: dict) -> dict:
+            return {k: (v["ptype"], v["logical"]) for k, v in m.items()}
+
+        if _types(new_manifest) != _types(manifest):
+            raise RuntimeError(
+                "re-encode manifest drifted from the stored manifest — "
+                "decode→encode is no longer schema-stable; aborting"
+            )
+        n_new = _commit_rewritten_blocks(
+            spark,
+            state_dir,
+            affected=paths,
+            new_blocks=new_blocks,
+            base_ids=ablocks.select(
+                F.shiftright("block_id", SUB_BLOCK_BITS).alias("block_id")
+            ).distinct(),
+            n_expected=int(n_before),
+            tomb_ids=[],
+            parity_label=f"expected all {n_before} rows",
+        )
+        evolved = [c for c, m in manifest.items() if m.get("evolved")]
+        if evolved:
+            clean = {
+                k: {kk: vv for kk, vv in v.items() if kk != "evolved"}
+                for k, v in manifest.items()
+            }
+            mp = _manifest_path(state_dir)
+            with open(mp + ".tmp", "w") as f:
+                json.dump(clean, f, indent=1)
+            os.replace(mp + ".tmp", mp)
+        report.update(
+            {
+                "files_after": len(_hadoop_list_files(spark, bd, ".parquet")),
+                "blocks_written": int(n_new),
+                "evolved_markers_cleared": len(evolved),
+            }
+        )
+        return report
+    finally:
+        hb.release()
+
+
 def purge_deletes(
     spark: SparkSession,
     state_dir: str,
@@ -216,7 +362,6 @@ def purge_deletes(
     :func:`compact_blocks`: schedule it, don't race readers."""
     from d6tstack_spark.operators.encode import (
         SUB_BLOCK_BITS,
-        BLOCKS_SCHEMA,
         _hadoop_list_files,
         _norm_file_uri,
         _zone_keep_condition,
@@ -224,17 +369,13 @@ def purge_deletes(
         encode_table,
         zone_dnf_from_where,
     )
-    from d6tstack_spark.operators.sinks import write_blocks
     from d6tstack_spark.plans.checkpoint import (
         _LeaseHeartbeat,
         _acquire_lease,
         _blocks_dir,
+        _check_or_stamp_format,
         _clear_tombstones,
-        _lineage_dir,
-        _purge_journal_path,
-        _purge_seq_path,
         _replay_purge_journal,
-        _rewritten_dir,
         key_envelope_filter,
         load_deletes,
         load_manifest,
@@ -245,6 +386,10 @@ def purge_deletes(
     try:
         replayed = _replay_purge_journal(spark, state_dir)
         deletes = load_deletes(state_dir)
+        if deletes:
+            # rewritten-base bookkeeping is id-scheme-dependent — refuse
+            # legacy dirs the same way encode_resume does
+            _check_or_stamp_format(state_dir, has_blocks=True)
         report: dict = {
             "tombstones": len(deletes),
             "replayed_journal": replayed,
@@ -382,121 +527,20 @@ def purge_deletes(
                 "re-encode manifest drifted from the stored manifest — "
                 "decode→encode is no longer schema-stable; aborting purge"
             )
-        try:
-            with open(_purge_seq_path(state_dir)) as f:
-                base_ord = json.load(f)["next"]
-        except FileNotFoundError:
-            base_ord = 0
-        ids = new_blocks.select("block_id").distinct()
-        # global row_number over the distinct id list only — block count of
-        # the affected slice, not rows; the payload never enters this window
-        mapping = ids.withColumn(
-            "new_id",
-            F.lit(_REWRITE_ID_BIT).cast("long")
-            + F.shiftleft(
-                (F.lit(base_ord) + F.row_number().over(
-                    Window.orderBy("block_id")
-                )).cast("long"),
-                SUB_BLOCK_BITS,
-            ),
-        )
-        remapped = (
-            new_blocks.join(F.broadcast(mapping), "block_id")
-            .drop("block_id")
-            .withColumnRenamed("new_id", "block_id")
-            .select(*[f.name for f in BLOCKS_SCHEMA.fields])
-        )
-
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-
-        def _p(p: str):
-            return jvm.org.apache.hadoop.fs.Path(p)
-
-        fs = _p(bd).getFileSystem(conf)
-        tmp = bd + ".purge"
-        if fs.exists(_p(tmp)):  # unjournaled leftovers of a crashed run
-            fs.delete(_p(tmp), True)
-        write_blocks(remapped, tmp)
-
-        # ---- verify row parity BEFORE anything becomes visible
-        tmp_files = sorted(_hadoop_list_files(spark, tmp, ".parquet"))
-        n_tmp = 0
-        if tmp_files:
-            n_tmp = (
-                spark.read.parquet(*tmp_files)
-                .groupBy("block_id")
-                .agg(F.max("n_rows").alias("r"))
-                .agg(F.sum("r"))
-                .collect()[0][0]
-            ) or 0
-        if n_tmp != n_before - n_matched:
-            fs.delete(_p(tmp), True)
-            raise RuntimeError(
-                f"purge parity check failed: replacement holds {n_tmp} rows, "
-                f"expected {n_before} - {n_matched} matched = "
-                f"{n_before - n_matched}; original dir untouched"
-            )
-        n_new_blocks = mapping.count()
-
-        # ---- commit. Order matters: (1) rewritten-bases append and the
-        # id counter bump are harmless if orphaned by a crash (resume just
-        # skips splits whose blocks still exist); (2) the journal is the
-        # commit point; (3) apply is adopt-then-remove, replayable forward.
-        (
-            ablocks.select(
+        n_new_blocks = _commit_rewritten_blocks(
+            spark,
+            state_dir,
+            affected=affected,
+            new_blocks=new_blocks,
+            base_ids=ablocks.select(
                 F.shiftright("block_id", SUB_BLOCK_BITS).alias("block_id")
-            )
-            .distinct()
-            .write.mode("append")
-            .parquet(_rewritten_dir(state_dir))
-        )
-        sp = _purge_seq_path(state_dir)
-        with open(sp + ".tmp", "w") as f:
-            json.dump({"next": base_ord + n_new_blocks}, f)
-        os.replace(sp + ".tmp", sp)
-        journal = {
-            "remove": [os.path.basename(p) for p in affected],
-            "adopt": [os.path.basename(p) for p in tmp_files],
-            "tombstones": tomb_ids,
-        }
-        jp = _purge_journal_path(state_dir)
-        with open(jp + ".tmp", "w") as f:
-            json.dump(journal, f, indent=1)
-        os.replace(jp + ".tmp", jp)
-        for i, b in enumerate(journal["adopt"]):
-            if (
-                _TEST_CRASH_AFTER_ADOPTS is not None
-                and i >= _TEST_CRASH_AFTER_ADOPTS
-            ):
-                raise RuntimeError("purge crash drill: died mid-apply")
-            fs.rename(_p(tmp + "/" + b), _p(bd + "/" + b))
-        for b in journal["remove"]:
-            fs.delete(_p(bd + "/" + b), False)
-        if fs.exists(_p(tmp)):
-            fs.delete(_p(tmp), True)
-        os.unlink(jp)
-        _clear_tombstones(state_dir, tomb_ids)
-
-        # refresh lineage from the post-purge state (same derivation as
-        # encode_resume; a crash between journal clear and here leaves
-        # lineage stale until the next resume rebuilds it — metadata only)
-        (
-            spark.read.parquet(bd)
-            .groupBy("block_id")
-            .agg(
-                F.max("n_rows").alias("rows"),
-                F.sum("raw_bytes").alias("raw_bytes"),
-                F.sum("enc_bytes").alias("enc_bytes"),
-                F.map_from_entries(
-                    F.array_distinct(
-                        F.collect_list(F.struct("column", "codec"))
-                    )
-                ).alias("codecs"),
-            )
-            .withColumn("run_duration_sec", F.lit(0.0))
-            .write.mode("overwrite")
-            .parquet(_lineage_dir(state_dir))
+            ).distinct(),
+            n_expected=n_before - n_matched,
+            tomb_ids=tomb_ids,
+            parity_label=(
+                f"expected {n_before} - {n_matched} matched = "
+                f"{n_before - n_matched}"
+            ),
         )
         report["files_rewritten"] = len(affected)
         report["blocks_written"] = int(n_new_blocks)
@@ -504,6 +548,149 @@ def purge_deletes(
         return report
     finally:
         hb.release()
+
+
+def _commit_rewritten_blocks(
+    spark: SparkSession,
+    state_dir: str,
+    affected: list[str],
+    new_blocks,
+    base_ids,
+    n_expected: int,
+    tomb_ids: list,
+    parity_label: str,
+) -> int:
+    """The journaled roll-forward commit shared by :func:`purge_deletes`
+    and :func:`cluster_blocks`: remap the re-encoded blocks into the
+    reserved bit-61 id space (persistent per-state counter), write them
+    NEXT TO the live dir, verify row parity BEFORE anything becomes
+    visible, then commit. Order matters: (1) the rewritten-bases append
+    and the id counter bump are harmless if orphaned by a crash (resume
+    just skips splits whose blocks still exist); (2) the journal is the
+    commit point; (3) apply is adopt-then-remove, replayable forward by
+    ``_replay_purge_journal`` at every writer entry point. Returns the
+    number of replacement blocks. Caller holds the writer lease."""
+    from d6tstack_spark.operators.encode import (
+        SUB_BLOCK_BITS,
+        BLOCKS_SCHEMA,
+        _hadoop_list_files,
+    )
+    from d6tstack_spark.operators.sinks import write_blocks
+    from d6tstack_spark.plans.checkpoint import (
+        _blocks_dir,
+        _clear_tombstones,
+        _lineage_dir,
+        _purge_journal_path,
+        _purge_seq_path,
+        _rewritten_dir,
+    )
+
+    bd = _blocks_dir(state_dir)
+    try:
+        with open(_purge_seq_path(state_dir)) as f:
+            base_ord = json.load(f)["next"]
+    except FileNotFoundError:
+        base_ord = 0
+    ids = new_blocks.select("block_id").distinct()
+    # global row_number over the distinct id list only — block count of
+    # the affected slice, not rows; the payload never enters this window
+    mapping = ids.withColumn(
+        "new_id",
+        F.lit(_REWRITE_ID_BIT).cast("long")
+        + F.shiftleft(
+            (F.lit(base_ord) + F.row_number().over(
+                Window.orderBy("block_id")
+            )).cast("long"),
+            SUB_BLOCK_BITS,
+        ),
+    )
+    remapped = (
+        new_blocks.join(F.broadcast(mapping), "block_id")
+        .drop("block_id")
+        .withColumnRenamed("new_id", "block_id")
+        .select(*[f.name for f in BLOCKS_SCHEMA.fields])
+    )
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _p(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _p(bd).getFileSystem(conf)
+    tmp = bd + ".purge"
+    if fs.exists(_p(tmp)):  # unjournaled leftovers of a crashed run
+        fs.delete(_p(tmp), True)
+    write_blocks(remapped, tmp)
+
+    # ---- verify row parity BEFORE anything becomes visible
+    tmp_files = sorted(_hadoop_list_files(spark, tmp, ".parquet"))
+    n_tmp = 0
+    if tmp_files:
+        n_tmp = (
+            spark.read.parquet(*tmp_files)
+            .groupBy("block_id")
+            .agg(F.max("n_rows").alias("r"))
+            .agg(F.sum("r"))
+            .collect()[0][0]
+        ) or 0
+    if n_tmp != n_expected:
+        fs.delete(_p(tmp), True)
+        raise RuntimeError(
+            f"rewrite parity check failed: replacement holds {n_tmp} "
+            f"rows, {parity_label}; original dir untouched"
+        )
+    n_new_blocks = mapping.count()
+
+    base_ids.write.mode("append").parquet(_rewritten_dir(state_dir))
+    sp = _purge_seq_path(state_dir)
+    with open(sp + ".tmp", "w") as f:
+        json.dump({"next": base_ord + n_new_blocks}, f)
+    os.replace(sp + ".tmp", sp)
+    journal = {
+        "remove": [os.path.basename(p) for p in affected],
+        "adopt": [os.path.basename(p) for p in tmp_files],
+        "tombstones": tomb_ids,
+    }
+    jp = _purge_journal_path(state_dir)
+    with open(jp + ".tmp", "w") as f:
+        json.dump(journal, f, indent=1)
+    os.replace(jp + ".tmp", jp)
+    for i, b in enumerate(journal["adopt"]):
+        if (
+            _TEST_CRASH_AFTER_ADOPTS is not None
+            and i >= _TEST_CRASH_AFTER_ADOPTS
+        ):
+            raise RuntimeError("purge crash drill: died mid-apply")
+        fs.rename(_p(tmp + "/" + b), _p(bd + "/" + b))
+    for b in journal["remove"]:
+        fs.delete(_p(bd + "/" + b), False)
+    if fs.exists(_p(tmp)):
+        fs.delete(_p(tmp), True)
+    os.unlink(jp)
+    _clear_tombstones(state_dir, tomb_ids)
+
+    # refresh lineage from the post-rewrite state (same derivation as
+    # encode_resume; a crash between journal clear and here leaves
+    # lineage stale until the next resume rebuilds it — metadata only)
+    (
+        spark.read.parquet(bd)
+        .groupBy("block_id")
+        .agg(
+            F.max("n_rows").alias("rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.map_from_entries(
+                F.array_distinct(
+                    F.collect_list(F.struct("column", "codec"))
+                )
+            ).alias("codecs"),
+        )
+        .withColumn("run_duration_sec", F.lit(0.0))
+        .write.mode("overwrite")
+        .parquet(_lineage_dir(state_dir))
+    )
+    return int(n_new_blocks)
 
 
 def upsert_files(

@@ -3,7 +3,8 @@
 Iceberg transcript table → snapshot file list (pure-python metadata reader)
 → checkpointed resumable encode (per-partition lineage + compression
 metrics) → zone-map-pruned decode spot-check → bit-identity assertion
-→ predicate delete + zone-targeted purge (on a copy of the state dir)
+→ predicate delete + zone-targeted purge → clustering rewrite on the
+shifted query key (all on a copy of the state dir)
 — run it under a multi-executor master at two cluster sizes:
 
     zip -qr /tmp/pkg.zip d6tstack_spark
@@ -124,6 +125,45 @@ def main(work_dir: str, sf: float = 0.05) -> None:
         dec2.exceptAll(want_after).count() + want_after.exceptAll(dec2).count()
     )
 
+    # 5. the query pattern shifts to conv_id: the ts-clustered dir cannot
+    # prune conv slices (a conversation's turns scatter across the whole
+    # timeline — every file qualifies), so one clustering rewrite
+    # (cluster_blocks, the OPTIMIZE/ZORDER analogue, same journaled
+    # commit as the purge above) re-sorts on (conv_id, turn_idx) and the
+    # same slice now touches a handful of files.
+    from d6tstack_spark.operators.encode import _hadoop_list_files
+    from d6tstack_spark.plans.maintenance import cluster_blocks
+
+    def conv_qualifying_files(sd: str, conv: str) -> int:
+        bd = os.path.join(sd, "blocks")
+        stats = spark.read.parquet(
+            *_hadoop_list_files(spark, bd, ".parquet")
+        )
+        key = conv.encode()
+        return (
+            stats.filter(F.col("column") == "conv_id")
+            .filter(
+                (F.col("vmin_str") <= F.lit(key))
+                & F.coalesce(F.col("vmax_str") >= F.lit(key), F.lit(True))
+            )
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    qual_before = conv_qualifying_files(state_del, first_conv)
+    crep = cluster_blocks(
+        spark, state_del, cluster_by=("conv_id", "turn_idx")
+    )
+    qual_after = conv_qualifying_files(state_del, first_conv)
+    dec3 = decode_state(
+        spark, state_del, where=f"conv_id = '{first_conv}'"
+    )
+    want3 = want_after.filter(f"conv_id = '{first_conv}'")
+    cluster_mismatch = (
+        dec3.exceptAll(want3).count() + want3.exceptAll(dec3).count()
+    )
+
     print(
         json.dumps(
             {
@@ -145,6 +185,11 @@ def main(work_dir: str, sf: float = 0.05) -> None:
                     "files_rewritten": prep["files_rewritten"],
                     "files_scanned": prep["files_scanned"],
                     "decode_exact_after_purge": del_mismatch == 0,
+                },
+                "cluster": {
+                    "files": [crep["files_before"], crep["files_after"]],
+                    "conv_qualifying_files": [qual_before, qual_after],
+                    "decode_exact_after_cluster": cluster_mismatch == 0,
                 },
             }
         )
