@@ -494,6 +494,34 @@ def q_encdec_schema_evolution(spark, sf_dir):
     return decode_state(spark, sd, where=_EVO_WHERE)
 
 
+def q_encdec_snapshot(spark, sf_dir):
+    """Time travel on an appended state dir: the even-event file encodes
+    as snapshot 1, the odd-event append commits snapshot 2, and the
+    graded read decodes AT snapshot 1 — the later append must be
+    invisible while the read still rides the shuffle-free bulk path (the
+    snapshot log pins the file set; per-file complete blocks make a file
+    list a consistent table version)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from d6tstack_spark.plans.checkpoint import decode_state, encode_resume
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    even = pc.equal(pc.bit_wise_and(t.column("event_id"), 1), 0)
+    d = tempfile.mkdtemp()
+    f1 = os.path.join(d, "even.parquet")
+    f2 = os.path.join(d, "odd.parquet")
+    pq.write_table(t.filter(even), f1)
+    pq.write_table(t.filter(pc.invert(even)), f2)
+    sd = os.path.join(d, "state")
+    s1 = encode_resume(spark, [f1], sd, order_cols=("event_id",))
+    encode_resume(spark, [f1, f2], sd, order_cols=("event_id",))
+    return decode_state(spark, sd, snapshot=s1["snapshot"])
+
+
 def q_encdec_clustered(spark, sf_dir):
     """Sort-rewrite maintenance (cluster_blocks — the OPTIMIZE/ZORDER
     analogue) in the correctness gate: events encode in event_id order,
@@ -1445,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver grades the first 50 registered queries — keep every
         # query's grade <= 1 round old by rotating here)
         "encdec_schema_evolution": q_encdec_schema_evolution,
+        "encdec_snapshot": q_encdec_snapshot,
         "encdec_clustered": q_encdec_clustered,
         "encdec_delete_purge": q_encdec_delete_purge,
         "encdec_or_where": q_encdec_or_where,
@@ -1677,6 +1706,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders WHERE o_orderkey % 2 = 1
             ) WHERE {_EVO_WHERE}
         """,
+        "encdec_snapshot": "SELECT * FROM events WHERE event_id % 2 = 0",
         "encdec_clustered": (
             "SELECT * FROM events WHERE user_id BETWEEN 3 AND 7"
         ),

@@ -1003,6 +1003,7 @@ def decode_parquet_blocks(
     manifest: dict,
     columns: list[str] | None = None,
     block_filter: tuple | list | None = None,
+    paths: list[str] | None = None,
 ) -> DataFrame:
     """Shuffle-free bulk decode — the inverse twin of
     :func:`encode_parquet_files`.
@@ -1052,7 +1053,12 @@ def decode_parquet_blocks(
             manifest = dict(manifest)
             manifest[anchor] = full_manifest[anchor]
             final_columns = list(columns)
-    paths = sorted(_hadoop_list_files(spark, blocks_dir, ".parquet"))
+    if paths is None:
+        paths = sorted(_hadoop_list_files(spark, blocks_dir, ".parquet"))
+    else:
+        # caller-pinned file set (snapshot/time-travel reads): same
+        # per-file complete-block contract, no listing
+        paths = sorted(paths)
     if not paths:
         raise ValueError(f"no blocks parquet files under {blocks_dir}")
     # zone-map pruning, two levels, zero driver-held block-id state:
@@ -1174,12 +1180,21 @@ def decode_parquet_blocks(
                                     ids if bids is None else bids & ids
                                 )
                             keep_ids |= bids
+                        if not keep_ids:
+                            continue  # planner raced a rewrite; nothing here
+                    # the keep-ids ride the parquet read as a filter: row
+                    # groups whose block_id stats miss the set never load
+                    # their PAYLOAD bytes (blocks are written contiguously,
+                    # one record batch per block, so id ranges per row
+                    # group are tight) — a selective decode_where reads a
+                    # fraction of even the qualifying files
+                    flt = []
+                    if col_filter:
+                        flt.append(("column", "in", col_filter))
+                    if keep_ids is not None:
+                        flt.append(("block_id", "in", sorted(keep_ids)))
                     t = pq.read_table(
-                        p,
-                        use_threads=False,
-                        filters=(
-                            [("column", "in", col_filter)] if col_filter else None
-                        ),
+                        p, use_threads=False, filters=flt or None
                     )
                 except FileNotFoundError as e:
                     raise RuntimeError(
@@ -1189,13 +1204,6 @@ def decode_parquet_blocks(
                         "directory mid-job. Each job must own a unique blocks "
                         "dir for its lifetime."
                     ) from e
-                if keep_ids is not None:
-                    t = t.filter(
-                        pc.is_in(
-                            t.column("block_id"),
-                            value_set=pa.array(sorted(keep_ids), pa.int64()),
-                        )
-                    )
                 yield from decoder(t.to_batches())
 
     phys_schema = _phys_struct(manifest)
@@ -1886,6 +1894,7 @@ def decode_where(
     manifest: dict,
     where: str,
     columns: list[str] | None = None,
+    paths: list[str] | None = None,
 ) -> DataFrame:
     """The 100 TB slice API: decode only the rows matching a SQL boolean
     expression. Range-expressible predicates become zone-map block filters
@@ -1912,7 +1921,7 @@ def decode_where(
     if isinstance(blocks, str):
         dec = decode_parquet_blocks(
             spark, blocks, manifest, columns=need,
-            block_filter=preds or None,
+            block_filter=preds or None, paths=paths,
         )
     else:
         dec = decode_table(

@@ -176,6 +176,95 @@ def _purge_seq_path(state_dir: str) -> str:
     return os.path.join(state_dir, "purge_seq.json")
 
 
+def _snapshots_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "snapshots.jsonl")
+
+
+def load_snapshots(state_dir: str) -> list[dict]:
+    """The snapshot log: one record per committed writer operation that
+    changed the visible blocks-file set. ``{"id", "op": "append",
+    "files": [added basenames]}`` or ``{"id", "op": "rewrite", "files":
+    [FULL listing after the rewrite]}``. A torn trailing line (crash
+    mid-append) is ignored — the next writer re-sweeps any published
+    file the log missed."""
+    sp = _snapshots_path(state_dir)
+    if not os.path.exists(sp):
+        return []
+    out: list[dict] = []
+    with open(sp) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                out.append(json.loads(line))
+            except ValueError:
+                break  # torn tail — everything before it is intact
+    return out
+
+
+def _record_snapshot(state_dir: str, op: str, files: list[str]) -> int:
+    """Append one snapshot record (caller holds the writer lease).
+    Returns the new snapshot id. ``files`` are BASENAMES relative to the
+    blocks dir."""
+    recs = load_snapshots(state_dir)
+    sid = (recs[-1]["id"] + 1) if recs else 1
+    rec = {"id": sid, "op": op, "files": sorted(files)}
+    sp = _snapshots_path(state_dir)
+    with open(sp, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    return sid
+
+
+def _snapshot_known_files(recs: list[dict]) -> set[str]:
+    known: set[str] = set()
+    for r in recs:
+        if r["op"] == "rewrite":
+            known = set(r["files"])
+        else:
+            known |= set(r["files"])
+    return known
+
+
+def resolve_snapshot(state_dir: str, snapshot: int) -> list[str]:
+    """Blocks-file BASENAMES visible at ``snapshot``. Time travel reaches
+    back to the most recent physical rewrite (purge/cluster/compaction
+    physically REMOVE files, Iceberg-expire style, so earlier snapshots
+    are gone): a rewrite record with id > snapshot is refused."""
+    recs = load_snapshots(state_dir)
+    if not recs:
+        raise ValueError(
+            f"state dir {state_dir} has no snapshot log (written by "
+            "builds with snapshot support, from the first writer op on)"
+        )
+    ids = [r["id"] for r in recs]
+    if snapshot not in ids:
+        raise ValueError(
+            f"unknown snapshot {snapshot}; log has ids {ids[0]}..{ids[-1]}"
+        )
+    later_rewrites = [
+        r["id"] for r in recs if r["op"] == "rewrite" and r["id"] > snapshot
+    ]
+    if later_rewrites:
+        raise ValueError(
+            f"snapshot {snapshot} predates the physical rewrite committed "
+            f"as snapshot {later_rewrites[0]} (purge/cluster/compaction "
+            "remove the old files); only snapshots at or after the last "
+            "rewrite are readable"
+        )
+    files: set[str] = set()
+    for r in recs:
+        if r["id"] > snapshot:
+            break
+        if r["op"] == "rewrite":
+            files = set(r["files"])
+        else:
+            files |= set(r["files"])
+    return sorted(files)
+
+
 def load_deletes(state_dir: str) -> list[dict]:
     """Pending delete tombstones. Predicate kind: ``{"id", "where",
     "ts"}``; equality kind: ``{"id", "kind": "keys", "cols", "path",
@@ -263,6 +352,19 @@ def _replay_purge_journal(spark: SparkSession, state_dir: str) -> bool:
         fs.delete(_p(tmp), True)
     os.unlink(jp)
     _clear_tombstones(state_dir, j.get("tombstones", []))
+    if os.path.exists(_snapshots_path(state_dir)):
+        # the crashed rewrite never recorded its snapshot barrier — do it
+        # now that the file moves are complete
+        from d6tstack_spark.operators.encode import _hadoop_list_files
+
+        _record_snapshot(
+            state_dir,
+            "rewrite",
+            [
+                os.path.basename(p)
+                for p in _hadoop_list_files(spark, bd, ".parquet")
+            ],
+        )
     return True
 
 
@@ -665,6 +767,25 @@ def encode_resume(
         hb.release()
 
 
+def _sweep_snapshot_appends(spark: SparkSession, state_dir: str) -> int | None:
+    """Record every published-but-unrecorded blocks file as one append
+    snapshot (caller holds the writer lease). Self-healing by design: a
+    crash between a write_blocks commit and its snapshot record just
+    leaves files for the NEXT writer entry to sweep — the log never
+    needs to be exactly in step with the dir, only to converge. Returns
+    the new snapshot id (None when nothing changed)."""
+    from d6tstack_spark.operators.encode import _hadoop_list_files
+
+    listing = {
+        os.path.basename(p)
+        for p in _hadoop_list_files(spark, _blocks_dir(state_dir), ".parquet")
+    }
+    added = listing - _snapshot_known_files(load_snapshots(state_dir))
+    if not added:
+        return None
+    return _record_snapshot(state_dir, "append", sorted(added))
+
+
 def _union_input_manifest(paths: list[str]) -> dict:
     """Manifest over the UNION of the input files' schemas (footer-only
     scan — the split planner opens every footer anyway). Files missing a
@@ -804,6 +925,11 @@ def _encode_resume_locked(
         "already_complete": n_todo == 0,
     }
     if n_todo == 0:
+        # still sweep: a crashed prior run may have published files the
+        # snapshot log has not recorded yet
+        sid = _sweep_snapshot_appends(spark, state_dir)
+        if sid is not None:
+            summary["snapshot"] = sid
         return summary
 
     t0 = time.time()
@@ -856,6 +982,9 @@ def _encode_resume_locked(
     )
     lineage.write.mode("overwrite").parquet(_lineage_dir(state_dir))
     summary["duration_sec"] = round(duration, 3)
+    sid = _sweep_snapshot_appends(spark, state_dir)
+    if sid is not None:
+        summary["snapshot"] = sid
     return summary
 
 
@@ -891,6 +1020,7 @@ def decode_state(
     columns: list[str] | None = None,
     block_filter: tuple | list | None = None,
     where: str | None = None,
+    snapshot: int | None = None,
 ) -> DataFrame:
     """Decode a state dir back to the original table via the shuffle-free
     per-file bulk path (state files contain complete blocks by construction
@@ -909,7 +1039,17 @@ def decode_state(
     are decoded for the filter/join and dropped after. A state dir with
     an in-flight purge commit journal refuses to decode (the blocks
     listing is mid-swap); any writer entry point replays the journal to
-    completion."""
+    completion.
+
+    ``snapshot=N`` time-travels: the read pins the blocks-file set the
+    snapshot log (``snapshots.jsonl``) recorded at writer commit N —
+    appends after N are invisible, and the read still rides the
+    shuffle-free bulk path. Physical rewrites (purge/cluster/compaction)
+    REMOVE files, so they are barriers: only snapshots at or after the
+    last rewrite are readable (Iceberg's expire-snapshots semantics,
+    eagerly). Snapshots decode under the CURRENT schema — columns added
+    after N read as all-null for N's rows, exactly as live reads of
+    pre-evolution blocks do."""
     from d6tstack_spark.operators.encode import (
         decode_parquet_blocks,
         decode_where,
@@ -934,6 +1074,35 @@ def decode_state(
         _phys_struct,
         _restore_logical,
     )
+
+    spaths: list[str] | None = None
+    if snapshot is not None:
+        # time travel: the snapshot log pins the visible file set (the
+        # per-file complete-block invariant makes a file list a fully
+        # consistent table version — same bulk decode path, no listing).
+        # Pending tombstones apply table-level TODAY, which has no
+        # well-defined meaning against a historical file set — refuse.
+        if deletes:
+            raise ValueError(
+                f"state dir {state_dir} has pending delete tombstones; "
+                "snapshot reads are defined on purged state only — run "
+                "plans.maintenance.purge_deletes() first or decode live"
+            )
+        base = resolve_snapshot(state_dir, snapshot)
+        bd = _blocks_dir(state_dir)
+        live = {
+            os.path.basename(p)
+            for p in _hadoop_list_files(spark, bd, ".parquet")
+        }
+        gone = [b for b in base if b not in live]
+        if gone:
+            raise ValueError(
+                f"snapshot {snapshot} resolves to {len(gone)} file(s) no "
+                f"longer present (first: {gone[0]}) — a physical rewrite "
+                "raced the snapshot log; only snapshots at or after the "
+                "last rewrite are readable"
+            )
+        spaths = [os.path.join(bd, b) for b in base]
 
     if not _hadoop_list_files(spark, _blocks_dir(state_dir), ".parquet"):
         # a state dir whose blocks were all deleted+purged is a valid,
@@ -975,11 +1144,13 @@ def decode_state(
             )
         eff = f"({where}) AND ({keep})" if keep else where
         dec = decode_where(
-            spark, _blocks_dir(state_dir), manifest, eff, columns=need
+            spark, _blocks_dir(state_dir), manifest, eff, columns=need,
+            paths=spaths,
         )
     elif keep is not None and block_filter is None:
         dec = decode_where(
-            spark, _blocks_dir(state_dir), manifest, keep, columns=need
+            spark, _blocks_dir(state_dir), manifest, keep, columns=need,
+            paths=spaths,
         )
     else:
         dec = decode_parquet_blocks(
@@ -988,6 +1159,7 @@ def decode_state(
             manifest,
             columns=need,
             block_filter=block_filter,
+            paths=spaths,
         )
         if keep is not None:
             dec = dec.filter(F.expr(keep))

@@ -161,6 +161,23 @@ def compact_blocks(
         fs.rename(_hpath(live), _hpath(aside))
         fs.rename(_hpath(tmp), _hpath(live))
         fs.delete(_hpath(aside), True)
+        if state_like:
+            # snapshot barrier: every file was replaced (same contract as
+            # the purge/cluster commit)
+            from d6tstack_spark.plans.checkpoint import (
+                _record_snapshot,
+                _snapshots_path,
+            )
+
+            if os.path.exists(_snapshots_path(parent)):
+                _record_snapshot(
+                    parent,
+                    "rewrite",
+                    [
+                        os.path.basename(p)
+                        for p in _hadoop_list_files(spark, live, ".parquet")
+                    ],
+                )
     finally:
         hb.release()
         try:
@@ -689,6 +706,19 @@ def _commit_rewritten_blocks(
         .withColumn("run_duration_sec", F.lit(0.0))
         .write.mode("overwrite")
         .parquet(_lineage_dir(state_dir))
+    )
+    # snapshot barrier: a rewrite REMOVES files, so time travel resets
+    # here. A crash in the tiny window before this line is caught at
+    # snapshot-resolve time (resolved files are existence-checked).
+    from d6tstack_spark.plans.checkpoint import _record_snapshot
+
+    _record_snapshot(
+        state_dir,
+        "rewrite",
+        [
+            os.path.basename(p)
+            for p in _hadoop_list_files(spark, bd, ".parquet")
+        ],
     )
     return int(n_new_blocks)
 

@@ -81,6 +81,18 @@ def state_info(spark, state_dir: str) -> dict:
     evolved = [c for c, m in manifest.items() if m.get("evolved")]
     if evolved:
         info["evolved_columns"] = evolved
+    from d6tstack_spark.plans.checkpoint import load_snapshots
+
+    snaps = load_snapshots(state_dir)
+    if snaps:
+        rewrites = [r["id"] for r in snaps if r["op"] == "rewrite"]
+        info["snapshots"] = {
+            "n": len(snaps),
+            "latest": snaps[-1]["id"],
+            "earliest_readable": (
+                max(rewrites) if rewrites else snaps[0]["id"]
+            ),
+        }
     paths = _hadoop_list_files(spark, _blocks_dir(state_dir), ".parquet")
     info["n_files"] = len(paths)
     if paths:

@@ -1,0 +1,169 @@
+"""State-dir snapshots + time travel: every writer commit records the
+visible blocks-file set in snapshots.jsonl (appends add files; physical
+rewrites — purge/cluster/compaction — are barriers that reset history,
+Iceberg's expire-snapshots semantics applied eagerly). decode_state(
+snapshot=N) pins that file set and still rides the shuffle-free bulk
+path. The per-file complete-block invariant is what makes a bare file
+list a fully consistent table version."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import d6tstack_spark.plans.maintenance as maintenance
+from d6tstack_spark.plans.checkpoint import (
+    decode_state,
+    delete_where,
+    encode_resume,
+    load_snapshots,
+    resolve_snapshot,
+)
+from d6tstack_spark.plans.maintenance import cluster_blocks, purge_deletes
+from d6tstack_spark.plans.metrics import state_info
+
+
+def _write(tmp_path, name, prefix, n=900):
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"{prefix}{j // 6:04d}" for j in range(n)]),
+            "turn_idx": pa.array([j % 6 for j in range(n)], pa.int32()),
+            "text": pa.array([f"msg {prefix}{j}" for j in range(n)]),
+        }
+    )
+    p = str(tmp_path / name)
+    pq.write_table(tbl, p, row_group_size=300)
+    return p
+
+
+def _key(df):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in df.select("conv_id", "turn_idx", "text").collect()
+    )
+
+
+@pytest.fixture()
+def two_appends(spark, tmp_path):
+    p1 = _write(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    s1 = encode_resume(spark, [p1], sd, checkpoint_every=0)
+    p2 = _write(tmp_path, "b.parquet", "b")
+    s2 = encode_resume(spark, [p1, p2], sd, checkpoint_every=0)
+    return sd, p1, p2, s1, s2
+
+
+def test_appends_record_and_time_travel(spark, two_appends):
+    sd, p1, p2, s1, s2 = two_appends
+    recs = load_snapshots(sd)
+    assert [r["id"] for r in recs] == [1, 2]
+    assert all(r["op"] == "append" for r in recs)
+    assert s1["snapshot"] == 1 and s2["snapshot"] == 2
+    old = decode_state(spark, sd, snapshot=1)
+    assert _key(old) == _key(spark.read.parquet(p1))
+    assert _key(decode_state(spark, sd, snapshot=2)) == _key(
+        decode_state(spark, sd)
+    )
+    # snapshot + where/columns compose; still exact
+    sl = decode_state(
+        spark, sd, snapshot=1, where="turn_idx < 2", columns=["conv_id"]
+    )
+    assert sl.columns == ["conv_id"]
+    assert sl.count() == spark.read.parquet(p1).filter("turn_idx < 2").count()
+
+
+def test_unknown_and_missing_log(spark, two_appends, tmp_path):
+    sd, *_ = two_appends
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        decode_state(spark, sd, snapshot=99)
+    os.unlink(os.path.join(sd, "snapshots.jsonl"))
+    with pytest.raises(ValueError, match="no snapshot log"):
+        decode_state(spark, sd, snapshot=1)
+
+
+def test_rewrite_is_a_barrier(spark, two_appends):
+    sd, p1, p2, *_ = two_appends
+    delete_where(spark, sd, "conv_id like 'a00%'", count_matches=False)
+    with pytest.raises(ValueError, match="pending delete tombstones"):
+        decode_state(spark, sd, snapshot=1)
+    purge_deletes(spark, sd)
+    recs = load_snapshots(sd)
+    assert recs[-1]["op"] == "rewrite" and recs[-1]["id"] == 3
+    for old in (1, 2):
+        with pytest.raises(ValueError, match="predates the physical rewrite"):
+            resolve_snapshot(sd, old)
+    post = decode_state(spark, sd, snapshot=3)
+    assert _key(post) == _key(decode_state(spark, sd))
+    info = state_info(spark, sd)
+    assert info["snapshots"] == {"n": 3, "latest": 3, "earliest_readable": 3}
+
+
+def test_cluster_and_append_after_barrier(spark, two_appends, tmp_path):
+    sd, p1, p2, *_ = two_appends
+    cluster_blocks(spark, sd, cluster_by=("conv_id", "turn_idx"))
+    assert load_snapshots(sd)[-1]["op"] == "rewrite"
+    full = _key(decode_state(spark, sd))
+    assert _key(decode_state(spark, sd, snapshot=3)) == full
+    p3 = _write(tmp_path, "c.parquet", "c", n=60)
+    s = encode_resume(spark, [p1, p2, p3], sd, checkpoint_every=0)
+    assert s["snapshot"] == 4
+    assert _key(decode_state(spark, sd, snapshot=3)) == full  # pre-append
+    assert len(_key(decode_state(spark, sd, snapshot=4))) == len(full) + 60
+
+
+def test_crashed_rewrite_records_on_replay(spark, two_appends, monkeypatch):
+    sd, *_ = two_appends
+    delete_where(spark, sd, "conv_id like 'b00%'", count_matches=False)
+    monkeypatch.setattr(maintenance, "_TEST_CRASH_AFTER_ADOPTS", 0)
+    with pytest.raises(RuntimeError, match="crash drill"):
+        purge_deletes(spark, sd)
+    monkeypatch.setattr(maintenance, "_TEST_CRASH_AFTER_ADOPTS", None)
+    purge_deletes(spark, sd)  # replays the journal → records the barrier
+    recs = load_snapshots(sd)
+    assert recs[-1]["op"] == "rewrite"
+    assert _key(decode_state(spark, sd, snapshot=recs[-1]["id"])) == _key(
+        decode_state(spark, sd)
+    )
+
+
+def test_sweep_heals_missing_append_record(spark, two_appends):
+    sd, *_ = two_appends
+    sp = os.path.join(sd, "snapshots.jsonl")
+    lines = open(sp).read().splitlines(keepends=True)
+    with open(sp, "w") as f:  # drop the last append record = the crash
+        f.writelines(lines[:-1])  # window between publish and record
+    full = _key(decode_state(spark, sd))
+    # any writer entry sweeps; an already-complete resume is the cheapest
+    import json as _json
+
+    from d6tstack_spark.plans.checkpoint import _files_path
+
+    paths = list(_json.load(open(_files_path(sd))).keys())
+    s = encode_resume(spark, paths, sd, checkpoint_every=0)
+    assert s["already_complete"] and s["snapshot"] == 2
+    assert _key(decode_state(spark, sd, snapshot=2)) == full
+
+
+def test_snapshot_of_pre_evolution_state(spark, two_appends, tmp_path):
+    sd, p1, p2, *_ = two_appends
+    p3 = str(tmp_path / "evo.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(["z0001"]),
+                "turn_idx": pa.array([0], pa.int32()),
+                "text": pa.array(["zz"]),
+                "score": pa.array([1.5], pa.float64()),
+            }
+        ),
+        p3,
+    )
+    encode_resume(spark, [p1, p2, p3], sd, checkpoint_every=0)
+    old = decode_state(spark, sd, snapshot=2)
+    # current schema, historical rows: the evolved column reads all-null
+    assert "score" in old.columns
+    rows = old.collect()
+    assert rows and all(r.score is None for r in rows)
