@@ -167,3 +167,39 @@ def test_snapshot_of_pre_evolution_state(spark, two_appends, tmp_path):
     assert "score" in old.columns
     rows = old.collect()
     assert rows and all(r.score is None for r in rows)
+
+
+def test_incremental_diff(spark, two_appends, tmp_path):
+    from d6tstack_spark.plans.checkpoint import decode_state_diff
+
+    sd, p1, p2, *_ = two_appends
+    d = decode_state_diff(spark, sd, since=1)
+    assert _key(d) == _key(spark.read.parquet(p2))
+    assert decode_state_diff(spark, sd, since=2).count() == 0
+    assert _key(decode_state_diff(spark, sd, since=0, until=1)) == _key(
+        spark.read.parquet(p1)
+    )
+    sl = decode_state_diff(
+        spark, sd, since=1, where="turn_idx = 0", columns=["conv_id"]
+    )
+    assert sl.columns == ["conv_id"]
+    assert sl.count() == (
+        spark.read.parquet(p2).filter("turn_idx = 0").count()
+    )
+
+
+def test_incremental_diff_rewrite_window_refused(spark, two_appends, tmp_path):
+    from d6tstack_spark.plans.checkpoint import decode_state_diff
+
+    sd, p1, p2, *_ = two_appends
+    delete_where(spark, sd, "conv_id like 'a00%'", count_matches=False)
+    with pytest.raises(ValueError, match="pending delete tombstones"):
+        decode_state_diff(spark, sd, since=1)
+    purge_deletes(spark, sd)  # rewrite barrier = snapshot 3
+    with pytest.raises(ValueError, match="rewrite"):
+        decode_state_diff(spark, sd, since=1)
+    # a fresh append AFTER the barrier is consumable incrementally
+    p3 = _write(tmp_path, "c.parquet", "c", n=120)
+    encode_resume(spark, [p1, p2, p3], sd, checkpoint_every=0)
+    d = decode_state_diff(spark, sd, since=3)
+    assert _key(d) == _key(spark.read.parquet(p3))
