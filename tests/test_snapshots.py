@@ -203,3 +203,22 @@ def test_incremental_diff_rewrite_window_refused(spark, two_appends, tmp_path):
     encode_resume(spark, [p1, p2, p3], sd, checkpoint_every=0)
     d = decode_state_diff(spark, sd, since=3)
     assert _key(d) == _key(spark.read.parquet(p3))
+
+
+def test_compaction_records_rewrite_barrier(spark, tmp_path):
+    from d6tstack_spark.plans.maintenance import compact_blocks
+
+    p1 = _write(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state_c")
+    # one commit per split → many small files → compactable
+    encode_resume(spark, [p1], sd, checkpoint_every=1)
+    full = _key(decode_state(spark, sd))
+    rep = compact_blocks(
+        spark, os.path.join(sd, "blocks"), target_file_bytes=1 << 30
+    )
+    assert rep["compacted"]
+    recs = load_snapshots(sd)
+    assert recs[-1]["op"] == "rewrite"
+    assert _key(decode_state(spark, sd, snapshot=recs[-1]["id"])) == full
+    with pytest.raises(ValueError, match="predates the physical rewrite"):
+        decode_state(spark, sd, snapshot=recs[0]["id"])
