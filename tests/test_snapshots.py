@@ -222,3 +222,24 @@ def test_compaction_records_rewrite_barrier(spark, tmp_path):
     assert _key(decode_state(spark, sd, snapshot=recs[-1]["id"])) == full
     with pytest.raises(ValueError, match="predates the physical rewrite"):
         decode_state(spark, sd, snapshot=recs[0]["id"])
+
+
+def test_every_snapshot_is_its_prefix(spark, tmp_path):
+    """Five appends; snapshot k must decode to exactly the first k files'
+    union, and the (k-1, k] diff to exactly file k — the full consistency
+    matrix, not just endpoints."""
+    from d6tstack_spark.plans.checkpoint import decode_state_diff
+
+    sd = str(tmp_path / "state_m")
+    paths, keys = [], []
+    for k in range(5):
+        paths.append(_write(tmp_path, f"f{k}.parquet", f"p{k}_", n=180))
+        keys.append(_key(spark.read.parquet(paths[-1])))
+        s = encode_resume(spark, paths, sd, checkpoint_every=0)
+        assert s["snapshot"] == k + 1
+    for k in range(5):
+        want = sorted(t for ks in keys[: k + 1] for t in ks)
+        assert _key(decode_state(spark, sd, snapshot=k + 1)) == want
+        assert _key(decode_state_diff(spark, sd, since=k, until=k + 1)) == (
+            keys[k]
+        )
