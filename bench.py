@@ -351,6 +351,45 @@ def main():
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET", "600"))
     # generous vs the ~190s worst observed child (local[4], 2x noise margin)
     child_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_CHILD_TIMEOUT", "420"))
+
+    # ---- epoch canary: this shared VM has multi-minute co-tenant slow
+    # epochs that can depress every measurement in a run by 30-50%. Probe
+    # 32c first against the historical best for THIS code hash; if the
+    # epoch is slow, wait (bounded) for it to pass, and always report the
+    # verdict so a below-band artifact carries its own explanation. The
+    # probes are real measurements — they seed the 32c level and the
+    # history, so a fast probe costs nothing extra.
+    canary: dict = {"verdict": "no-history", "probe_turns_per_sec": []}
+    probe_best: dict | None = None
+    hist0 = _history_best()
+    ref32 = hist0.get(32, {}).get("turns_per_sec", 0)
+    if ref32:
+        thresh = 0.8 * ref32
+        canary["historical_best_32c"] = ref32
+        canary["threshold_turns_per_sec"] = round(thresh)
+        wait_budget = float(
+            os.environ.get("SPARK_GRAFT_BENCH_CANARY_BUDGET", "300")
+        )
+        t_c = time.time()
+        while True:
+            r = _run_encode_child(32, child_timeout)
+            canary["probe_turns_per_sec"].append(r["turns_per_sec"])
+            if probe_best is None or r["wall_sec"] < probe_best["wall_sec"]:
+                probe_best = r
+            if r["turns_per_sec"] >= thresh:
+                canary["verdict"] = "fast"
+                break
+            if time.time() - t_c > wait_budget:
+                canary["verdict"] = "slow"
+                break
+            log(
+                f"  canary: 32c probe {r['turns_per_sec']} < band "
+                f"{thresh:.0f} (best {ref32}) — slow epoch, waiting 90s"
+            )
+            time.sleep(90)
+        log(f"  canary verdict: {canary['verdict']} "
+            f"(probes {canary['probe_turns_per_sec']})")
+
     t_start = time.time()
     for rep, levels in enumerate(
         [(4, 16, 8, 32), (16, 4, 32, 8), (8, 32, 4, 16)]
@@ -360,6 +399,9 @@ def main():
                 f"rep{rep - 1}; remaining groups covered by history")
             break
         for cores in levels:
+            if cores == 32 and probe_best is not None:
+                scaling[32] = probe_best  # canary probes seed the level
+                probe_best = None
             r = _run_encode_child(cores, child_timeout)
             if cores not in scaling or r["wall_sec"] < scaling[cores]["wall_sec"]:
                 scaling[cores] = r
@@ -415,6 +457,7 @@ def main():
             "— this shared VM has multi-minute co-tenant slow epochs that can "
             "swallow all of one level's invocations in a single run"
         ),
+        "epoch_canary": canary,
         "encoded_bytes": enc["enc_bytes"],
         "raw_bytes": enc["raw_bytes"],
         "reference_parquet_snappy_bytes": enc["src_parquet_bytes"],
@@ -483,6 +526,14 @@ def _write_baseline_md(scaling, eff, eff_8_32, times, result):
         "node brings its own memory bandwidth, so the resource that limits "
         "8→32 on one box scales with node count — which is what the north "
         "rule's N→4N executor criterion measures.",
+        "",
+        f"Epoch canary (pre-run 32c probe vs this code hash's recorded "
+        f"best): **{result['epoch_canary']['verdict']}** — probes "
+        f"{result['epoch_canary'].get('probe_turns_per_sec')} turns/s vs "
+        f"historical best {result['epoch_canary'].get('historical_best_32c', 'n/a')} "
+        "(a 'slow' verdict means every number below was measured inside a "
+        "co-tenant slow epoch and understates the engine; the "
+        "best-observed rows above are the faithful steady-state reading).",
         "",
     ] + _provenance_lines() + [
         "## Compressed size gate",

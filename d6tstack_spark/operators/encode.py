@@ -1654,6 +1654,13 @@ def zone_predicates_from_where(where: str, manifest: dict) -> list[tuple]:
     contributes nothing and is left to the row filter. Never wrong,
     sometimes less pruning. For OR-aware pruning see
     :func:`zone_dnf_from_where` (what :func:`decode_where` uses)."""
+    if "\\" in where:
+        # Spark's parser unescapes backslash sequences inside string
+        # literals ('a\tb' compares against a TAB) while this compiler
+        # reads the raw bytes, and the literal scanner's quote handling
+        # differs between escapedStringLiterals modes — a mis-read bound
+        # could exclude the block holding the real value. Prune nothing.
+        return []
     preds: list[tuple] = []
     for conj in _split_conjuncts(where):
         conj = _strip_outer_parens(conj)
@@ -1768,7 +1775,11 @@ def zone_dnf_from_where(where: str, manifest: dict) -> list[list[tuple]]:
     ``NOT col = v`` and ``NOT col IN (...)`` are unprunable). DNF
     distribution is capped at ``_MAX_DNF_BRANCHES`` branches — beyond
     that the expression is left entirely to the row filter. Returns []
-    when nothing is prunable."""
+    when nothing is prunable. Any backslash in the expression disables
+    pruning entirely (see :func:`zone_predicates_from_where`: Spark
+    unescapes literals, this compiler reads raw bytes)."""
+    if "\\" in where:
+        return []
     dnf = _compile_dnf(where, manifest)
     return dnf if dnf else []
 
@@ -1915,7 +1926,9 @@ def decode_where(
             c
             for c in manifest
             if c not in columns
-            and re.search(rf"\b{re.escape(c)}\b", where)
+            # IGNORECASE: Spark resolves columns case-insensitively, so
+            # "CONV_ID > 5" must pull conv_id into the decode projection
+            and re.search(rf"\b{re.escape(c)}\b", where, re.IGNORECASE)
         ]
         need = list(columns) + referenced
     if isinstance(blocks, str):

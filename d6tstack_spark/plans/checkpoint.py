@@ -91,22 +91,37 @@ def _pid_alive(pid: int) -> bool:
         return True  # exists, owned by someone else
 
 
+# A stale lease is never unlinked directly: two contenders can both judge
+# it dead, the first unlinks + re-creates, and the second then unlinks the
+# first's FRESH lock — two live "single writers". Breaking instead claims
+# an O_EXCL break marker (one winner), re-verifies the lease is STILL the
+# exact stale file it judged (content unchanged AND mtime still past TTL —
+# a live holder's heartbeat moves mtime; a release+reacquire changes
+# content), and only then unlinks. The marker itself ages out fast in case
+# a breaker dies mid-break.
+_BREAK_TTL_SEC = 10.0
+
+
 def _acquire_lease(state_dir: str) -> str:
     os.makedirs(state_dir, exist_ok=True)
     lp = _lease_path(state_dir)
+    bp = lp + ".break"
     me = {"pid": os.getpid(), "host": socket.gethostname(),
           "acquired": time.time()}
-    for _ in range(5):
+    payload = json.dumps(me)
+    deadline = time.time() + 30.0
+    while time.time() < deadline:
         try:
             fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
-                json.dump(me, f)
+                f.write(payload)
             return lp
         except FileExistsError:
             pass
         try:
             with open(lp) as f:
-                cur = json.load(f)
+                raw = f.read()
+            cur = json.loads(raw)
             age = time.time() - os.path.getmtime(lp)
         except (OSError, ValueError):
             time.sleep(0.05)  # holder vanished or mid-write — retry
@@ -116,44 +131,98 @@ def _acquire_lease(state_dir: str) -> str:
             and isinstance(cur.get("pid"), int)
             and not _pid_alive(cur["pid"])
         )
-        if dead or age > LEASE_TTL_SEC:
+        if not (dead or age > LEASE_TTL_SEC):
+            raise RuntimeError(
+                f"state dir {state_dir} is locked by an active writer "
+                f"(pid {cur.get('pid')} on {cur.get('host')}, heartbeat "
+                f"{age:.0f}s ago, TTL {LEASE_TTL_SEC:.0f}s). Concurrent "
+                "writers corrupt the blocks table; wait for it to finish, "
+                f"or delete {lp} if you are certain it is dead."
+            )
+        try:  # claim the exclusive right to break the stale lease
+            os.close(os.open(bp, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            try:  # another contender mid-break; age out a dead breaker
+                if time.time() - os.path.getmtime(bp) > _BREAK_TTL_SEC:
+                    os.unlink(bp)
+            except OSError:
+                pass
+            time.sleep(0.05)
+            continue
+        try:
+            with open(lp) as f:
+                raw2 = f.read()
+            still_stale = raw2 == raw and (
+                dead or time.time() - os.path.getmtime(lp) > LEASE_TTL_SEC
+            )
+            if still_stale:
+                os.unlink(lp)
+        except OSError:
+            pass  # lease vanished or was swapped — just retry
+        finally:
             try:
-                os.unlink(lp)  # break it; O_EXCL retry picks ONE winner
+                os.unlink(bp)
             except FileNotFoundError:
                 pass
-            continue
-        raise RuntimeError(
-            f"state dir {state_dir} is locked by an active writer "
-            f"(pid {cur.get('pid')} on {cur.get('host')}, heartbeat "
-            f"{age:.0f}s ago, TTL {LEASE_TTL_SEC:.0f}s). Concurrent "
-            "writers corrupt the blocks table; wait for it to finish, or "
-            f"delete {lp} if you are certain it is dead."
-        )
     raise RuntimeError(f"could not acquire writer lease in {state_dir}")
 
 
 class _LeaseHeartbeat:
     """Touch the lease file's mtime every ``interval`` seconds so a live
     writer's lease never looks stale, however long its Spark jobs block
-    the driver thread."""
+    the driver thread. Each touch re-reads the file and verifies it is
+    still OUR lease (a contender that raced the break protocol would have
+    swapped in its own): on a swap the thread stops touching, flags
+    ``lost``, and ``release()`` refuses to unlink the other writer's
+    lock. Callers holding the lease across long jobs can call ``check()``
+    at commit points to fail fast instead of publishing as a zombie."""
 
     def __init__(self, path: str, interval: float = 15.0):
         self._path = path
+        self.lost = False
+        try:
+            with open(path) as f:
+                self._expect = f.read()
+        except OSError:
+            self._expect = None
         self._stop = threading.Event()
         self._t = threading.Thread(
             target=self._run, args=(interval,), daemon=True
         )
         self._t.start()
 
+    def _owned(self) -> bool:
+        if self._expect is None:
+            return True  # unverifiable — keep legacy behavior
+        try:
+            with open(self._path) as f:
+                return f.read() == self._expect
+        except OSError:
+            return False  # gone: released, or broken out from under us
+
     def _run(self, interval: float) -> None:
         while not self._stop.wait(interval):
+            if not self._owned():
+                self.lost = True
+                return
             try:
                 os.utime(self._path)
             except OSError:
                 return  # lease gone (released or broken) — stop quietly
 
+    def check(self) -> None:
+        """Raise if the lease was lost (stolen by a racing contender)."""
+        if self.lost or not self._owned():
+            self.lost = True
+            raise RuntimeError(
+                f"writer lease {self._path} was lost (broken by another "
+                "contender) — aborting before publishing more state"
+            )
+
     def release(self) -> None:
         self._stop.set()
+        if self.lost or not self._owned():
+            return  # not ours anymore — never unlink another writer's lock
         try:
             os.unlink(self._path)
         except FileNotFoundError:
@@ -862,7 +931,7 @@ def encode_resume(
     try:
         return _encode_resume_locked(
             spark, paths, state_dir, order_cols, codec_overrides,
-            row_groups_per_split, checkpoint_every,
+            row_groups_per_split, checkpoint_every, hb=hb,
         )
     finally:
         hb.release()
@@ -881,7 +950,15 @@ def _sweep_snapshot_appends(spark: SparkSession, state_dir: str) -> int | None:
         os.path.basename(p)
         for p in _hadoop_list_files(spark, _blocks_dir(state_dir), ".parquet")
     }
-    added = listing - _snapshot_known_files(load_snapshots(state_dir))
+    known = _snapshot_known_files(load_snapshots(state_dir))
+    if known - listing:
+        # a known file disappeared: a rewrite (purge/cluster/compact)
+        # swapped files but crashed before its own snapshot record. An
+        # "append" here would make every later resolve_snapshot fail the
+        # existence check forever; a full-listing rewrite barrier is the
+        # truthful record and lets the log heal.
+        return _record_snapshot(state_dir, "rewrite", sorted(listing))
+    added = listing - known
     if not added:
         return None
     return _record_snapshot(state_dir, "append", sorted(added))
@@ -943,6 +1020,7 @@ def _encode_resume_locked(
     codec_overrides: dict | None,
     row_groups_per_split: int,
     checkpoint_every: int | None,
+    hb: _LeaseHeartbeat | None = None,
 ) -> dict:
     import pyarrow.parquet as pq
 
@@ -1050,6 +1128,8 @@ def _encode_resume_locked(
         # invariant the shuffle-free decode depends on.
         todo_list = todo_rows.collect()
         for i in range(0, len(todo_list), checkpoint_every):
+            if hb is not None:
+                hb.check()  # stop publishing the moment the lease is lost
             chunk = todo_list[i : i + checkpoint_every]
             cdf = spark.createDataFrame(
                 chunk, "file_idx int, path string, rg int, nrg int"

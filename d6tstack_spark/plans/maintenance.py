@@ -381,6 +381,7 @@ def purge_deletes(
         SUB_BLOCK_BITS,
         _hadoop_list_files,
         _norm_file_uri,
+        _strip_evolved_unprunable,
         _zone_keep_condition,
         decode_table,
         encode_table,
@@ -450,6 +451,13 @@ def purge_deletes(
             pd = zone_dnf_from_where(
                 " OR ".join(f"({d['where']})" for d in preds), manifest
             )
+            # schema evolution: pre-evolution blocks have no stats row
+            # for an evolved column, so the intersection scan below would
+            # silently exclude them — yet an IS NULL tombstone on that
+            # column MATCHES their (all-null) rows. Mirror the decode
+            # paths: drop is_null atoms on evolved columns; a branch left
+            # empty → full rewrite (None), never a missed file.
+            pd = _strip_evolved_unprunable(pd if pd else None, manifest)
             dnf = pd if pd else None
         if dnf is not None:
             for d in ksets:

@@ -734,3 +734,83 @@ def test_streaming_decode(spark, multi_parquet, tmp_path):
         q3.stop()
     cols = [c for c in spark.read.parquet(out2).columns if c != "epoch"]
     assert sorted(cols) == ["conv_id", "turn_idx"]
+
+
+def test_stale_lease_break_serializes_on_marker(tmp_path):
+    """Breaking a stale lease claims an O_EXCL .break marker first: a
+    contender that finds a FRESH marker (another breaker mid-flight) must
+    wait instead of unlinking — two contenders can no longer both break
+    and end up as two live 'single writers'."""
+    import json
+    import threading
+    import time as time_mod
+
+    from d6tstack_spark.plans import checkpoint as cp
+
+    state = str(tmp_path / "s")
+    os.makedirs(state)
+    lp = cp._lease_path(state)
+    with open(lp, "w") as f:
+        json.dump({"pid": 1, "host": "other-host"}, f)
+    old = time_mod.time() - cp.LEASE_TTL_SEC - 5
+    os.utime(lp, (old, old))
+    bp = lp + ".break"
+    open(bp, "w").close()  # fresh marker: a rival breaker holds the claim
+    t0 = time_mod.time()
+    t = threading.Thread(target=lambda: (time_mod.sleep(1.0), os.unlink(bp)))
+    t.start()
+    got = cp._acquire_lease(state)
+    t.join()
+    assert time_mod.time() - t0 >= 0.9  # waited for the marker holder
+    assert got == lp and os.path.exists(lp)
+    assert json.load(open(lp))["pid"] == os.getpid()
+    os.unlink(lp)
+
+
+def test_dead_breaker_marker_ages_out(tmp_path):
+    """A breaker that died mid-break leaves its marker behind; contenders
+    age it out after _BREAK_TTL_SEC instead of deadlocking."""
+    import json
+    import time as time_mod
+
+    from d6tstack_spark.plans import checkpoint as cp
+
+    state = str(tmp_path / "s")
+    os.makedirs(state)
+    lp = cp._lease_path(state)
+    with open(lp, "w") as f:
+        json.dump({"pid": 1, "host": "other-host"}, f)
+    old = time_mod.time() - cp.LEASE_TTL_SEC - 5
+    os.utime(lp, (old, old))
+    bp = lp + ".break"
+    open(bp, "w").close()
+    bold = time_mod.time() - cp._BREAK_TTL_SEC - 2
+    os.utime(bp, (bold, bold))
+    got = cp._acquire_lease(state)
+    assert got == lp and not os.path.exists(bp)
+    assert json.load(open(lp))["pid"] == os.getpid()
+    os.unlink(lp)
+
+
+def test_heartbeat_detects_stolen_lease(tmp_path):
+    """If a racing contender swaps the lock out from under a holder, the
+    heartbeat flags the loss, check() raises at the next commit point,
+    and release() refuses to unlink the thief's lock."""
+    import json
+
+    from d6tstack_spark.plans import checkpoint as cp
+
+    state = str(tmp_path / "s")
+    os.makedirs(state)
+    lp = cp._acquire_lease(state)
+    hb = cp._LeaseHeartbeat(lp, interval=3600)  # thread idle; check() drives
+    try:
+        hb.check()  # still ours — no error
+        with open(lp, "w") as f:  # the swap
+            json.dump({"pid": 99999, "host": "thief"}, f)
+        with pytest.raises(RuntimeError, match="lease .* was lost"):
+            hb.check()
+    finally:
+        hb.release()
+    assert os.path.exists(lp)  # never unlink another writer's lock
+    os.unlink(lp)

@@ -28,6 +28,22 @@ from d6tstack_spark.plans.checkpoint import (
 from d6tstack_spark.plans.maintenance import purge_deletes
 
 
+_DD_CON = None
+
+
+def _dd_con():
+    """Test-module-private DuckDB connection: NOT the process-global
+    default (one fatal error there poisons every later test in the
+    shared-process suite), and held in a module global so relations
+    created from it are not invalidated by GC closing the connection."""
+    global _DD_CON
+    if _DD_CON is None:
+        import duckdb
+
+        _DD_CON = duckdb.connect()
+    return _DD_CON
+
+
 def _mk_files(tmp_path, prefixes=("a", "b", "c"), n=1200):
     """One sorted parquet file per conv-id prefix → disjoint zone ranges,
     so a prefix-targeted delete affects exactly one file's blocks."""
@@ -300,8 +316,6 @@ def zstate(spark, tmp_path_factory):
 )
 @given(where=_predicate())
 def test_delete_lifecycle_matches_duckdb_delete(spark, zstate, where):
-    import duckdb
-
     src, template = zstate
     root = tempfile.mkdtemp()
     sd = os.path.join(root, "state")
@@ -310,7 +324,7 @@ def test_delete_lifecycle_matches_duckdb_delete(spark, zstate, where):
         delete_where(spark, sd, where, count_matches=False)
         want = sorted(
             r[0]
-            for r in duckdb.sql(
+            for r in _dd_con().sql(
                 f"SELECT k FROM read_parquet('{src}') "
                 f"WHERE NOT coalesce(({where}), false)"
             ).fetchall()
@@ -483,7 +497,7 @@ def test_delete_keys_lifecycle_matches_duckdb(spark, zstate, ks):
         inlist = ", ".join(str(k) for k in ks)
         want = sorted(
             r[0]
-            for r in duckdb.sql(
+            for r in _dd_con().sql(
                 f"SELECT k FROM read_parquet('{src}') "
                 f"WHERE k NOT IN ({inlist})"
             ).fetchall()

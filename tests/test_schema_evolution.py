@@ -229,3 +229,24 @@ def test_resume_skips_complete_splits_across_evolution(spark, tmp_path):
     # idempotent second call
     s2 = encode_resume(spark, [p1, p2], state, checkpoint_every=0)
     assert s2["already_complete"]
+
+
+def test_purge_is_null_on_evolved_column_stays_deleted(spark, evolved_state):
+    """Regression: purge's zone targeting must mirror decode's
+    _strip_evolved_unprunable. Pre-evolution blocks have no stats row for
+    ``score``, so a naive stats-intersection excludes them from the
+    rewrite — yet ``score IS NULL`` matches ALL their rows. Clearing the
+    tombstone after such a partial purge would resurrect them."""
+    state, p1, p2 = evolved_state
+    exp = _expected(spark, p1, p2).filter("score IS NOT NULL")
+    n_exp = exp.count()
+    assert n_exp > 0
+    delete_where(spark, state, "score IS NULL")
+    assert _key(decode_state(spark, state)) == _key(exp)
+    rep = purge_deletes(spark, state)
+    # every pre-evolution file holds matching (all-null score) rows — the
+    # conservative plan must rewrite ALL files, not just post-evolution ones
+    assert rep["files_rewritten"] == rep["files_scanned"]
+    got = decode_state(spark, state)  # tombstone now cleared: physical truth
+    assert got.count() == n_exp
+    assert _key(got) == _key(exp)

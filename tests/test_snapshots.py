@@ -243,3 +243,31 @@ def test_every_snapshot_is_its_prefix(spark, tmp_path):
         assert _key(decode_state_diff(spark, sd, since=k, until=k + 1)) == (
             keys[k]
         )
+
+
+def test_sweep_records_rewrite_when_known_files_vanish(spark, two_appends):
+    """Crash window: a rewrite's file swap completed (journal already
+    gone) but its snapshot record was never written. The sweep must see
+    the disappeared known files and record a REWRITE barrier — an
+    'append' of the replacement files would leave vanished files in the
+    known set and fail every later resolve_snapshot existence check."""
+    import json as _json
+
+    from d6tstack_spark.plans.checkpoint import _files_path
+
+    sd, *_ = two_appends
+    delete_where(spark, sd, "conv_id like 'b00%'", count_matches=False)
+    purge_deletes(spark, sd)
+    full = _key(decode_state(spark, sd))
+    sp = os.path.join(sd, "snapshots.jsonl")
+    lines = open(sp).read().splitlines(keepends=True)
+    assert _json.loads(lines[-1])["op"] == "rewrite"
+    with open(sp, "w") as f:  # crash before the rewrite's own record
+        f.writelines(lines[:-1])
+    paths = list(_json.load(open(_files_path(sd))).keys())
+    s = encode_resume(spark, paths, sd, checkpoint_every=0)
+    assert s["already_complete"]
+    recs = load_snapshots(sd)
+    assert recs[-1]["op"] == "rewrite"
+    assert resolve_snapshot(sd, recs[-1]["id"])  # existence check passes
+    assert _key(decode_state(spark, sd, snapshot=recs[-1]["id"])) == full

@@ -21,6 +21,22 @@ from d6tstack_spark.operators.encode import (
 from d6tstack_spark.operators.sinks import write_blocks
 
 
+_DD_CON = None
+
+
+def _dd_con():
+    """Test-module-private DuckDB connection: NOT the process-global
+    default (one fatal error there poisons every later test in the
+    shared-process suite), and held in a module global so relations
+    created from it are not invalidated by GC closing the connection."""
+    global _DD_CON
+    if _DD_CON is None:
+        import duckdb
+
+        _DD_CON = duckdb.connect()
+    return _DD_CON
+
+
 @pytest.fixture(scope="module")
 def multi_block(spark, tmp_path_factory):
     """A sorted 20k-row table written with 1k-row row groups → ~10 blocks,
@@ -643,8 +659,6 @@ def _predicate() -> hst.SearchStrategy[str]:
 )
 @given(where=_predicate())
 def test_decode_where_matches_duckdb_any_predicate(spark, multi_block, where):
-    import duckdb
-
     from d6tstack_spark.operators.encode import decode_where
 
     src, bdir, man = multi_block
@@ -653,8 +667,66 @@ def test_decode_where_matches_duckdb_any_predicate(spark, multi_block, where):
     )
     want = sorted(
         r[0]
-        for r in duckdb.sql(
+        for r in _dd_con().sql(
             f"SELECT k FROM read_parquet('{src}') WHERE {where}"
         ).fetchall()
     )
     assert got == want, f"row-set mismatch for WHERE {where}"
+
+
+def test_backslash_literal_disables_pruning():
+    """Spark's parser unescapes backslash sequences inside string literals
+    ('a\\tb' compares against a TAB) while the zone compiler reads raw
+    bytes — a mis-read bound could exclude the block holding the real
+    value. Any backslash in the expression must disable pruning."""
+    from d6tstack_spark.operators.encode import (
+        zone_dnf_from_where,
+        zone_predicates_from_where,
+    )
+
+    man = {"grp": {"ptype": "str", "logical": None},
+           "k": {"ptype": "i64", "logical": None}}
+    assert zone_dnf_from_where(r"grp = 'a\tb'", man) == []
+    assert zone_predicates_from_where(r"grp = 'a\tb'", man) == []
+    # an escaped quote could even mis-split adjacent conjuncts
+    assert zone_dnf_from_where(r"grp = 'a\' AND k > 5' OR k < 0", man) == []
+    # no backslash → pruning still works
+    assert zone_dnf_from_where("k > 5", man) == [[("k", 5, None)]]
+
+
+def test_decode_where_backslash_escape_end_to_end(spark, tmp_path):
+    """Rows whose text contains a real TAB must survive decode_where with
+    a '\\t' escape literal (Spark unescapes it; zone pruning must not
+    exclude the block)."""
+    from d6tstack_spark.operators.encode import decode_where, encode_parquet_files
+    from d6tstack_spark.operators.sinks import write_blocks
+
+    tbl = pa.table(
+        {
+            "k": pa.array(np.arange(100, dtype=np.int64)),
+            "msg": pa.array(
+                ["a\tb" if i == 37 else f"m{i:03d}" for i in range(100)]
+            ),
+        }
+    )
+    src = str(tmp_path / "bs.parquet")
+    pq.write_table(tbl, src, row_group_size=25)
+    blocks, man = encode_parquet_files(
+        spark, src, order_cols=("k",), row_groups_per_split=1
+    )
+    bdir = str(tmp_path / "bs_blocks")
+    write_blocks(blocks, bdir)
+    got = decode_where(spark, bdir, man, r"msg = 'a\tb'").collect()
+    assert [r.k for r in got] == [37]
+
+
+def test_decode_where_case_insensitive_referenced_column(spark, multi_block):
+    """Spark resolves columns case-insensitively; the projection scan that
+    pulls predicate columns into the decode must match 'K > 19990' to the
+    manifest's lowercase k."""
+    from d6tstack_spark.operators.encode import decode_where
+
+    src, bdir, man = multi_block
+    got = decode_where(spark, bdir, man, "K > 19990", columns=["grp"])
+    assert got.columns == ["grp"]
+    assert got.count() == 9
