@@ -450,3 +450,57 @@ def pq_search(
         .orderBy(F.col("d2").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def save_ann_index(
+    df_or_none: DataFrame | None,
+    path: str,
+    kind: str,
+    arrays: list,
+    params: dict | None = None,
+) -> None:
+    """Persist a trained ANN index so the serving path never retrains:
+    ``index.json`` holds the tiny driver-side model (PQ codebooks /
+    IVF centroids / LSH hyperplanes — a few thousand floats; JSON floats
+    round-trip exactly in Python) and ``data/`` holds the distributed
+    part (PQ codes table, IVF list assignments) as parquet. The layout is
+    self-describing: ``kind`` selects the interpretation at load.
+
+    Reference analog: d6tstack persists sniffed per-file schema decisions
+    so re-runs skip the sniff (combine_csv.py col_preview + the convert
+    skip-if-exists loop); here the 'sniffed' artifact is the trained
+    index."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    doc = {"kind": kind, "arrays": arrays, "params": params or {}}
+    tmp = _os.path.join(path, "index.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(doc, f)
+    _os.replace(tmp, _os.path.join(path, "index.json"))
+    if df_or_none is not None:
+        df_or_none.write.mode("overwrite").parquet(
+            _os.path.join(path, "data")
+        )
+
+
+def load_ann_index(spark, path: str) -> dict:
+    """Load a :func:`save_ann_index` dir → ``{"kind", "arrays",
+    "params", "data": DataFrame | None}``. The data side is a plain
+    parquet scan — filters on it (IVF ``list_id``, PQ code projection)
+    push down like any other read."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "index.json")) as f:
+        doc = _json.load(f)
+    data = None
+    if _os.path.isdir(_os.path.join(path, "data")):
+        data = spark.read.parquet(_os.path.join(path, "data"))
+    return {
+        "kind": doc["kind"],
+        "arrays": doc["arrays"],
+        "params": doc.get("params", {}),
+        "data": data,
+    }

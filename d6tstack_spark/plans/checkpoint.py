@@ -272,19 +272,110 @@ def load_snapshots(state_dir: str) -> list[dict]:
     return out
 
 
-def _record_snapshot(state_dir: str, op: str, files: list[str]) -> int:
+def _record_snapshot(
+    state_dir: str,
+    op: str,
+    files: list[str],
+    tombstones: list | None = None,
+) -> int:
     """Append one snapshot record (caller holds the writer lease).
     Returns the new snapshot id. ``files`` are BASENAMES relative to the
-    blocks dir."""
+    blocks dir. ``tombstones`` scopes deletes to snapshots: a ``delete``
+    record carries the tombstone definitions it ADDED (predicate text, or
+    key-set column list + relative path); a ``rewrite`` record carries the
+    tombstone IDS it physically applied and cleared — a tombstone is
+    visible at snapshot N iff its delete record is ≤ N and no rewrite ≤ N
+    lists its id."""
     recs = load_snapshots(state_dir)
     sid = (recs[-1]["id"] + 1) if recs else 1
-    rec = {"id": sid, "op": op, "files": sorted(files)}
+    rec: dict = {"id": sid, "op": op, "files": sorted(files)}
+    if tombstones is not None:
+        rec["tombstones"] = tombstones
     sp = _snapshots_path(state_dir)
     with open(sp, "a") as f:
         f.write(json.dumps(rec) + "\n")
         f.flush()
         os.fsync(f.fileno())
     return sid
+
+
+def _visible_tombstones(recs: list[dict], snapshot: int) -> list[dict]:
+    """Tombstone definitions visible at ``snapshot``: added by a delete
+    record ≤ snapshot and not yet cleared by a rewrite ≤ snapshot."""
+    cleared: set = set()
+    for r in recs:
+        if r["id"] <= snapshot and r["op"] == "rewrite":
+            cleared |= set(r.get("tombstones", []))
+    vis: list[dict] = []
+    for r in recs:
+        if r["id"] <= snapshot and r["op"] == "delete":
+            vis += [
+                t for t in r.get("tombstones", []) if t["id"] not in cleared
+            ]
+    return vis
+
+
+def _retired_blocks_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "retired", "blocks")
+
+
+def _retired_keys_dir(state_dir: str, tomb_id: int) -> str:
+    return os.path.join(state_dir, "retired", "keys", str(tomb_id))
+
+
+def _expire_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "expire.json")
+
+
+def _expired_before(state_dir: str) -> int:
+    try:
+        with open(_expire_path(state_dir)) as f:
+            return int(json.load(f)["expired_before"])
+    except (OSError, ValueError, KeyError):
+        return 0
+
+
+def _resolve_block_paths(state_dir: str, basenames: list[str]) -> list[str]:
+    """Absolute paths for snapshot-resolved block files: live blocks dir
+    first, then the retired dir (files a rewrite replaced are MOVED there,
+    not deleted, so time travel reaches across rewrites until
+    :func:`~d6tstack_spark.plans.maintenance.expire_snapshots` reclaims
+    them)."""
+    bd = _blocks_dir(state_dir)
+    rd = _retired_blocks_dir(state_dir)
+    out: list[str] = []
+    missing: list[str] = []
+    for b in basenames:
+        live = os.path.join(bd, b)
+        retired = os.path.join(rd, b)
+        if os.path.exists(live):
+            out.append(live)
+        elif os.path.exists(retired):
+            out.append(retired)
+        else:
+            missing.append(b)
+    if missing:
+        raise ValueError(
+            f"snapshot resolves to {len(missing)} file(s) present neither "
+            f"live nor retired (first: {missing[0]}) — expired by "
+            "expire_snapshots, or the snapshot log raced a rewrite"
+        )
+    return out
+
+
+def _resolve_keys_path(state_dir: str, t: dict) -> str:
+    """Key-set parquet dir for a keys tombstone: live location while it
+    pends, retired location after a purge cleared it."""
+    live = os.path.join(state_dir, t["path"])
+    if os.path.isdir(live):
+        return live
+    retired = _retired_keys_dir(state_dir, t["id"])
+    if os.path.isdir(retired):
+        return retired
+    raise ValueError(
+        f"key set for tombstone {t['id']} not found (live {t['path']!r} "
+        "or retired) — expired by expire_snapshots?"
+    )
 
 
 def _snapshot_known_files(recs: list[dict]) -> set[str]:
@@ -298,10 +389,12 @@ def _snapshot_known_files(recs: list[dict]) -> set[str]:
 
 
 def resolve_snapshot(state_dir: str, snapshot: int) -> list[str]:
-    """Blocks-file BASENAMES visible at ``snapshot``. Time travel reaches
-    back to the most recent physical rewrite (purge/cluster/compaction
-    physically REMOVE files, Iceberg-expire style, so earlier snapshots
-    are gone): a rewrite record with id > snapshot is refused."""
+    """Blocks-file BASENAMES visible at ``snapshot``. Physical rewrites
+    (purge/cluster/compaction) RETIRE the files they replace instead of
+    deleting them, so time travel reaches across rewrites — an old
+    snapshot stays readable until
+    :func:`~d6tstack_spark.plans.maintenance.expire_snapshots` reclaims
+    its retired files (the Iceberg snapshot-retention model)."""
     recs = load_snapshots(state_dir)
     if not recs:
         raise ValueError(
@@ -313,15 +406,11 @@ def resolve_snapshot(state_dir: str, snapshot: int) -> list[str]:
         raise ValueError(
             f"unknown snapshot {snapshot}; log has ids {ids[0]}..{ids[-1]}"
         )
-    later_rewrites = [
-        r["id"] for r in recs if r["op"] == "rewrite" and r["id"] > snapshot
-    ]
-    if later_rewrites:
+    exp = _expired_before(state_dir)
+    if snapshot < exp:
         raise ValueError(
-            f"snapshot {snapshot} predates the physical rewrite committed "
-            f"as snapshot {later_rewrites[0]} (purge/cluster/compaction "
-            "remove the old files); only snapshots at or after the last "
-            "rewrite are readable"
+            f"snapshot {snapshot} was expired (expire_snapshots reclaimed "
+            f"everything before snapshot {exp}); earliest readable is {exp}"
         )
     files: set[str] = set()
     for r in recs:
@@ -381,16 +470,27 @@ def decode_state_diff(
     until: int | None = None,
     columns: list[str] | None = None,
     where: str | None = None,
+    changelog: bool = False,
 ) -> DataFrame:
-    """Decode ONLY the rows appended after snapshot ``since`` (up to
-    ``until``, default latest) — incremental consumption over an encoded
-    state dir (the Iceberg incremental-scan idea; the reference's
-    skip-if-exists convert loop is the same contract at file granularity,
-    convert_xls.py:238-245). Rides the shuffle-free bulk path on exactly
-    the added files; ``since=0`` reads everything from the log's start.
-    Pending tombstones are refused (same reasoning as snapshot reads);
-    windows containing a physical rewrite are refused with instructions
-    to re-read full."""
+    """Incremental consumption over an encoded state dir (the Iceberg
+    incremental/changelog-scan idea; the reference's skip-if-exists
+    convert loop is the same contract at file granularity,
+    convert_xls.py:238-245).
+
+    Default (``changelog=False``): decode ONLY the rows appended after
+    snapshot ``since`` (up to ``until``, default latest) — rides the
+    shuffle-free bulk path on exactly the added files; ``since=0`` reads
+    everything from the log's start. Pending tombstones are refused and
+    windows containing a physical rewrite are refused (a rewrite mutates
+    existing rows, which a file-add diff cannot represent).
+
+    ``changelog=True`` crosses rewrites: returns the NET row changes
+    between the two snapshots with a ``_change`` column (``insert`` /
+    ``delete``), the Iceberg changelog scan. Cost scales with CHURN, not
+    table size: only the files that differ between the snapshots — plus
+    the zone-qualifying files of any tombstone whose visibility changed
+    in the window — are decoded, and rows a rewrite merely moved cancel
+    in the multiset difference (``exceptAll``)."""
     from d6tstack_spark.operators.encode import (
         _phys_struct,
         _restore_logical,
@@ -403,13 +503,18 @@ def decode_state_diff(
             f"state dir {state_dir} has an in-flight purge commit journal; "
             "run plans.maintenance.purge_deletes() first"
         )
+    manifest = load_manifest(state_dir)
+    if changelog:
+        return _changelog_diff(
+            spark, state_dir, manifest, since, until, columns, where
+        )
     if load_deletes(state_dir):
         raise ValueError(
             f"state dir {state_dir} has pending delete tombstones; "
             "incremental reads are defined on purged state only — run "
-            "plans.maintenance.purge_deletes() first"
+            "plans.maintenance.purge_deletes() first, or use "
+            "changelog=True (snapshot-scoped)"
         )
-    manifest = load_manifest(state_dir)
     added = resolve_snapshot_diff(state_dir, since, until)
     if not added:
         empty = _restore_logical(
@@ -423,7 +528,8 @@ def decode_state_diff(
                 raise ValueError(f"columns not in manifest: {missing}")
             empty = empty.select(*columns)
         return empty
-    paths = [os.path.join(_blocks_dir(state_dir), b) for b in added]
+    # appended files may have been RETIRED by a rewrite after the window
+    paths = _resolve_block_paths(state_dir, added)
     if where is not None:
         return decode_where(
             spark, _blocks_dir(state_dir), manifest, where,
@@ -433,6 +539,170 @@ def decode_state_diff(
         spark, _blocks_dir(state_dir), manifest, columns=columns,
         paths=paths,
     )
+
+
+def _tombstone_affected_basenames(
+    spark: SparkSession,
+    state_dir: str,
+    manifest: dict,
+    tombs: list[dict],
+    basenames: list[str],
+) -> list[str]:
+    """Zone targeting for the changelog scan: the subset of ``basenames``
+    whose stats say some row COULD match one of ``tombs`` (predicate zone
+    DNF + key-set envelopes, exactly the purge planner's rules incl. the
+    evolved-column strip); unprunable → all of them (conservative)."""
+    from d6tstack_spark.operators.encode import (
+        _norm_file_uri,
+        _strip_evolved_unprunable,
+        _zone_keep_condition,
+        zone_dnf_from_where,
+    )
+
+    if not tombs or not basenames:
+        return []
+    preds = [t for t in tombs if t.get("kind") != "keys"]
+    ksets = [t for t in tombs if t.get("kind") == "keys"]
+    dnf: list | None = []
+    if preds:
+        pd = zone_dnf_from_where(
+            " OR ".join(f"({t['where']})" for t in preds), manifest
+        )
+        pd = _strip_evolved_unprunable(pd if pd else None, manifest)
+        dnf = pd if pd else None
+    if dnf is not None:
+        for t in ksets:
+            env = key_envelope_filter(
+                spark, _resolve_keys_path(state_dir, t), tuple(t["cols"])
+            )
+            if env is None:
+                dnf = None
+                break
+            dnf += env
+    paths = _resolve_block_paths(state_dir, basenames)
+    if not dnf:
+        return list(basenames)
+    stats = spark.read.parquet(*paths)
+    if "vmin_num" not in stats.columns:
+        return list(basenames)
+    qual_df = None
+    for branch in dnf:
+        branch_df = None
+        for bf in branch:
+            col, keep = _zone_keep_condition(manifest, bf)
+            s = (
+                stats.filter(F.col("column") == col)
+                .filter(keep)
+                .select(F.input_file_name().alias("f"), "block_id")
+                .distinct()
+            )
+            branch_df = (
+                s
+                if branch_df is None
+                else branch_df.join(s, ["f", "block_id"], "inner")
+            )
+        qual_df = (
+            branch_df if qual_df is None else qual_df.unionByName(branch_df)
+        )
+    qual = {
+        os.path.basename(_norm_file_uri(r[0]))
+        for r in qual_df.select("f").distinct().collect()
+    }
+    return [b for b in basenames if b in qual]
+
+
+def _changelog_diff(
+    spark: SparkSession,
+    state_dir: str,
+    manifest: dict,
+    since: int,
+    until: int | None,
+    columns: list[str] | None,
+    where: str | None,
+) -> DataFrame:
+    from d6tstack_spark.operators.encode import (
+        _phys_struct,
+        _restore_logical,
+        decode_parquet_blocks,
+    )
+
+    recs = load_snapshots(state_dir)
+    if not recs:
+        raise ValueError(f"state dir {state_dir} has no snapshot log")
+    ids = [r["id"] for r in recs]
+    if until is None:
+        until = ids[-1]
+    if until < since:
+        raise ValueError(f"until={until} precedes since={since}")
+    # legacy guard: pending tombstones with no delete record cannot be
+    # snapshot-scoped (see decode_state)
+    recorded_ids = {
+        t["id"]
+        for r in recs
+        if r["op"] == "delete"
+        for t in r.get("tombstones", [])
+    }
+    unscoped = [
+        d for d in load_deletes(state_dir) if d["id"] not in recorded_ids
+    ]
+    if unscoped:
+        raise ValueError(
+            f"state dir {state_dir} has pending tombstone(s) "
+            f"{[d['id'] for d in unscoped]} with no snapshot record; run "
+            "plans.maintenance.purge_deletes() first"
+        )
+    f_since = set(resolve_snapshot(state_dir, since)) if since > 0 else set()
+    f_until = set(resolve_snapshot(state_dir, until))
+    vis_s = _visible_tombstones(recs, since) if since > 0 else []
+    vis_u = _visible_tombstones(recs, until)
+    sk = {t["id"] for t in vis_s}
+    uk = {t["id"] for t in vis_u}
+    changed_tombs = [t for t in vis_s + vis_u if (t["id"] in sk) ^ (t["id"] in uk)]
+    common = sorted(f_since & f_until)
+    extra = _tombstone_affected_basenames(
+        spark, state_dir, manifest, changed_tombs, common
+    )
+
+    def _side(basenames: set, vis: list[dict]) -> DataFrame:
+        files = sorted(basenames)
+        if not files:
+            return _restore_logical(
+                spark.createDataFrame([], _phys_struct(manifest)), manifest
+            )
+        dec = decode_parquet_blocks(
+            spark, _blocks_dir(state_dir), manifest,
+            paths=_resolve_block_paths(state_dir, files),
+        )
+        keep = _tombstone_keep_expr(
+            [t for t in vis if t.get("kind") != "keys"]
+        )
+        if keep:
+            dec = dec.filter(F.expr(keep))
+        for t in vis:
+            if t.get("kind") == "keys":
+                dec = dec.join(
+                    spark.read.parquet(_resolve_keys_path(state_dir, t)),
+                    on=list(t["cols"]),
+                    how="left_anti",
+                )
+        return dec
+
+    left = _side((f_since - f_until) | set(extra), vis_s)
+    right = _side((f_until - f_since) | set(extra), vis_u)
+    out = (
+        right.exceptAll(left).withColumn("_change", F.lit("insert"))
+        .unionByName(
+            left.exceptAll(right).withColumn("_change", F.lit("delete"))
+        )
+    )
+    if where is not None:
+        out = out.filter(F.expr(where))
+    if columns is not None:
+        missing = [c for c in columns if c not in manifest]
+        if missing:
+            raise ValueError(f"columns not in manifest: {missing}")
+        out = out.select(*columns, "_change")
+    return out
 
 
 def load_deletes(state_dir: str) -> list[dict]:
@@ -469,11 +739,20 @@ def _clear_tombstones(state_dir: str, ids: list[int]) -> None:
     for d in load_deletes(state_dir):
         (dropped if d["id"] in done else keep).append(d)
     _write_deletes(state_dir, keep)
-    for d in dropped:  # a keys tombstone owns a key-set parquet dir
+    for d in dropped:  # a keys tombstone owns a key-set parquet dir —
+        # RETIRE it (snapshot reads older than the purge still anti-join
+        # against it); expire_snapshots reclaims retired key sets
         if d.get("kind") == "keys":
-            shutil.rmtree(
-                os.path.join(state_dir, d["path"]), ignore_errors=True
-            )
+            src = os.path.join(state_dir, d["path"])
+            dst = _retired_keys_dir(state_dir, d["id"])
+            if os.path.isdir(src) and not os.path.isdir(dst):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.rename(src, dst)
+                    continue
+                except OSError:
+                    pass
+            shutil.rmtree(src, ignore_errors=True)
 
 
 def _tombstone_keep_expr(deletes: list[dict]) -> str | None:
@@ -514,10 +793,15 @@ def _replay_purge_journal(spark: SparkSession, state_dir: str) -> bool:
         src, dst = _p(tmp + "/" + b), _p(bd + "/" + b)
         if fs.exists(src) and not fs.exists(dst):
             fs.rename(src, dst)
+    rd = _retired_blocks_dir(state_dir)
+    fs.mkdirs(_p(rd))
     for b in j.get("remove", []):
         dst = _p(bd + "/" + b)
         if fs.exists(dst):
-            fs.delete(dst, False)
+            # retire, not delete (snapshot retention); fall back to
+            # delete when a prior crashed replay already moved this name
+            if not fs.rename(dst, _p(rd + "/" + b)):
+                fs.delete(dst, False)
     if fs.exists(_p(tmp)):
         fs.delete(_p(tmp), True)
     os.unlink(jp)
@@ -534,6 +818,7 @@ def _replay_purge_journal(spark: SparkSession, state_dir: str) -> bool:
                 os.path.basename(p)
                 for p in _hadoop_list_files(spark, bd, ".parquet")
             ],
+            tombstones=list(j.get("tombstones", [])),
         )
     return True
 
@@ -614,6 +899,13 @@ def delete_where(
         items.append({"id": nxt, "where": where, "ts": time.time()})
         _write_deletes(state_dir, items)
         report["tombstone_id"] = nxt
+        if load_snapshots(state_dir):
+            # scope the delete to snapshots: time travel applies exactly
+            # the tombstones visible at the target snapshot
+            report["snapshot"] = _record_snapshot(
+                state_dir, "delete", [],
+                tombstones=[{"id": nxt, "where": where}],
+            )
         return report
     finally:
         hb.release()
@@ -711,6 +1003,16 @@ def delete_keys(
         )
         _write_deletes(state_dir, items)
         report["tombstone_id"] = nxt
+        if load_snapshots(state_dir):
+            report["snapshot"] = _record_snapshot(
+                state_dir, "delete", [],
+                tombstones=[{
+                    "id": nxt,
+                    "kind": "keys",
+                    "cols": list(key_cols),
+                    "path": rel,
+                }],
+            )
         return report
     finally:
         hb.release()
@@ -1261,31 +1563,49 @@ def decode_state(
         # time travel: the snapshot log pins the visible file set (the
         # per-file complete-block invariant makes a file list a fully
         # consistent table version — same bulk decode path, no listing).
-        # Pending tombstones apply table-level TODAY, which has no
-        # well-defined meaning against a historical file set — refuse.
-        if deletes:
+        # Files a later rewrite replaced are resolved from retired/;
+        # tombstones are SNAPSHOT-SCOPED: exactly the deletes whose
+        # delete record is ≤ N and not yet applied by a rewrite ≤ N.
+        recs = load_snapshots(state_dir)
+        vis = _visible_tombstones(recs, snapshot)
+        recorded_ids = {
+            t["id"]
+            for r in recs
+            if r["op"] == "delete"
+            for t in r.get("tombstones", [])
+        }
+        unscoped = [d for d in deletes if d["id"] not in recorded_ids]
+        if unscoped:
+            # tombstones recorded before delete records existed (legacy
+            # dirs, or a crash between deletes.json and the log): their
+            # creation time is unknown — refuse rather than guess
             raise ValueError(
-                f"state dir {state_dir} has pending delete tombstones; "
-                "snapshot reads are defined on purged state only — run "
+                f"state dir {state_dir} has pending tombstone(s) "
+                f"{[d['id'] for d in unscoped]} with no snapshot record "
+                "(created before snapshot-scoped deletes); run "
                 "plans.maintenance.purge_deletes() first or decode live"
             )
-        base = resolve_snapshot(state_dir, snapshot)
-        bd = _blocks_dir(state_dir)
-        live = {
-            os.path.basename(p)
-            for p in _hadoop_list_files(spark, bd, ".parquet")
-        }
-        gone = [b for b in base if b not in live]
-        if gone:
-            raise ValueError(
-                f"snapshot {snapshot} resolves to {len(gone)} file(s) no "
-                f"longer present (first: {gone[0]}) — a physical rewrite "
-                "raced the snapshot log; only snapshots at or after the "
-                "last rewrite are readable"
+        keep = _tombstone_keep_expr(
+            [t for t in vis if t.get("kind") != "keys"]
+        )
+        ksets = [dict(t) for t in vis if t.get("kind") == "keys"]
+        for t in ksets:  # purged key sets live on under retired/
+            t["path"] = os.path.relpath(
+                _resolve_keys_path(state_dir, t), state_dir
             )
-        spaths = [os.path.join(bd, b) for b in base]
+        base = resolve_snapshot(state_dir, snapshot)
+        spaths = _resolve_block_paths(state_dir, base)
+        if not spaths:  # a valid snapshot of an empty table
+            m = manifest
+            if columns is not None:
+                m = {k: v for k, v in manifest.items() if k in columns}
+            return _restore_logical(
+                spark.createDataFrame([], _phys_struct(m)), m
+            )
 
-    if not _hadoop_list_files(spark, _blocks_dir(state_dir), ".parquet"):
+    if spaths is None and not _hadoop_list_files(
+        spark, _blocks_dir(state_dir), ".parquet"
+    ):
         # a state dir whose blocks were all deleted+purged is a valid,
         # EMPTY table — not a wrong path (the manifest check above is the
         # wrong-path guard); return the empty logical frame

@@ -109,6 +109,19 @@ def compact_blocks(
             if not fs.exists(_hpath(live)):
                 fs.rename(_hpath(aside), _hpath(live))
             else:
+                if state_like:
+                    # crashed after swap, before retiring: finish the
+                    # retention move so old snapshots stay readable
+                    from d6tstack_spark.plans.checkpoint import (
+                        _retired_blocks_dir,
+                    )
+
+                    rd = _retired_blocks_dir(parent)
+                    fs.mkdirs(_hpath(rd))
+                    for p in _hadoop_list_files(spark, aside, ".parquet"):
+                        b = os.path.basename(p)
+                        if not fs.rename(_hpath(p), _hpath(rd + "/" + b)):
+                            fs.delete(_hpath(p), False)
                 fs.delete(_hpath(aside), True)
         if fs.exists(_hpath(tmp)):  # stale sibling from a crashed run
             # a crash between the sidecar move and the swap left the only
@@ -160,6 +173,17 @@ def compact_blocks(
         # is the only copy
         fs.rename(_hpath(live), _hpath(aside))
         fs.rename(_hpath(tmp), _hpath(live))
+        if state_like:
+            # snapshot retention: the replaced files move to retired/
+            # (older snapshots still resolve them) instead of vanishing
+            from d6tstack_spark.plans.checkpoint import _retired_blocks_dir
+
+            rd = _retired_blocks_dir(parent)
+            fs.mkdirs(_hpath(rd))
+            for p in _hadoop_list_files(spark, aside, ".parquet"):
+                b = os.path.basename(p)
+                if not fs.rename(_hpath(p), _hpath(rd + "/" + b)):
+                    fs.delete(_hpath(p), False)
         fs.delete(_hpath(aside), True)
         if state_like:
             # snapshot barrier: every file was replaced (same contract as
@@ -194,12 +218,64 @@ def compact_blocks(
     return report
 
 
+def _zorder_value(decoded, cluster_by: tuple[str, ...]):
+    """Z-order (Morton) key: bit-interleave of per-key bucket ranks, so
+    EVERY cluster key gets locality instead of only the first
+    lexicographic one. Scale-safe construction: per-key [lo, hi] comes
+    from one approxQuantile pass (clipped at p0.5/p99.5 so outliers do
+    not crush the bucket resolution), the bucket is a single
+    ``width_bucket`` expression per row (whole-stage codegen, no window,
+    no shuffle), and the interleave is a constant-folded sum of shifted
+    bits. Strings map to an order-preserving numeric proxy (first 7
+    bytes, big-endian) — exact order within the prefix, which is what
+    zone pruning keys on anyway. Nulls sort to bucket 0 (z-cell edge,
+    like NULLS FIRST)."""
+    nbits = max(4, min(16, 32 // max(1, len(cluster_by))))
+    nbuckets = 1 << nbits
+    proxies = []
+    dtypes = dict(decoded.dtypes)
+    for c in cluster_by:
+        dt = dtypes[c]
+        if dt in ("string", "binary"):
+            enc = f"encode({c}, 'utf-8')" if dt == "string" else c
+            proxies.append(F.expr(
+                f"cast(conv(substring(rpad(hex(substring({enc}, 1, 7)), "
+                f"14, '0'), 1, 14), 16, 10) as double)"
+            ))
+        elif dt.startswith("timestamp") or dt == "date":
+            proxies.append(F.col(c).cast("timestamp").cast("double"))
+        else:
+            proxies.append(F.col(c).cast("double"))
+    stats = decoded.select(
+        *[p.alias(f"__p{i}") for i, p in enumerate(proxies)]
+    )
+    cuts = stats.stat.approxQuantile(
+        [f"__p{i}" for i in range(len(proxies))], [0.005, 0.995], 0.001
+    )
+    zv = F.lit(0).cast("long")
+    for k, (p, (lo, hi)) in enumerate(zip(proxies, cuts)):
+        if lo is None or hi is None or not (hi > lo):
+            continue  # constant or all-null key: contributes nothing
+        clamped = F.greatest(F.least(p, F.lit(hi)), F.lit(lo))
+        bucket = F.width_bucket(
+            clamped, F.lit(lo), F.lit(hi), F.lit(nbuckets - 1)
+        ) - F.lit(1)
+        bucket = F.coalesce(bucket, F.lit(0)).cast("long")
+        for i in range(nbits):
+            zv = zv + F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                i * len(cluster_by) + k,
+            )
+    return zv
+
+
 def cluster_blocks(
     spark: SparkSession,
     state_dir: str,
     cluster_by: tuple[str, ...],
     target_block_rows: int = 65536,
     partitions: int | None = None,
+    method: str = "linear",
 ) -> dict:
     """Physically re-sort an encoded state dir on ``cluster_by`` — the
     ``OPTIMIZE ... ZORDER``/``rewrite_data_files(sort)`` maintenance
@@ -287,10 +363,25 @@ def cluster_blocks(
             spark.sparkContext.defaultParallelism,
             -(-int(n_before) // (target_block_rows * 16)),
         )
+        if method not in ("linear", "zorder"):
+            raise ValueError(f"unknown cluster method {method!r}")
         decoded = decode_table(ablocks, manifest)
-        clustered = decoded.repartitionByRange(
-            int(n_parts), *cluster_by
-        ).sortWithinPartitions(*cluster_by)
+        if method == "zorder" and len(cluster_by) > 1:
+            # Morton layout: every file AND every block spans a narrow
+            # range of EVERY cluster key (the per-block sort below only
+            # reorders rows inside one size-bounded block, so block zone
+            # stats keep the z-locality the partition sort established)
+            zv = _zorder_value(decoded, cluster_by)
+            clustered = (
+                decoded.withColumn("__zv", zv)
+                .repartitionByRange(int(n_parts), "__zv")
+                .sortWithinPartitions("__zv")
+                .drop("__zv")
+            )
+        else:
+            clustered = decoded.repartitionByRange(
+                int(n_parts), *cluster_by
+            ).sortWithinPartitions(*cluster_by)
         new_blocks, new_manifest = encode_table(
             clustered,
             order_cols=tuple(cluster_by),
@@ -333,6 +424,7 @@ def cluster_blocks(
                 "files_after": len(_hadoop_list_files(spark, bd, ".parquet")),
                 "blocks_written": int(n_new),
                 "evolved_markers_cleared": len(evolved),
+                "method": method,
             }
         )
         return report
@@ -430,6 +522,7 @@ def purge_deletes(
         tomb_ids = [d["id"] for d in deletes]
         if not paths:
             _clear_tombstones(state_dir, tomb_ids)
+            _record_tombstone_clear(state_dir, tomb_ids, [])
             return report
         report["files_scanned"] = len(paths)
         preds = [d for d in deletes if d.get("kind") != "keys"]
@@ -503,6 +596,7 @@ def purge_deletes(
                 affected = [p for p in paths if _norm_file_uri(p) in qual]
         if not affected:
             _clear_tombstones(state_dir, tomb_ids)
+            _record_tombstone_clear(state_dir, tomb_ids, paths)
             return report
 
         # ---- decode the affected slice; one pass computes the keep-rows
@@ -530,6 +624,7 @@ def purge_deletes(
         report["matched"] = int(n_matched)
         if n_matched == 0:
             _clear_tombstones(state_dir, tomb_ids)
+            _record_tombstone_clear(state_dir, tomb_ids, paths)
             return report
 
         # ---- re-encode the keep-rows as fresh blocks under rewritten ids
@@ -573,6 +668,30 @@ def purge_deletes(
         return report
     finally:
         hb.release()
+
+
+
+def _record_tombstone_clear(
+    state_dir: str, tomb_ids: list, paths: list[str]
+) -> None:
+    """A purge that cleared tombstones WITHOUT rewriting any file (the
+    predicates physically matched nothing) still terminates the
+    tombstones' snapshot visibility: record a rewrite record with the
+    unchanged full listing + the cleared ids, so time travel after this
+    point stops re-applying them."""
+    from d6tstack_spark.plans.checkpoint import (
+        _record_snapshot,
+        load_snapshots,
+    )
+
+    if not tomb_ids or not load_snapshots(state_dir):
+        return
+    _record_snapshot(
+        state_dir,
+        "rewrite",
+        [os.path.basename(p) for p in paths],
+        tombstones=list(tomb_ids),
+    )
 
 
 def _commit_rewritten_blocks(
@@ -681,6 +800,10 @@ def _commit_rewritten_blocks(
     with open(jp + ".tmp", "w") as f:
         json.dump(journal, f, indent=1)
     os.replace(jp + ".tmp", jp)
+    from d6tstack_spark.plans.checkpoint import _retired_blocks_dir
+
+    rd = _retired_blocks_dir(state_dir)
+    fs.mkdirs(_p(rd))
     for i, b in enumerate(journal["adopt"]):
         if (
             _TEST_CRASH_AFTER_ADOPTS is not None
@@ -689,7 +812,11 @@ def _commit_rewritten_blocks(
             raise RuntimeError("purge crash drill: died mid-apply")
         fs.rename(_p(tmp + "/" + b), _p(bd + "/" + b))
     for b in journal["remove"]:
-        fs.delete(_p(bd + "/" + b), False)
+        # RETIRE the replaced files (snapshot retention: older snapshots
+        # stay readable until expire_snapshots); fall back to delete if a
+        # prior crashed replay already moved this basename
+        if not fs.rename(_p(bd + "/" + b), _p(rd + "/" + b)):
+            fs.delete(_p(bd + "/" + b), False)
     if fs.exists(_p(tmp)):
         fs.delete(_p(tmp), True)
     os.unlink(jp)
@@ -727,6 +854,7 @@ def _commit_rewritten_blocks(
             os.path.basename(p)
             for p in _hadoop_list_files(spark, bd, ".parquet")
         ],
+        tombstones=list(tomb_ids),
     )
     return int(n_new_blocks)
 
@@ -786,3 +914,102 @@ def upsert_files(
     full = sorted(set(recorded) | set(new_paths))
     append = encode_resume(spark, full, state_dir, order_cols=order_cols)
     return {"replaced": prep, "appended": append, "n_keys": drep["n_keys"]}
+
+
+def expire_snapshots(
+    spark: SparkSession, state_dir: str, keep_from: int
+) -> dict:
+    """Reclaim time-travel storage: drop every snapshot older than
+    ``keep_from`` and delete the retired block files / retired key sets
+    only those snapshots needed (Iceberg's ``expire_snapshots``). Live
+    blocks are never touched — only the ``retired/`` area shrinks.
+
+    Metadata-only planning: the snapshot log is small (one record per
+    writer commit), so the needed-file computation is a driver-side set
+    union over the kept snapshots; deletion is one os.remove per expired
+    retired file. Returns ``{"expired_before", "retired_files_removed",
+    "retired_keysets_removed", "retired_files_kept"}``."""
+    import shutil
+
+    from d6tstack_spark.plans.checkpoint import (
+        _LeaseHeartbeat,
+        _acquire_lease,
+        _expire_path,
+        _replay_purge_journal,
+        _retired_blocks_dir,
+        _retired_keys_dir,
+        _visible_tombstones,
+        load_snapshots,
+        resolve_snapshot,
+    )
+
+    lease = _acquire_lease(state_dir)
+    hb = _LeaseHeartbeat(lease)
+    try:
+        _replay_purge_journal(spark, state_dir)
+        recs = load_snapshots(state_dir)
+        if not recs:
+            raise ValueError(f"{state_dir} has no snapshot log")
+        ids = [r["id"] for r in recs]
+        if keep_from not in ids:
+            raise ValueError(
+                f"unknown snapshot {keep_from}; log has ids "
+                f"{ids[0]}..{ids[-1]}"
+            )
+        # files any KEPT snapshot resolves; everything else in retired/
+        # belongs only to expired snapshots
+        needed: set[str] = set()
+        for sid in ids:
+            if sid >= keep_from:
+                needed |= set(resolve_snapshot(state_dir, sid))
+        # write the watermark BEFORE deleting (crash-safe order: a
+        # watermark without deletion refuses reads it could still serve —
+        # conservative; deletion without watermark would serve missing
+        # files as hard errors)
+        with open(_expire_path(state_dir) + ".tmp", "w") as f:
+            json.dump({"expired_before": int(keep_from)}, f)
+        os.replace(_expire_path(state_dir) + ".tmp", _expire_path(state_dir))
+        rd = _retired_blocks_dir(state_dir)
+        removed = kept = 0
+        if os.path.isdir(rd):
+            for b in sorted(os.listdir(rd)):
+                if not b.endswith(".parquet") or b.startswith("."):
+                    continue
+                if b in needed:
+                    kept += 1
+                else:
+                    os.remove(os.path.join(rd, b))
+                    crc = os.path.join(rd, f".{b}.crc")
+                    if os.path.exists(crc):  # Hadoop checksum sidecar
+                        os.remove(crc)
+                    removed += 1
+        # retired key sets: needed iff the tombstone is still visible at
+        # some kept snapshot (its clearing rewrite is AFTER keep_from)
+        vis_ids = set()
+        for sid in ids:
+            if sid >= keep_from:
+                vis_ids |= {
+                    t["id"] for t in _visible_tombstones(recs, sid)
+                }
+        kdirs_removed = 0
+        kroot = os.path.join(state_dir, "retired", "keys")
+        if os.path.isdir(kroot):
+            for name in sorted(os.listdir(kroot)):
+                try:
+                    tid = int(name)
+                except ValueError:
+                    continue
+                if tid not in vis_ids:
+                    shutil.rmtree(
+                        _retired_keys_dir(state_dir, tid),
+                        ignore_errors=True,
+                    )
+                    kdirs_removed += 1
+        return {
+            "expired_before": int(keep_from),
+            "retired_files_removed": removed,
+            "retired_files_kept": kept,
+            "retired_keysets_removed": kdirs_removed,
+        }
+    finally:
+        hb.release()

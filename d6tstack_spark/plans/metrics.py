@@ -85,12 +85,16 @@ def state_info(spark, state_dir: str) -> dict:
 
     snaps = load_snapshots(state_dir)
     if snaps:
-        rewrites = [r["id"] for r in snaps if r["op"] == "rewrite"]
+        # rewrites RETIRE replaced files (snapshot retention), so every
+        # logged snapshot stays readable until expire_snapshots raises
+        # the watermark
+        from d6tstack_spark.plans.checkpoint import _expired_before
+
         info["snapshots"] = {
             "n": len(snaps),
             "latest": snaps[-1]["id"],
-            "earliest_readable": (
-                max(rewrites) if rewrites else snaps[0]["id"]
+            "earliest_readable": max(
+                _expired_before(state_dir), snaps[0]["id"]
             ),
         }
     paths = _hadoop_list_files(spark, _blocks_dir(state_dir), ".parquet")

@@ -302,3 +302,56 @@ class StubS3Server:
     def objects(self, bucket: str) -> dict[str, bytes]:
         with self._srv.state.lock:
             return dict(self._srv.state.buckets.get(bucket, {}))
+
+
+class CopyCaptureCursor:
+    """DBAPI-cursor stub that exposes ``copy_expert`` (the psycopg2 bulk
+    COPY surface) and spools every payload to a file, so a contract test
+    can assert the COPY wire path was chosen and fed correctly-escaped
+    CSV — the sandbox has no Postgres server to receive the real thing
+    (reference analog: d6tstack utils.py:69-111 pd_to_psql)."""
+
+    def __init__(self, spool_dir: str):
+        self._spool = spool_dir
+
+    def copy_expert(self, sql: str, buf) -> None:
+        import os
+        import uuid
+
+        os.makedirs(self._spool, exist_ok=True)
+        p = os.path.join(self._spool, f"{uuid.uuid4().hex}.copy")
+        with open(p, "w") as f:
+            f.write(sql + "\n\x00\n")
+            f.write(buf.read())
+
+    def executemany(self, sql: str, rows) -> None:  # pragma: no cover
+        raise AssertionError(
+            "executemany called although copy_expert is available — the "
+            "COPY capability branch was not taken"
+        )
+
+    def execute(self, sql: str) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+class CopyCaptureConnection:
+    def __init__(self, spool_dir: str):
+        self._spool = spool_dir
+
+    def cursor(self) -> CopyCaptureCursor:
+        return CopyCaptureCursor(self._spool)
+
+    def commit(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def make_copy_capture_conn(spool_dir: str) -> CopyCaptureConnection:
+    """Picklable ``connect_fn`` factory for
+    :func:`d6tstack_spark.sources.sql.to_sql_dbapi` contract tests."""
+    return CopyCaptureConnection(spool_dir)

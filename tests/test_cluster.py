@@ -195,3 +195,70 @@ def test_cluster_clears_evolved_markers(spark, tmp_path):
         decode_state(spark, sd, where="score IS NULL").count()
         == sum(1 for t in exp if t[2] is None)
     )
+
+
+def _qualifying_files_num(spark, sd, col, v):
+    """Files whose numeric zone range could contain ``v``."""
+    bd = os.path.join(sd, "blocks")
+    stats = spark.read.parquet(*_hadoop_list_files(spark, bd, ".parquet"))
+    return (
+        stats.filter(F.col("column") == col)
+        .filter(
+            (F.col("vmin_num") <= F.lit(float(v)))
+            & (F.col("vmax_num") >= F.lit(float(v)))
+        )
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+
+
+def test_zorder_clusters_prune_on_both_keys(spark, tmp_path):
+    """Z-order (bit-interleave) layout: a 2-key workload prunes files on
+    EITHER key — lexicographic sort only serves the first. Keys are
+    independent (conv_id cycles, score random), the adversarial case for
+    linear clustering."""
+    import numpy as np
+
+    n = 20_000
+    rng = np.random.default_rng(11)
+    tbl = pa.table(
+        {
+            "ts": pa.array(np.arange(n) * 1000, pa.int64()),
+            "conv_id": pa.array([f"c{j % 64:03d}" for j in range(n)]),
+            "score": pa.array(rng.permutation(n).astype("int64")),
+            "text": pa.array([f"m{j}" for j in range(n)]),
+        }
+    )
+    p = str(tmp_path / "src.parquet")
+    pq.write_table(tbl, p, row_group_size=500)
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [p], sd, order_cols=("ts",), checkpoint_every=1)
+    before = _key_z(spark, sd)
+    rep = cluster_blocks(
+        spark, sd, cluster_by=("conv_id", "score"), method="zorder",
+        target_block_rows=1024, partitions=16,
+    )
+    assert rep["method"] == "zorder" and rep["rows"] == n
+    assert _key_z(spark, sd) == before  # bit-equal rows, new layout
+    n_files = len(
+        _hadoop_list_files(spark, os.path.join(sd, "blocks"), ".parquet")
+    )
+    assert n_files >= 8
+    # BOTH keys prune: a point slice on either key touches a minority of
+    # files (lexicographic would leave the second key at 100%)
+    qf_conv = _qualifying_files(spark, sd, "c007")
+    qf_score = _qualifying_files_num(spark, sd, "score", 12345)
+    assert qf_conv < n_files, (qf_conv, n_files)
+    assert qf_score < n_files, (qf_score, n_files)
+    assert qf_conv <= n_files * 0.75 and qf_score <= n_files * 0.75
+    # and the user-facing slice decodes exactly
+    got = decode_state(spark, sd, where="score = 12345")
+    assert got.count() == 1
+
+
+def _key_z(spark, sd):
+    return sorted(
+        (r.ts, r.conv_id, int(r.score), r.text)
+        for r in decode_state(spark, sd).collect()
+    )

@@ -153,3 +153,49 @@ def test_to_csv_head(spark, tmp_path, sf_dir):
     assert len(files) == 1
     lines = open(files[0]).read().strip().splitlines()
     assert len(lines) == 4  # header + 3 rows
+
+
+def test_ann_index_persist_and_reload(spark, emb, tmp_path):
+    """PQ/IVF index persistence: train once, save, reload in a 'fresh
+    serving process' (new objects, no retrain), and get IDENTICAL search
+    results — codebooks round-trip exactly (JSON floats are exact in
+    Python) and the codes/assignments ride parquet."""
+    from d6tstack_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        load_ann_index,
+        pq_encode,
+        pq_search,
+        pq_train,
+        save_ann_index,
+    )
+
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+
+    books = pq_train(emb, m=8, ks=16, deterministic=True)
+    enc = pq_encode(emb, books).select("vec_id", "pq_code")
+    pq_dir = str(tmp_path / "pq_index")
+    save_ann_index(enc, pq_dir, "pq", books, {"m": 8, "ks": 16})
+    want = [r["vec_id"] for r in pq_search(
+        enc.filter("vec_id != 0"), books, q, 10).collect()]
+
+    idx = load_ann_index(spark, pq_dir)
+    assert idx["kind"] == "pq" and idx["params"] == {"m": 8, "ks": 16}
+    assert idx["arrays"] == books  # exact float round-trip
+    got = [r["vec_id"] for r in pq_search(
+        idx["data"].filter("vec_id != 0"), idx["arrays"], q, 10).collect()]
+    assert got == want
+
+    indexed, centroids = ivf_index(emb, n_lists=8, deterministic=True)
+    ivf_dir = str(tmp_path / "ivf_index")
+    save_ann_index(
+        indexed.select("vec_id", "embedding", "list_id"),
+        ivf_dir, "ivf", centroids, {"n_lists": 8},
+    )
+    want_ivf = [r["vec_id"] for r in ivf_search(
+        indexed, centroids, q, 10, n_probe=3).collect()]
+    idx2 = load_ann_index(spark, ivf_dir)
+    assert idx2["arrays"] == centroids
+    got_ivf = [r["vec_id"] for r in ivf_search(
+        idx2["data"], idx2["arrays"], q, 10, n_probe=3).collect()]
+    assert got_ivf == want_ivf

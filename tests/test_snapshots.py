@@ -84,21 +84,27 @@ def test_unknown_and_missing_log(spark, two_appends, tmp_path):
         decode_state(spark, sd, snapshot=1)
 
 
-def test_rewrite_is_a_barrier(spark, two_appends):
+def test_rewrite_retires_and_history_stays_readable(spark, two_appends):
+    """Retention contract (round 5): a rewrite RETIRES the files it
+    replaces, so snapshots before it stay readable — with the delete
+    snapshot-scoped (the tombstone applies from its delete record on)."""
     sd, p1, p2, *_ = two_appends
+    a = spark.read.parquet(p1)
+    ab = a.unionByName(spark.read.parquet(p2))
     delete_where(spark, sd, "conv_id like 'a00%'", count_matches=False)
-    with pytest.raises(ValueError, match="pending delete tombstones"):
-        decode_state(spark, sd, snapshot=1)
+    # pending tombstone: snapshot 1 predates it → full first-append view
+    assert _key(decode_state(spark, sd, snapshot=1)) == _key(a)
     purge_deletes(spark, sd)
     recs = load_snapshots(sd)
-    assert recs[-1]["op"] == "rewrite" and recs[-1]["id"] == 3
-    for old in (1, 2):
-        with pytest.raises(ValueError, match="predates the physical rewrite"):
-            resolve_snapshot(sd, old)
-    post = decode_state(spark, sd, snapshot=3)
+    # append, append, delete, rewrite
+    assert recs[-1]["op"] == "rewrite" and recs[-1]["id"] == 4
+    for old in (1, 2, 3):
+        assert resolve_snapshot(sd, old)  # readable across the rewrite
+    assert _key(decode_state(spark, sd, snapshot=2)) == _key(ab)
+    post = decode_state(spark, sd, snapshot=4)
     assert _key(post) == _key(decode_state(spark, sd))
     info = state_info(spark, sd)
-    assert info["snapshots"] == {"n": 3, "latest": 3, "earliest_readable": 3}
+    assert info["snapshots"] == {"n": 4, "latest": 4, "earliest_readable": 1}
 
 
 def test_cluster_and_append_after_barrier(spark, two_appends, tmp_path):
@@ -195,13 +201,13 @@ def test_incremental_diff_rewrite_window_refused(spark, two_appends, tmp_path):
     delete_where(spark, sd, "conv_id like 'a00%'", count_matches=False)
     with pytest.raises(ValueError, match="pending delete tombstones"):
         decode_state_diff(spark, sd, since=1)
-    purge_deletes(spark, sd)  # rewrite barrier = snapshot 3
+    purge_deletes(spark, sd)  # delete record = 3, rewrite barrier = 4
     with pytest.raises(ValueError, match="rewrite"):
         decode_state_diff(spark, sd, since=1)
     # a fresh append AFTER the barrier is consumable incrementally
     p3 = _write(tmp_path, "c.parquet", "c", n=120)
     encode_resume(spark, [p1, p2, p3], sd, checkpoint_every=0)
-    d = decode_state_diff(spark, sd, since=3)
+    d = decode_state_diff(spark, sd, since=4)
     assert _key(d) == _key(spark.read.parquet(p3))
 
 
@@ -220,8 +226,10 @@ def test_compaction_records_rewrite_barrier(spark, tmp_path):
     recs = load_snapshots(sd)
     assert recs[-1]["op"] == "rewrite"
     assert _key(decode_state(spark, sd, snapshot=recs[-1]["id"])) == full
-    with pytest.raises(ValueError, match="predates the physical rewrite"):
-        decode_state(spark, sd, snapshot=recs[0]["id"])
+    # retention: the pre-compaction snapshot reads from retired files and
+    # holds exactly the same rows (compaction only re-groups)
+    first = decode_state(spark, sd, snapshot=recs[0]["id"])
+    assert _key(first) == full
 
 
 def test_every_snapshot_is_its_prefix(spark, tmp_path):

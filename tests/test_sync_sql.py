@@ -274,3 +274,45 @@ def test_jdbc_query_pushdown_derby(spark):
         driver=DERBY,
     ).orderBy("k").collect()
     assert [(r["k"], r["n"]) for r in agg] == [(0, 10), (1, 10), (2, 10)]
+
+
+def test_to_sql_dbapi_prefers_copy_when_available(spark, tmp_path):
+    """Capability branch: a psycopg2-style driver (cursor has
+    copy_expert) gets the native bulk COPY wire path instead of
+    executemany — the reference's only measured speedup (utils.py:69-111,
+    6.0x). Stub-driven: the sandbox has no Postgres, so the contract is
+    asserted on the captured COPY payloads (escaping incl. commas,
+    quotes, newlines, NULLs)."""
+    import csv
+    import functools
+    import glob
+    import io
+
+    from d6tstack_spark.sources.sql import to_sql_dbapi
+    from d6tstack_spark.testing.stubs import make_copy_capture_conn
+
+    spool = str(tmp_path / "spool")
+    rows = [
+        (1, "plain"),
+        (2, 'comma, and "quotes"'),
+        (3, "line\nbreak"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string").coalesce(1)
+    n = to_sql_dbapi(
+        df, functools.partial(make_copy_capture_conn, spool), "t_copy"
+    )
+    assert n == 4
+    payloads = sorted(glob.glob(spool + "/*.copy"))
+    assert payloads, "COPY path produced no spool — branch not taken"
+    got = {}
+    for p in payloads:
+        sql, body = open(p).read().split("\n\x00\n", 1)
+        assert sql.startswith('COPY "t_copy" ("id", "txt") FROM STDIN')
+        for rec in csv.reader(io.StringIO(body)):
+            if rec:
+                got[int(rec[0])] = rec[1]
+    assert got[2] == 'comma, and "quotes"'
+    assert got[3] == "line\nbreak"
+    assert got[4] == ""  # empty field = CSV NULL for COPY
+    assert len(got) == 4
