@@ -301,7 +301,11 @@ def _record_snapshot(
 
 def _visible_tombstones(recs: list[dict], snapshot: int) -> list[dict]:
     """Tombstone definitions visible at ``snapshot``: added by a delete
-    record ≤ snapshot and not yet cleared by a rewrite ≤ snapshot."""
+    record ≤ snapshot and not yet cleared by a rewrite ≤ snapshot. Each
+    returned dict carries ``_rec`` = the delete record's snapshot id —
+    the tombstone's SEQUENCE NUMBER: it applies only to files first seen
+    before that record (rows appended after a delete are never deleted
+    by it, Iceberg's sequence-number scoping)."""
     cleared: set = set()
     for r in recs:
         if r["id"] <= snapshot and r["op"] == "rewrite":
@@ -310,9 +314,27 @@ def _visible_tombstones(recs: list[dict], snapshot: int) -> list[dict]:
     for r in recs:
         if r["id"] <= snapshot and r["op"] == "delete":
             vis += [
-                t for t in r.get("tombstones", []) if t["id"] not in cleared
+                {**t, "_rec": r["id"]}
+                for t in r.get("tombstones", [])
+                if t["id"] not in cleared
             ]
     return vis
+
+
+def _first_seen_ids(recs: list[dict], upto: int) -> dict[str, int]:
+    """Basename → snapshot id of the record that first listed it (its
+    add sequence). Files a rewrite re-lists keep their original add id;
+    that is sound because every rewrite either clears all pending
+    tombstones (purge) or refuses to run with any pending
+    (cluster/compact), so no visible tombstone predates a surviving
+    rewrite listing."""
+    seen: dict[str, int] = {}
+    for r in recs:
+        if r["id"] > upto:
+            break
+        for b in r.get("files", []):
+            seen.setdefault(b, r["id"])
+    return seen
 
 
 def _retired_blocks_dir(state_dir: str) -> str:
@@ -663,32 +685,21 @@ def _changelog_diff(
         spark, state_dir, manifest, changed_tombs, common
     )
 
-    def _side(basenames: set, vis: list[dict]) -> DataFrame:
+    def _side(basenames: set, vis: list[dict], at: int) -> DataFrame:
         files = sorted(basenames)
         if not files:
             return _restore_logical(
                 spark.createDataFrame([], _phys_struct(manifest)), manifest
             )
-        dec = decode_parquet_blocks(
-            spark, _blocks_dir(state_dir), manifest,
-            paths=_resolve_block_paths(state_dir, files),
+        # sequence-scoped like decode_state: a tombstone applies only to
+        # files first seen before its delete record
+        return _decode_scoped(
+            spark, state_dir, manifest, files, vis,
+            _first_seen_ids(recs, at),
         )
-        keep = _tombstone_keep_expr(
-            [t for t in vis if t.get("kind") != "keys"]
-        )
-        if keep:
-            dec = dec.filter(F.expr(keep))
-        for t in vis:
-            if t.get("kind") == "keys":
-                dec = dec.join(
-                    spark.read.parquet(_resolve_keys_path(state_dir, t)),
-                    on=list(t["cols"]),
-                    how="left_anti",
-                )
-        return dec
 
-    left = _side((f_since - f_until) | set(extra), vis_s)
-    right = _side((f_until - f_since) | set(extra), vis_u)
+    left = _side((f_since - f_until) | set(extra), vis_s, since)
+    right = _side((f_until - f_since) | set(extra), vis_u, until)
     out = (
         right.exceptAll(left).withColumn("_change", F.lit("insert"))
         .unionByName(
@@ -854,6 +865,10 @@ def delete_where(
             raise ValueError(
                 f"{state_dir} is not an encoded state dir (no manifest.json)"
             )
+        # sequence soundness: any published-but-unrecorded files must get
+        # their add record BEFORE this delete's record, or the rows they
+        # already hold would escape the tombstone's scope
+        _sweep_snapshot_appends(spark, state_dir)
         manifest = load_manifest(state_dir)
         from d6tstack_spark.operators.encode import (
             _phys_struct,
@@ -869,27 +884,10 @@ def delete_where(
         empty.filter(F.expr(where))
         report: dict = {"where": where, "recorded": True}
         if count_matches:
-            from d6tstack_spark.operators.encode import decode_where
-
-            hit = decode_where(
-                spark, _blocks_dir(state_dir), manifest, where
-            )
-            prior = load_deletes(state_dir)
-            keep = _tombstone_keep_expr(
-                [d for d in prior if d.get("kind") != "keys"]
-            )
-            if keep:  # count only rows not already tombstoned
-                hit = hit.filter(F.expr(keep))
-            for d in prior:  # nor rows an equality delete already covers
-                if d.get("kind") == "keys":
-                    hit = hit.join(
-                        spark.read.parquet(
-                            os.path.join(state_dir, d["path"])
-                        ),
-                        on=list(d["cols"]),
-                        how="left_anti",
-                    )
-            n = hit.count()
+            # scoped live decode = rows not already deleted (each prior
+            # tombstone applied to exactly the files it covers); the NEW
+            # predicate hits all current rows by definition
+            n = decode_state(spark, state_dir, where=where).count()
             report["matched"] = n
             if n == 0:
                 report["recorded"] = False
@@ -943,6 +941,9 @@ def delete_keys(
             raise ValueError(
                 f"{state_dir} is not an encoded state dir (no manifest.json)"
             )
+        # sequence soundness: see delete_where — published-but-unrecorded
+        # files must be swept in before this delete's record
+        _sweep_snapshot_appends(spark, state_dir)
         manifest = load_manifest(state_dir)
         missing = [c for c in key_cols if c not in manifest]
         if not key_cols or missing:
@@ -966,22 +967,13 @@ def delete_keys(
             report["matched"] = 0
             return report
         if count_matches:
-            hit = _decode_keys_candidates(spark, state_dir, manifest, kdir,
-                                          key_cols)
-            keep = _tombstone_keep_expr(
-                [d for d in items if d.get("kind") != "keys"]
+            # scoped live decode (prior tombstones applied exactly),
+            # zone-pruned by the new key set's [min,max] envelope, then
+            # the exact semi-join against the keys
+            env = key_envelope_filter(spark, kdir, tuple(key_cols))
+            hit = decode_state(
+                spark, state_dir, block_filter=env or None
             )
-            if keep:
-                hit = hit.filter(F.expr(keep))
-            for d in items:  # rows already key-deleted don't recount
-                if d.get("kind") == "keys":
-                    hit = hit.join(
-                        spark.read.parquet(
-                            os.path.join(state_dir, d["path"])
-                        ),
-                        on=list(d["cols"]),
-                        how="left_anti",
-                    )
             n = hit.join(
                 spark.read.parquet(kdir), on=list(key_cols), how="left_semi"
             ).count()
@@ -1037,18 +1029,6 @@ def key_envelope_filter(
             return None  # all-null key column: envelope can't prune
         branch.append((c, lo, hi))
     return [branch]
-
-
-def _decode_keys_candidates(
-    spark, state_dir, manifest, kdir, key_cols
-) -> DataFrame:
-    """Decode only the blocks overlapping a key set's envelope."""
-    from d6tstack_spark.operators.encode import decode_parquet_blocks
-
-    env = key_envelope_filter(spark, kdir, key_cols)
-    return decode_parquet_blocks(
-        spark, _blocks_dir(state_dir), manifest, block_filter=env
-    )
 
 
 def _format_path(state_dir: str) -> str:
@@ -1390,14 +1370,32 @@ def _encode_resume_locked(
         todo = sdf.join(F.broadcast(done_base), "block_id", "left_anti")
     todo_rows = todo.select("file_idx", "path", "rg", "nrg")
     n_todo = todo_rows.count()
-    if n_todo and load_deletes(state_dir):
-        raise ValueError(
-            f"state dir {state_dir} has pending delete tombstones "
-            "(delete_where/delete_keys): appending now would also delete "
-            "any matching rows in the NEW appends — tombstones apply "
-            "table-level at decode. Run plans.maintenance.purge_deletes() "
-            "first, then append."
-        )
+    if n_todo:
+        pend = load_deletes(state_dir)
+        if pend:
+            # appends while tombstones pend are SAFE when every tombstone
+            # is snapshot-scoped (its delete record gives it a sequence
+            # number): the new files sweep in with a later record, so the
+            # decode paths never apply the delete to them (Iceberg
+            # sequence semantics). Only tombstones with no record (legacy
+            # dirs / pre-scoping crashes) still refuse — their scope is
+            # unknowable.
+            recorded = {
+                t["id"]
+                for r in load_snapshots(state_dir)
+                if r["op"] == "delete"
+                for t in r.get("tombstones", [])
+            }
+            unscoped = [d for d in pend if d["id"] not in recorded]
+            if unscoped:
+                raise ValueError(
+                    f"state dir {state_dir} has pending delete "
+                    f"tombstone(s) {[d['id'] for d in unscoped]} with no "
+                    "snapshot record (created before snapshot-scoped "
+                    "deletes): appending now would also delete matching "
+                    "rows in the NEW appends. Run "
+                    "plans.maintenance.purge_deletes() first, then append."
+                )
 
     summary = {
         "planned": len(splits),
@@ -1528,14 +1526,20 @@ def decode_state(
     snapshot log (``snapshots.jsonl``) recorded at writer commit N —
     appends after N are invisible, and the read still rides the
     shuffle-free bulk path. Physical rewrites (purge/cluster/compaction)
-    REMOVE files, so they are barriers: only snapshots at or after the
-    last rewrite are readable (Iceberg's expire-snapshots semantics,
-    eagerly). Snapshots decode under the CURRENT schema — columns added
+    RETIRE the files they replace, so snapshots before a rewrite stay
+    readable until :func:`~d6tstack_spark.plans.maintenance.
+    expire_snapshots` reclaims them. Tombstones are SEQUENCE-SCOPED
+    (Iceberg semantics): a delete applies only to files first seen
+    before its delete record, so rows appended after the delete survive
+    it — both live reads and snapshot reads group the file set by which
+    tombstones apply and decode each generation with exactly its
+    deletes. Snapshots decode under the CURRENT schema — columns added
     after N read as all-null for N's rows, exactly as live reads of
     pre-evolution blocks do."""
     from d6tstack_spark.operators.encode import (
-        decode_parquet_blocks,
-        decode_where,
+        _hadoop_list_files,
+        _phys_struct,
+        _restore_logical,
     )
 
     if os.path.exists(_purge_journal_path(state_dir)):
@@ -1546,35 +1550,23 @@ def decode_state(
             "Run plans.maintenance.purge_deletes() to replay the journal, "
             "then decode."
         )
+    if where is not None and block_filter is not None:
+        raise ValueError(
+            "pass either where= (SQL, compiled to zone filters) or "
+            "block_filter= (explicit predicates), not both"
+        )
     deletes = load_deletes(state_dir)
-    keep = _tombstone_keep_expr(
-        [d for d in deletes if d.get("kind") != "keys"]
-    )
-    ksets = [d for d in deletes if d.get("kind") == "keys"]
     manifest = load_manifest(state_dir)
-    from d6tstack_spark.operators.encode import (
-        _hadoop_list_files,
-        _phys_struct,
-        _restore_logical,
-    )
+    recs = load_snapshots(state_dir)
+    recorded_ids = {
+        t["id"]
+        for r in recs
+        if r["op"] == "delete"
+        for t in r.get("tombstones", [])
+    }
+    unscoped = [d for d in deletes if d["id"] not in recorded_ids]
 
-    spaths: list[str] | None = None
     if snapshot is not None:
-        # time travel: the snapshot log pins the visible file set (the
-        # per-file complete-block invariant makes a file list a fully
-        # consistent table version — same bulk decode path, no listing).
-        # Files a later rewrite replaced are resolved from retired/;
-        # tombstones are SNAPSHOT-SCOPED: exactly the deletes whose
-        # delete record is ≤ N and not yet applied by a rewrite ≤ N.
-        recs = load_snapshots(state_dir)
-        vis = _visible_tombstones(recs, snapshot)
-        recorded_ids = {
-            t["id"]
-            for r in recs
-            if r["op"] == "delete"
-            for t in r.get("tombstones", [])
-        }
-        unscoped = [d for d in deletes if d["id"] not in recorded_ids]
         if unscoped:
             # tombstones recorded before delete records existed (legacy
             # dirs, or a crash between deletes.json and the log): their
@@ -1585,30 +1577,37 @@ def decode_state(
                 "(created before snapshot-scoped deletes); run "
                 "plans.maintenance.purge_deletes() first or decode live"
             )
-        keep = _tombstone_keep_expr(
-            [t for t in vis if t.get("kind") != "keys"]
+        basenames = resolve_snapshot(state_dir, snapshot)
+        vis = _visible_tombstones(recs, snapshot)
+        seen = _first_seen_ids(recs, snapshot)
+    else:
+        basenames = sorted(
+            os.path.basename(p)
+            for p in _hadoop_list_files(
+                spark, _blocks_dir(state_dir), ".parquet"
+            )
         )
-        ksets = [dict(t) for t in vis if t.get("kind") == "keys"]
-        for t in ksets:  # purged key sets live on under retired/
-            t["path"] = os.path.relpath(
-                _resolve_keys_path(state_dir, t), state_dir
-            )
-        base = resolve_snapshot(state_dir, snapshot)
-        spaths = _resolve_block_paths(state_dir, base)
-        if not spaths:  # a valid snapshot of an empty table
-            m = manifest
-            if columns is not None:
-                m = {k: v for k, v in manifest.items() if k in columns}
-            return _restore_logical(
-                spark.createDataFrame([], _phys_struct(m)), m
-            )
+        if deletes and unscoped:
+            # legacy global application: valid because appends were
+            # refused while these tombstones pended, so every live file
+            # predates every tombstone (_rec=None = applies everywhere)
+            vis = [{**d, "_rec": None} for d in deletes]
+            seen = {}
+        elif deletes:
+            latest = recs[-1]["id"]
+            pend = {d["id"] for d in deletes}
+            vis = [
+                t
+                for t in _visible_tombstones(recs, latest)
+                if t["id"] in pend
+            ]
+            seen = _first_seen_ids(recs, latest)
+        else:
+            vis, seen = [], {}
 
-    if spaths is None and not _hadoop_list_files(
-        spark, _blocks_dir(state_dir), ".parquet"
-    ):
-        # a state dir whose blocks were all deleted+purged is a valid,
-        # EMPTY table — not a wrong path (the manifest check above is the
-        # wrong-path guard); return the empty logical frame
+    if not basenames:
+        # empty table version (all blocks deleted+purged, or an empty
+        # snapshot) — return the empty logical frame
         m = manifest
         if columns is not None:
             missing = [c for c in columns if c not in manifest]
@@ -1617,59 +1616,110 @@ def decode_state(
             m = {k: v for k, v in manifest.items() if k in columns}
         return _restore_logical(spark.createDataFrame([], _phys_struct(m)), m)
 
-    # columns a tombstone needs beyond the projection: decoded for the
-    # filter/anti-join, dropped by the final select
+    dec = _decode_scoped(
+        spark, state_dir, manifest, basenames, vis, seen,
+        columns=columns, block_filter=block_filter, where=where,
+    )
+    return dec
+
+
+def _decode_scoped(
+    spark: SparkSession,
+    state_dir: str,
+    manifest: dict,
+    basenames: list[str],
+    vis: list[dict],
+    seen: dict[str, int],
+    columns: list[str] | None = None,
+    block_filter: tuple | list | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    """Decode ``basenames`` (resolved live-first-then-retired) applying
+    each visible tombstone only to the files it is sequence-scoped to:
+    files group by their applicable-tombstone set (at most
+    #tombstones + 1 generations — files between consecutive delete
+    records share a group), each group decodes with exactly its
+    keep-filter and key anti-joins, and the groups union. A file the
+    snapshot log has not recorded yet (published by a writer that
+    crashed before its sweep) counts as NEWEST — the same id the next
+    sweep will assign it — so no tombstone recorded earlier touches
+    it."""
+    import math
+
+    from d6tstack_spark.operators.encode import (
+        decode_parquet_blocks,
+        decode_where,
+    )
+
+    bd = _blocks_dir(state_dir)
+    tmap = {t["id"]: t for t in vis}
+    groups: dict[frozenset, list[str]] = {}
+    for b in basenames:
+        s = frozenset(
+            t["id"]
+            for t in vis
+            if t.get("_rec") is None
+            or seen.get(b, math.inf) < t["_rec"]
+        )
+        groups.setdefault(s, []).append(b)
+
+    # columns any tombstone (or the caller's where) needs beyond the
+    # projection: decoded for the filter/anti-join, dropped at the end
     need = columns
     if columns is not None:
+        all_keep = _tombstone_keep_expr(
+            [t for t in vis if t.get("kind") != "keys"]
+        )
+        ref_src = " ".join(x for x in (all_keep, where) if x)
         extra: list[str] = []
-        if keep:
+        if ref_src:
             extra += [
                 c
                 for c in manifest
                 if c not in columns
-                and re.search(rf"\b{re.escape(c)}\b", keep, re.IGNORECASE)
+                and re.search(rf"\b{re.escape(c)}\b", ref_src, re.IGNORECASE)
             ]
-        for d in ksets:
-            extra += [
-                c
-                for c in d["cols"]
-                if c not in columns and c not in extra
-            ]
+        for t in vis:
+            if t.get("kind") == "keys":
+                extra += [
+                    c
+                    for c in t["cols"]
+                    if c not in columns and c not in extra
+                ]
         need = list(columns) + extra
 
-    if where is not None:
-        if block_filter is not None:
-            raise ValueError(
-                "pass either where= (SQL, compiled to zone filters) or "
-                "block_filter= (explicit predicates), not both"
+    parts: list[DataFrame] = []
+    for s, bs in groups.items():
+        gpreds = [tmap[i] for i in s if tmap[i].get("kind") != "keys"]
+        gksets = [tmap[i] for i in s if tmap[i].get("kind") == "keys"]
+        gkeep = _tombstone_keep_expr(gpreds)
+        paths = _resolve_block_paths(state_dir, bs)
+        if where is not None:
+            eff = f"({where}) AND ({gkeep})" if gkeep else where
+            dec = decode_where(
+                spark, bd, manifest, eff, columns=need, paths=paths
             )
-        eff = f"({where}) AND ({keep})" if keep else where
-        dec = decode_where(
-            spark, _blocks_dir(state_dir), manifest, eff, columns=need,
-            paths=spaths,
-        )
-    elif keep is not None and block_filter is None:
-        dec = decode_where(
-            spark, _blocks_dir(state_dir), manifest, keep, columns=need,
-            paths=spaths,
-        )
-    else:
-        dec = decode_parquet_blocks(
-            spark,
-            _blocks_dir(state_dir),
-            manifest,
-            columns=need,
-            block_filter=block_filter,
-            paths=spaths,
-        )
-        if keep is not None:
-            dec = dec.filter(F.expr(keep))
-    for d in ksets:  # equality deletes: exact left_anti on the key set
-        dec = dec.join(
-            spark.read.parquet(os.path.join(state_dir, d["path"])),
-            on=list(d["cols"]),
-            how="left_anti",
-        )
+        elif gkeep is not None and block_filter is None:
+            dec = decode_where(
+                spark, bd, manifest, gkeep, columns=need, paths=paths
+            )
+        else:
+            dec = decode_parquet_blocks(
+                spark, bd, manifest, columns=need,
+                block_filter=block_filter, paths=paths,
+            )
+            if gkeep is not None:
+                dec = dec.filter(F.expr(gkeep))
+        for t in gksets:  # equality deletes: exact left_anti on the keys
+            dec = dec.join(
+                spark.read.parquet(_resolve_keys_path(state_dir, t)),
+                on=list(t["cols"]),
+                how="left_anti",
+            )
+        parts.append(dec)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     if columns is not None:
-        dec = dec.select(*columns)
-    return dec
+        out = out.select(*columns)
+    return out

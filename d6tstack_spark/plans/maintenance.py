@@ -527,9 +527,6 @@ def purge_deletes(
         report["files_scanned"] = len(paths)
         preds = [d for d in deletes if d.get("kind") != "keys"]
         ksets = [d for d in deletes if d.get("kind") == "keys"]
-        matched_expr = " OR ".join(
-            f"coalesce(({d['where']}), false)" for d in preds
-        )
 
         # ---- plan: which files can contain a matching row — zone DNF of
         # the OR of all predicate tombstones, plus each key set's
@@ -594,14 +591,45 @@ def purge_deletes(
                     for r in qual_df.select("f").distinct().collect()
                 }
                 affected = [p for p in paths if _norm_file_uri(p) in qual]
+        # ---- sequence scoping (Iceberg semantics): a tombstone applies
+        # only to files first seen BEFORE its delete record, so rows
+        # appended after the delete are never purged by it. Files in no
+        # pending tombstone's scope drop out of the rewrite entirely.
+        import math
+
+        from d6tstack_spark.plans.checkpoint import (
+            _first_seen_ids,
+            load_snapshots,
+        )
+
+        recs = load_snapshots(state_dir)
+        seen = _first_seen_ids(recs, recs[-1]["id"]) if recs else {}
+        rec_of: dict = {}
+        for r in recs:
+            if r["op"] == "delete":
+                for t in r.get("tombstones", []):
+                    rec_of[t["id"]] = r["id"]
+        fgroups: dict[frozenset, list[str]] = {}
+        for p in affected:
+            add = seen.get(os.path.basename(_norm_file_uri(p)), math.inf)
+            s = frozenset(
+                d["id"]
+                for d in deletes
+                # no record (legacy/unscoped) → applies everywhere
+                if rec_of.get(d["id"]) is None or add < rec_of[d["id"]]
+            )
+            if s:
+                fgroups.setdefault(s, []).append(p)
+        affected = sorted(p for g in fgroups.values() for p in g)
         if not affected:
             _clear_tombstones(state_dir, tomb_ids)
             _record_tombstone_clear(state_dir, tomb_ids, paths)
             return report
 
-        # ---- decode the affected slice; one pass computes the keep-rows
-        # (NOT any predicate, anti-joined against every key set) and the
-        # matched count falls out as n_before - n_kept
+        # ---- decode the affected slice per scope group; each group's
+        # keep-rows apply exactly its tombstones (NOT its predicates,
+        # anti-joined against its key sets) and the matched count falls
+        # out as n_before - n_kept
         ablocks = spark.read.parquet(*affected)
         n_before = (
             ablocks.groupBy("block_id")
@@ -609,16 +637,24 @@ def purge_deletes(
             .agg(F.sum("r"))
             .collect()[0][0]
         )
-        decoded = decode_table(ablocks, manifest)
-        kept = decoded
-        if preds:
-            kept = kept.filter(F.expr(f"NOT ({matched_expr})"))
-        for d in ksets:
-            kept = kept.join(
-                spark.read.parquet(os.path.join(state_dir, d["path"])),
-                on=list(d["cols"]),
-                how="left_anti",
-            )
+        dmap = {d["id"]: d for d in deletes}
+        kept = None
+        for s, ps in fgroups.items():
+            gdec = decode_table(spark.read.parquet(*ps), manifest)
+            gpreds = [dmap[i] for i in s if dmap[i].get("kind") != "keys"]
+            gksets = [dmap[i] for i in s if dmap[i].get("kind") == "keys"]
+            if gpreds:
+                gexpr = " OR ".join(
+                    f"coalesce(({d['where']}), false)" for d in gpreds
+                )
+                gdec = gdec.filter(F.expr(f"NOT ({gexpr})"))
+            for d in gksets:
+                gdec = gdec.join(
+                    spark.read.parquet(os.path.join(state_dir, d["path"])),
+                    on=list(d["cols"]),
+                    how="left_anti",
+                )
+            kept = gdec if kept is None else kept.unionByName(gdec)
         n_kept = kept.count()
         n_matched = n_before - n_kept
         report["matched"] = int(n_matched)

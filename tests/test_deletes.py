@@ -144,18 +144,44 @@ def test_tombstone_with_block_filter_and_projection(spark, state):
     assert dec_proj.count() == dec_all.count()
 
 
-def test_resume_refuses_new_appends_with_pending_tombstones(
+def test_resume_appends_with_pending_tombstones_are_scoped(
     spark, state, tmp_path
 ):
-    paths, sd, _ = state
-    delete_where(spark, sd, "conv_id >= 'c0100' AND conv_id < 'c0150'")
+    """Round 5: appends while SCOPED tombstones pend are legal (Iceberg
+    sequence semantics — the new files' add record postdates the delete
+    record, so the tombstone never touches them); only tombstones with no
+    snapshot record (legacy dirs) still refuse."""
+    import json
+
+    paths, sd, src = state
+    pred = "conv_id >= 'c0100' AND conv_id < 'c0150'"
+    delete_where(spark, sd, pred)
     # re-running over the SAME inputs is fine — nothing new to encode
     rep = encode_resume(spark, paths, sd, order_cols=("conv_id", "turn_idx"))
     assert rep["already_complete"]
     extra = _mk_files(tmp_path / "extra", prefixes=("d",))[0]
-    with pytest.raises(ValueError, match="pending delete tombstones"):
+    s = encode_resume(
+        spark, paths + [extra], sd, order_cols=("conv_id", "turn_idx")
+    )
+    assert s["encoded"] > 0
+    want = sorted(
+        _rows(src.filter(f"NOT coalesce(({pred}), false)"))
+        + _rows(spark.read.parquet(extra))
+    )
+    assert _rows(decode_state(spark, sd)) == want
+    # legacy dirs (tombstones with no snapshot record) still refuse: strip
+    # the delete records from the log to simulate one
+    sp = os.path.join(sd, "snapshots.jsonl")
+    recs = [json.loads(x) for x in open(sp).read().splitlines()]
+    with open(sp, "w") as f:
+        for r in recs:
+            if r["op"] != "delete":
+                f.write(json.dumps(r) + "\n")
+    extra2 = _mk_files(tmp_path / "extra2", prefixes=("e",))[0]
+    with pytest.raises(ValueError, match="no snapshot record"):
         encode_resume(
-            spark, paths + [extra], sd, order_cols=("conv_id", "turn_idx")
+            spark, paths + [extra, extra2], sd,
+            order_cols=("conv_id", "turn_idx"),
         )
 
 

@@ -294,3 +294,79 @@ def test_retired_keyset_supports_old_snapshot_after_purge(spark, tmp_path):
     )
     # snapshot 1 = before the delete
     assert _key(decode_state(spark, sd, snapshot=1)) == _key(src)
+
+
+def test_append_while_tombstone_pends_is_sequence_scoped(spark, tmp_path):
+    """Iceberg sequence semantics on the state dir (round 5): appends are
+    LEGAL while scoped tombstones pend, and a delete never touches rows
+    appended after it — even when they match the predicate. The purge
+    honors the same scope (appended matching rows survive the physical
+    rewrite)."""
+    p1 = _write(tmp_path, "a.parquet", "a")          # snapshots: 1
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [p1], sd, checkpoint_every=0)
+    rep = delete_where(spark, sd, "turn_idx = 0")    # 2 (matches EVERY conv)
+    a = spark.read.parquet(p1)
+    assert rep["matched"] == a.filter("turn_idx = 0").count()
+    p2 = _write(tmp_path, "b.parquet", "b")          # 3
+    s3 = encode_resume(spark, [p1, p2], sd, checkpoint_every=0)
+    assert s3["encoded"] > 0                          # refusal lifted
+    b = spark.read.parquet(p2)
+    want_live = _key(a.filter("turn_idx <> 0").unionByName(b))
+    assert _key(decode_state(spark, sd)) == want_live
+    # a second identical delete now matches exactly the appended turn-0
+    # rows (the first tombstone's scope excludes them; the count must too)
+    rep2 = delete_where(spark, sd, "turn_idx = 0", count_matches=True)
+    assert rep2["matched"] == b.filter("turn_idx = 0").count()
+    # live view now: both deletes applied, each to its own generation
+    want2 = _key(
+        a.filter("turn_idx <> 0").unionByName(b.filter("turn_idx <> 0"))
+    )
+    assert _key(decode_state(spark, sd)) == want2
+    # snapshot reads reconstruct each generation exactly
+    assert _key(decode_state(spark, sd, snapshot=2)) == _key(
+        a.filter("turn_idx <> 0")
+    )
+    assert _key(decode_state(spark, sd, snapshot=3)) == want_live
+    # physical purge applies the same scopes
+    prep = purge_deletes(spark, sd)
+    assert prep["matched"] == a.filter("turn_idx = 0").count() + b.filter(
+        "turn_idx = 0"
+    ).count()
+    assert _key(decode_state(spark, sd)) == want2
+    assert load_deletes(sd) == []
+
+
+def test_keys_delete_then_reinsert_survives(spark, tmp_path):
+    """Equality-delete + re-insert (the upsert hazard): keys deleted from
+    generation 1 stay deleted, while the SAME keys re-appended later
+    survive both the merge-on-read view and the physical purge — the
+    state-dir mirror of Iceberg's seq-scoped equality deletes the engine
+    already honors on the read side (sources/table_io.py)."""
+    p1 = _write(tmp_path, "a.parquet", "x")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [p1], sd, checkpoint_every=0)
+    keys = spark.createDataFrame([("x0001",)], "conv_id string")
+    delete_keys(spark, sd, keys, key_cols=("conv_id",))
+    # re-deliver the same conversation under a new path
+    p2 = _write(tmp_path, "b.parquet", "x", n=6)  # x0000 only
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["x0001"] * 3),
+            "turn_idx": pa.array([0, 1, 2], pa.int32()),
+            "text": pa.array(["new 0", "new 1", "new 2"]),
+        }
+    )
+    p3 = str(tmp_path / "c.parquet")
+    pq.write_table(tbl, p3)
+    encode_resume(spark, [p1, p3], sd, checkpoint_every=0)
+    got = decode_state(spark, sd).filter("conv_id = 'x0001'")
+    assert sorted(r.text for r in got.collect()) == ["new 0", "new 1", "new 2"]
+    purge_deletes(spark, sd, order_cols=("conv_id", "turn_idx"))
+    got2 = decode_state(spark, sd).filter("conv_id = 'x0001'")
+    assert sorted(r.text for r in got2.collect()) == [
+        "new 0", "new 1", "new 2",
+    ]
