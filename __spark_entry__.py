@@ -586,6 +586,66 @@ def q_encdec_zorder(spark, sf_dir):
     )
 
 
+# shared by the update_where graded query and its oracle: hits a strict
+# subset of events at every SF; the two SET expressions must evaluate
+# against the PRE-update row and cast back to the stored types
+_UPD_PRED = "user_id % 5 = 2 AND value < 80"
+
+
+def q_encdec_update_where(spark, sf_dir):
+    """Row-level UPDATE on the block format (round 5):
+    ``plans.maintenance.update_where`` rewrites only the zone-affected
+    files, applying ``SET event_type = upper(event_type), value = value
+    * 2 WHERE user_id % 5 = 2 AND value < 0.5`` with SQL semantics —
+    TRUE-only matching, simultaneous SET evaluation, values cast to the
+    stored types — under the same journaled roll-forward commit as
+    purge/cluster. Graded against DuckDB's CASE-WHEN projection of the
+    identical UPDATE over the source table."""
+    import tempfile
+
+    from d6tstack_spark.plans.checkpoint import decode_state, encode_resume
+    from d6tstack_spark.plans.maintenance import update_where
+
+    sd = tempfile.mkdtemp() + "/state"
+    encode_resume(
+        spark, [f"{sf_dir}/events.parquet"], sd, order_cols=("event_id",)
+    )
+    update_where(
+        spark,
+        sd,
+        {"event_type": "upper(event_type)", "value": "value * 2"},
+        _UPD_PRED,
+        order_cols=("event_id",),
+    )
+    return decode_state(spark, sd)
+
+
+def q_bloom_point_lookup(spark, sf_dir):
+    """Bloom point-lookup index (round 5): events encode time-ordered (so
+    event_id zone ranges are the only thing keeping this prunable —
+    on a key with no physical order the sidecar is the ONLY pruning),
+    ``plans.bloomidx.build_bloom_index`` writes per-(file, column) Bloom
+    bitmaps as an Iceberg-Puffin-style parquet sidecar, and
+    ``decode_state`` probes them automatically for the OR-of-equalities
+    WHERE — only files whose bitmap can contain one of the values are
+    read. Graded against DuckDB's IN-list scan of the source."""
+    import tempfile
+
+    from d6tstack_spark.plans.bloomidx import build_bloom_index
+    from d6tstack_spark.plans.checkpoint import decode_state, encode_resume
+
+    sd = tempfile.mkdtemp() + "/state"
+    encode_resume(
+        spark, [f"{sf_dir}/events.parquet"], sd, order_cols=("ts",)
+    )
+    build_bloom_index(spark, sd, ["event_id"])
+    return decode_state(
+        spark,
+        sd,
+        where="event_id = 11 OR event_id = 503 OR event_id = 907",
+    )
+
+
 # shared by the Spark query and its DuckDB oracle: IS NULL on the evolved
 # column exercises the zone-widening path (pre-evolution blocks have no
 # stats row for it and must still be kept)
@@ -1609,6 +1669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encdec_time_travel_purge": q_encdec_time_travel_purge,
         "changelog_purge_diff": q_changelog_purge_diff,
         "encdec_zorder": q_encdec_zorder,
+        "encdec_update_where": q_encdec_update_where,
+        "bloom_point_lookup": q_bloom_point_lookup,
         # --- last graded in round 3 (stalest first) ---
         "sessionize": q_sessionize,
         "props_json": q_props_json,
@@ -1845,6 +1907,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, 'delete' AS change FROM events
             WHERE event_id % 2 = 0 AND coalesce(({_TT_PRED}), false)
         """,
+        "encdec_update_where": f"""
+            SELECT event_id, ts, user_id,
+                   CASE WHEN coalesce(({_UPD_PRED}), false)
+                        THEN upper(event_type) ELSE event_type
+                   END AS event_type,
+                   CASE WHEN coalesce(({_UPD_PRED}), false)
+                        THEN value * 2 ELSE value
+                   END AS value,
+                   props
+            FROM events
+        """,
+        "bloom_point_lookup": (
+            "SELECT * FROM events WHERE event_id IN (11, 503, 907)"
+        ),
         "encdec_zorder": (
             "SELECT * FROM events WHERE value BETWEEN 0.25 AND 0.35 "
             "AND user_id BETWEEN 5 AND 60"

@@ -1605,6 +1605,19 @@ def decode_state(
         else:
             vis, seen = [], {}
 
+    if where is not None and basenames:
+        # advisory point-lookup pruning: if a Bloom sidecar exists
+        # (plans.bloomidx.build_bloom_index), equality atoms in the WHERE
+        # drop files that provably cannot contain the value — the pruning
+        # zone maps cannot do on non-clustered keys. Uncovered files and
+        # unparseable predicates pass through; correctness never depends
+        # on the index.
+        from d6tstack_spark.plans.bloomidx import bloom_prune_basenames
+
+        basenames = bloom_prune_basenames(
+            spark, state_dir, manifest, where, basenames
+        )
+
     if not basenames:
         # empty table version (all blocks deleted+purged, or an empty
         # snapshot) — return the empty logical frame

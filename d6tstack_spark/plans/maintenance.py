@@ -707,6 +707,222 @@ def purge_deletes(
 
 
 
+def update_where(
+    spark: SparkSession,
+    state_dir: str,
+    set_exprs: dict[str, str],
+    where: str,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    target_block_rows: int = 65536,
+) -> dict:
+    """Row-level ``UPDATE state SET col = expr, ... WHERE <where>`` on an
+    encoded state dir — the third leg of the DML triangle next to
+    :func:`~d6tstack_spark.plans.checkpoint.delete_where` and
+    :func:`~d6tstack_spark.plans.checkpoint.upsert_files`.
+
+    SQL semantics throughout: only rows where the predicate is TRUE are
+    updated (NULL keeps the row unchanged), and every SET expression
+    evaluates against the PRE-update row — ``SET a = b, b = a`` swaps,
+    it does not chain. Assigned values cast to the column's stored type;
+    the schema never changes.
+
+    Targeting mirrors :func:`purge_deletes`: the predicate compiles to
+    zone-filter DNF and a stats-only scan keeps just the files with ≥1
+    overlapping block, so I/O scales with the update's footprint, not
+    the table — a point update on a 100 TB dir rewrites a handful of
+    files. An unprunable predicate (or one over a schema-evolved column,
+    where pre-evolution blocks have no stats row to prune by) degrades
+    to a full rewrite, honestly reported. Commit rides the same
+    journaled roll-forward as purge/cluster (replacements parity-checked
+    next to the live dir before the journal lands; readers refuse
+    mid-commit; crash rolls forward idempotently) and records a rewrite
+    snapshot barrier, so time travel still reads the pre-update rows and
+    ``decode_state_diff(changelog=True)`` reports each updated row as a
+    delete+insert pair.
+
+    Pending delete tombstones are refused — purge first, so "rows this
+    rewrite materializes" and "rows tombstones hide" cannot diverge.
+
+    Reference analog: d6tstack mutates stacked frames only through
+    whole-file re-ingest (``combine_csv.py`` re-runs the pipeline); this
+    is the targeted-rewrite version of that at block granularity."""
+    from d6tstack_spark.operators.encode import (
+        SUB_BLOCK_BITS,
+        _hadoop_list_files,
+        _norm_file_uri,
+        _phys_struct,
+        _restore_logical,
+        _strip_evolved_unprunable,
+        _zone_keep_condition,
+        decode_table,
+        encode_table,
+        zone_dnf_from_where,
+    )
+    from d6tstack_spark.plans.checkpoint import (
+        _LeaseHeartbeat,
+        _acquire_lease,
+        _blocks_dir,
+        _check_or_stamp_format,
+        _manifest_path,
+        _replay_purge_journal,
+        load_deletes,
+        load_manifest,
+    )
+
+    if not set_exprs:
+        raise ValueError("set_exprs is empty — nothing to update")
+    lease = _acquire_lease(state_dir)
+    hb = _LeaseHeartbeat(lease)
+    try:
+        _replay_purge_journal(spark, state_dir)
+        if not os.path.exists(_manifest_path(state_dir)):
+            raise ValueError(
+                f"{state_dir} is not an encoded state dir (no manifest.json)"
+            )
+        _check_or_stamp_format(state_dir, has_blocks=True)
+        if load_deletes(state_dir):
+            raise ValueError(
+                f"state dir {state_dir} has pending delete tombstones; "
+                "run plans.maintenance.purge_deletes() first, then update"
+            )
+        manifest = load_manifest(state_dir)
+        bad = [c for c in set_exprs if c not in manifest]
+        if bad:
+            raise ValueError(
+                f"SET columns {bad} not present in the stored manifest"
+            )
+        missing = [c for c in order_cols if c not in manifest]
+        if not order_cols or missing:
+            raise ValueError(
+                f"order_cols {order_cols} not all present in the stored "
+                f"manifest (missing: {missing}); pass the ordering columns "
+                "the state dir was encoded with"
+            )
+        # eager validation: analyze the predicate AND every SET expression
+        # against the decoded schema now — typos fail here, not mid-rewrite
+        empty = _restore_logical(
+            spark.createDataFrame([], _phys_struct(manifest)), manifest
+        )
+        empty.filter(F.expr(where))
+        for c, e in set_exprs.items():
+            empty.select(F.expr(e).cast(empty.schema[c].dataType))
+
+        bd = _blocks_dir(state_dir)
+        paths = sorted(_hadoop_list_files(spark, bd, ".parquet"))
+        report: dict = {
+            "where": where,
+            "matched": 0,
+            "files_rewritten": 0,
+            "files_scanned": len(paths),
+        }
+        if not paths:
+            return report
+
+        # ---- plan: which files can contain a matching row (same
+        # two-level zone pruning as purge_deletes, same schema-evolution
+        # degradation: stats-less pre-evolution blocks must not be
+        # silently excluded when the predicate can match their null rows)
+        affected = paths
+        dnf = zone_dnf_from_where(where, manifest)
+        dnf = _strip_evolved_unprunable(dnf if dnf else None, manifest)
+        if dnf:
+            stats = spark.read.parquet(*paths)
+            if "vmin_num" in stats.columns:
+                qual_df = None
+                for branch in dnf:
+                    branch_df = None
+                    for bf in branch:
+                        col, keep = _zone_keep_condition(manifest, bf)
+                        s = (
+                            stats.filter(F.col("column") == col)
+                            .filter(keep)
+                            .select(
+                                F.input_file_name().alias("f"), "block_id"
+                            )
+                            .distinct()
+                        )
+                        branch_df = (
+                            s
+                            if branch_df is None
+                            else branch_df.join(s, ["f", "block_id"], "inner")
+                        )
+                    qual_df = (
+                        branch_df
+                        if qual_df is None
+                        else qual_df.unionByName(branch_df)
+                    )
+                qual = {
+                    _norm_file_uri(r[0])
+                    for r in qual_df.select("f").distinct().collect()
+                }
+                affected = [p for p in paths if _norm_file_uri(p) in qual]
+        if not affected:
+            return report
+
+        ablocks = spark.read.parquet(*affected)
+        n_before = (
+            ablocks.groupBy("block_id")
+            .agg(F.max("n_rows").alias("r"))
+            .agg(F.sum("r"))
+            .collect()[0][0]
+        ) or 0
+        decoded = decode_table(ablocks, manifest)
+        cond = F.coalesce(F.expr(where).cast("boolean"), F.lit(False))
+        n_matched = decoded.filter(cond).count()
+        report["matched"] = int(n_matched)
+        if n_matched == 0:
+            return report
+
+        # one select so every SET expression reads the PRE-update row
+        updated = decoded.select(
+            *[
+                F.when(
+                    cond, F.expr(set_exprs[c]).cast(decoded.schema[c].dataType)
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in decoded.columns
+            ]
+        )
+        updated = updated.repartition(
+            max(spark.sparkContext.defaultParallelism, len(affected))
+        )
+        new_blocks, new_manifest = encode_table(
+            updated,
+            order_cols=order_cols,
+            mode="local",
+            target_block_rows=target_block_rows,
+        )
+
+        def _types(m: dict) -> dict:
+            return {k: (v["ptype"], v["logical"]) for k, v in m.items()}
+
+        if _types(new_manifest) != _types(manifest):
+            raise RuntimeError(
+                "re-encode manifest drifted from the stored manifest — "
+                "a SET expression changed a column's type; aborting update"
+            )
+        n_new = _commit_rewritten_blocks(
+            spark,
+            state_dir,
+            affected=affected,
+            new_blocks=new_blocks,
+            base_ids=ablocks.select(
+                F.shiftright("block_id", SUB_BLOCK_BITS).alias("block_id")
+            ).distinct(),
+            n_expected=int(n_before),
+            tomb_ids=[],
+            parity_label=f"expected all {n_before} rows of the slice",
+        )
+        report["files_rewritten"] = len(affected)
+        report["blocks_written"] = int(n_new)
+        return report
+    finally:
+        hb.release()
+
+
 def _record_tombstone_clear(
     state_dir: str, tomb_ids: list, paths: list[str]
 ) -> None:

@@ -1,0 +1,196 @@
+"""Bloom-filter point-lookup index over state dirs (plans.bloomidx):
+build, in-Spark probe, advisory pruning soundness (uncovered files pass,
+misses only drop files that truly lack the value), decode_state
+integration, and staleness across appends/rewrites.
+
+The index is the engine's answer to "conv_id = 'x' on a time-ordered
+100 TB table" — zone maps span the alphabet there; the sidecar prunes to
+the files that actually contain the conversation."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from d6tstack_spark.plans.bloomidx import (
+    bloom_prune_basenames,
+    build_bloom_index,
+    load_bloom_meta,
+)
+from d6tstack_spark.plans.checkpoint import (
+    decode_state,
+    encode_resume,
+    load_manifest,
+)
+
+
+def _mk_files(tmp_path, prefixes=("a", "b", "c"), n=1200):
+    """One file per conv prefix; ``seq`` is file-disjoint int64 so both a
+    string and an integer column have single-file point values."""
+    os.makedirs(str(tmp_path), exist_ok=True)
+    paths = []
+    for i, p in enumerate(prefixes):
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([f"{p}{j // 6:04d}" for j in range(n)]),
+                "turn_idx": pa.array([j % 6 for j in range(n)], pa.int32()),
+                "seq": pa.array(
+                    [i * 100000 + j for j in range(n)], pa.int64()
+                ),
+                "text": pa.array(
+                    [None if j % 7 == 0 else f"msg {p}{j}" for j in range(n)]
+                ),
+            }
+        )
+        path = str(tmp_path / f"src_{i}.parquet")
+        pq.write_table(tbl, path, row_group_size=400)
+        paths.append(path)
+    return paths
+
+
+@pytest.fixture()
+def state(spark, tmp_path):
+    paths = _mk_files(tmp_path)
+    sd = str(tmp_path / "state")
+    encode_resume(spark, paths, sd, order_cols=("conv_id", "turn_idx"))
+    return paths, sd, spark.read.parquet(*paths)
+
+
+def _basenames(sd):
+    import glob
+
+    return sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(sd, "blocks", "*.parquet"))
+    )
+
+
+def test_build_and_point_prune_string(spark, state):
+    paths, sd, src = state
+    rep = build_bloom_index(spark, sd, ["conv_id", "seq"])
+    assert rep["files_indexed"] == len(_basenames(sd))
+    assert load_bloom_meta(sd)["columns"] == ["conv_id", "seq"]
+    manifest = load_manifest(sd)
+    names = _basenames(sd)
+    kept = bloom_prune_basenames(
+        spark, sd, manifest, "conv_id = 'b0007'", names
+    )
+    # only the 'b' file can hold it (fpp at this sizing is ~0)
+    assert len(kept) == 1
+    dec = decode_state(spark, sd, where="conv_id = 'b0007'")
+    assert dec.count() == src.filter("conv_id = 'b0007'").count() > 0
+
+
+def test_point_prune_int_and_conjunction(spark, state):
+    paths, sd, src = state
+    build_bloom_index(spark, sd, ["conv_id", "seq"])
+    manifest = load_manifest(sd)
+    names = _basenames(sd)
+    kept = bloom_prune_basenames(
+        spark, sd, manifest, "seq = 100005 AND turn_idx >= 0", names
+    )
+    assert len(kept) == 1
+    dec = decode_state(spark, sd, where="seq = 100005 AND turn_idx >= 0")
+    assert [r.seq for r in dec.collect()] == [100005]
+
+
+def test_or_branches_union(spark, state):
+    paths, sd, src = state
+    build_bloom_index(spark, sd, ["conv_id"])
+    manifest = load_manifest(sd)
+    names = _basenames(sd)
+    kept = bloom_prune_basenames(
+        spark,
+        sd,
+        manifest,
+        "conv_id = 'a0001' OR conv_id = 'c0001'",
+        names,
+    )
+    assert len(kept) == 2
+    dec = decode_state(
+        spark, sd, where="conv_id = 'a0001' OR conv_id = 'c0001'"
+    )
+    assert dec.count() == src.filter(
+        "conv_id IN ('a0001', 'c0001')"
+    ).count()
+
+
+def test_unusable_predicates_pass_through(spark, state):
+    paths, sd, _ = state
+    build_bloom_index(spark, sd, ["conv_id"])
+    manifest = load_manifest(sd)
+    names = _basenames(sd)
+    # range atom, unindexed column, and a branch with no indexed atom
+    for w in (
+        "conv_id > 'b'",
+        "text = 'msg b7'",
+        "conv_id = 'b0007' OR turn_idx = 3",
+    ):
+        assert bloom_prune_basenames(spark, sd, manifest, w, names) == names
+
+
+def test_no_index_is_identity(spark, state):
+    paths, sd, _ = state
+    manifest = load_manifest(sd)
+    names = _basenames(sd)
+    assert (
+        bloom_prune_basenames(spark, sd, manifest, "conv_id = 'x'", names)
+        == names
+    )
+
+
+def test_absent_value_yields_empty_with_schema(spark, state):
+    paths, sd, src = state
+    build_bloom_index(spark, sd, ["conv_id"])
+    dec = decode_state(spark, sd, where="conv_id = 'zzz-nope'")
+    assert dec.count() == 0
+    assert dec.columns == src.columns
+
+
+def test_appended_files_uncovered_but_correct(spark, state, tmp_path):
+    paths, sd, src = state
+    n_covered = build_bloom_index(spark, sd, ["conv_id"])["files_indexed"]
+    extra = _mk_files(tmp_path / "more", prefixes=("d",), n=600)
+    encode_resume(spark, paths + extra, sd, order_cols=("conv_id", "turn_idx"))
+    manifest = load_manifest(sd)
+    names = _basenames(sd)
+    kept = bloom_prune_basenames(
+        spark, sd, manifest, "conv_id = 'd0001'", names
+    )
+    # the new file has no index row → always kept; covered files miss
+    assert len(kept) == len(names) - n_covered
+    dec = decode_state(spark, sd, where="conv_id = 'd0001'")
+    assert dec.count() == 6
+    # rebuild covers the append and restores selectivity elsewhere
+    build_bloom_index(spark, sd, ["conv_id"])
+    kept2 = bloom_prune_basenames(
+        spark, sd, load_manifest(sd), "conv_id = 'b0007'", _basenames(sd)
+    )
+    assert len(kept2) == 1
+
+
+def test_update_rewrite_stays_correct_without_rebuild(spark, state):
+    from d6tstack_spark.plans.maintenance import update_where
+
+    paths, sd, src = state
+    build_bloom_index(spark, sd, ["conv_id"])
+    update_where(
+        spark, sd, {"text": "'patched'"}, "conv_id = 'b0007'"
+    )
+    # rewrite replaced the 'b' file with uncovered basenames → kept
+    dec = decode_state(spark, sd, where="conv_id = 'b0007'")
+    assert dec.count() == 6
+    assert dec.filter("text = 'patched'").count() == 6
+
+
+def test_build_validates(spark, state):
+    paths, sd, _ = state
+    with pytest.raises(ValueError, match="not in manifest"):
+        build_bloom_index(spark, sd, ["nope"])
+    with pytest.raises(ValueError, match="nothing to index"):
+        build_bloom_index(spark, sd, [])
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom_index(spark, sd, ["conv_id"], m_bits=100)
