@@ -591,6 +591,25 @@ def purge_deletes(
                     for r in qual_df.select("f").distinct().collect()
                 }
                 affected = [p for p in paths if _norm_file_uri(p) in qual]
+        if affected and preds and not ksets:
+            # Bloom sidecar: equality atoms in the tombstone predicates
+            # can rule out files zone ranges keep (point deletes on a
+            # non-clustered key). Advisory — uncovered files pass, and
+            # key-set tombstones disable it (their files are not
+            # expressible as a WHERE for the prober).
+            from d6tstack_spark.plans.bloomidx import bloom_prune_basenames
+
+            base_of = {
+                os.path.basename(_norm_file_uri(p)): p for p in affected
+            }
+            kept_names = bloom_prune_basenames(
+                spark,
+                state_dir,
+                manifest,
+                " OR ".join(f"({d['where']})" for d in preds),
+                sorted(base_of),
+            )
+            affected = [base_of[b] for b in kept_names]
         # ---- sequence scoping (Iceberg semantics): a tombstone applies
         # only to files first seen BEFORE its delete record, so rows
         # appended after the delete are never purged by it. Files in no
@@ -856,6 +875,17 @@ def update_where(
                     for r in qual_df.select("f").distinct().collect()
                 }
                 affected = [p for p in paths if _norm_file_uri(p) in qual]
+        if affected:
+            # same advisory Bloom-sidecar narrowing as purge targeting
+            from d6tstack_spark.plans.bloomidx import bloom_prune_basenames
+
+            base_of = {
+                os.path.basename(_norm_file_uri(p)): p for p in affected
+            }
+            kept_names = bloom_prune_basenames(
+                spark, state_dir, manifest, where, sorted(base_of)
+            )
+            affected = [base_of[b] for b in kept_names]
         if not affected:
             return report
 

@@ -186,6 +186,85 @@ def test_update_rewrite_stays_correct_without_rebuild(spark, state):
     assert dec.filter("text = 'patched'").count() == 6
 
 
+def test_purge_targeting_uses_bloom_on_unclustered_key(spark, tmp_path):
+    """A point delete on a key whose zone ranges overlap in EVERY file
+    (tag = 'NN_i' — ranges span '00_'..'49_' everywhere, each value
+    lives in one file) rewrites only the Bloom-hit file."""
+    from d6tstack_spark.plans.checkpoint import delete_where
+    from d6tstack_spark.plans.maintenance import purge_deletes
+
+    paths = []
+    for i in range(3):
+        n = 1200
+        tbl = pa.table(
+            {
+                "conv_id": pa.array(
+                    [f"{'abc'[i]}{j // 6:04d}" for j in range(n)]
+                ),
+                "turn_idx": pa.array([j % 6 for j in range(n)], pa.int32()),
+                "tag": pa.array(
+                    # value exists in exactly ONE row-group split of one
+                    # source file, but every block's zone range spans
+                    # '00_'..'49_' — only the Bloom can isolate it
+                    [f"{j % 50:02d}_{i}_{j // 400}" for j in range(n)]
+                ),
+            }
+        )
+        p = str(tmp_path / f"src_{i}.parquet")
+        pq.write_table(tbl, p, row_group_size=400)
+        paths.append(p)
+    sd = str(tmp_path / "state")
+    from d6tstack_spark.plans.checkpoint import encode_resume
+
+    encode_resume(spark, paths, sd, order_cols=("conv_id", "turn_idx"))
+    src = spark.read.parquet(*paths)
+    build_bloom_index(spark, sd, ["tag"])
+    delete_where(spark, sd, "tag = '07_1_1'")
+    rep = purge_deletes(spark, sd)
+    assert rep["purged_rows"] == src.filter("tag = '07_1_1'").count() > 0
+    # zone ranges keep every file; the Bloom sidecar narrows to one
+    assert rep["files_rewritten"] == 1 < rep["files_scanned"]
+    dec = decode_state(spark, sd)
+    assert dec.filter("tag = '07_1_1'").count() == 0
+    assert dec.count() == src.count() - rep["purged_rows"]
+
+
+def test_update_targeting_uses_bloom_on_unclustered_key(spark, tmp_path):
+    from d6tstack_spark.plans.maintenance import update_where
+
+    paths = []
+    for i in range(3):
+        n = 1200
+        tbl = pa.table(
+            {
+                "conv_id": pa.array(
+                    [f"{'abc'[i]}{j // 6:04d}" for j in range(n)]
+                ),
+                "turn_idx": pa.array([j % 6 for j in range(n)], pa.int32()),
+                "tag": pa.array(
+                    # value exists in exactly ONE row-group split of one
+                    # source file, but every block's zone range spans
+                    # '00_'..'49_' — only the Bloom can isolate it
+                    [f"{j % 50:02d}_{i}_{j // 400}" for j in range(n)]
+                ),
+            }
+        )
+        p = str(tmp_path / f"src_{i}.parquet")
+        pq.write_table(tbl, p, row_group_size=400)
+        paths.append(p)
+    sd = str(tmp_path / "state")
+    from d6tstack_spark.plans.checkpoint import encode_resume
+
+    encode_resume(spark, paths, sd, order_cols=("conv_id", "turn_idx"))
+    src = spark.read.parquet(*paths)
+    build_bloom_index(spark, sd, ["tag"])
+    rep = update_where(spark, sd, {"tag": "'patched'"}, "tag = '07_2_1'")
+    assert rep["matched"] == src.filter("tag = '07_2_1'").count() > 0
+    assert rep["files_rewritten"] == 1 < rep["files_scanned"]
+    dec = decode_state(spark, sd)
+    assert dec.filter("tag = 'patched'").count() == rep["matched"]
+
+
 def test_build_validates(spark, state):
     paths, sd, _ = state
     with pytest.raises(ValueError, match="not in manifest"):
