@@ -246,6 +246,29 @@ def build_bloom_index(
     )
     dd = _bloom_data_dir(state_dir)
     idx.write.mode("overwrite").parquet(dd)
+    # cover EVERY live file: zero-row part files (empty commit
+    # partitions) and files lacking the column entirely (pre-evolution)
+    # produce no group above, but leaving them index-less would make
+    # them permanently unprunable. A zero bitmap is the sound record:
+    # the file holds no value of the column, so no equality probe can
+    # ever match it.
+    covered = {
+        (r[0], r[1])
+        for r in spark.read.parquet(dd).select("file", "column").collect()
+    }
+    gaps = [
+        (os.path.basename(p), c)
+        for p in paths
+        for c in columns
+        if (os.path.basename(p), c) not in covered
+    ]
+    if gaps:
+        zero = [0] * (mb // 64)
+        spark.createDataFrame(
+            [(f, c, 0, zero) for f, c in gaps],
+            schema="file string, column string, n_distinct long, "
+            "bloom array<long>",
+        ).coalesce(1).write.mode("append").parquet(dd)
     meta = {
         "m_bits": mb,
         "k": BLOOM_K,

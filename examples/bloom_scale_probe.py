@@ -50,9 +50,18 @@ def main() -> None:
     )
     n_files = len(glob.glob(os.path.join(sd, "blocks", "*.parquet")))
 
-    # a conv_id that exists: read one value back
+    # a TYPICAL conv (the datagen plants skewed hot convs that appear in
+    # nearly every file — those are the salting story, not the index's)
+    from pyspark.sql import functions as F
+
     probe = (
-        decode_state(spark, sd, columns=["conv_id"]).limit(1).collect()[0][0]
+        decode_state(spark, sd, columns=["conv_id"])
+        .groupBy("conv_id")
+        .count()
+        .filter("count <= 12")
+        .orderBy("conv_id")
+        .limit(1)
+        .collect()[0][0]
     )
     where = f"conv_id = '{probe}'"
     manifest = load_manifest(sd)
