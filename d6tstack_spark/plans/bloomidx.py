@@ -169,6 +169,123 @@ def build_bloom_index(
 
     pmeta = {c: dict(manifest[c]) for c in columns}
     mb = int(m_bits)
+    idx = _index_df(spark, paths, columns, pmeta, mb)
+    dd = _bloom_data_dir(state_dir)
+    idx.write.mode("overwrite").parquet(dd)
+    _fill_gaps(spark, dd, paths, columns, mb)
+    meta = {
+        "m_bits": mb,
+        "k": BLOOM_K,
+        "columns": sorted(columns),
+        "built_ts": time.time(),
+    }
+    mp = _bloom_meta_path(state_dir)
+    with open(mp + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(mp + ".tmp", mp)
+    n_files = spark.read.parquet(dd).select("file").distinct().count()
+    return {"files_indexed": int(n_files), "columns": sorted(columns)}
+
+
+def refresh_bloom_index(spark: SparkSession, state_dir: str) -> dict:
+    """Incrementally extend the sidecar to files added since the last
+    build/refresh — cost scales with the NEW data, not the table (the
+    maintenance cadence a streamed or resumed 100 TB dir needs; a full
+    :func:`build_bloom_index` is only warranted to also FORGET files a
+    rewrite retired). Columns and sizing come from the recorded meta;
+    already-covered (file, column) rows are never rewritten."""
+    from d6tstack_spark.operators.encode import _hadoop_list_files
+    from d6tstack_spark.plans.checkpoint import (
+        _blocks_dir,
+        _purge_journal_path,
+        load_manifest,
+    )
+
+    meta = load_bloom_meta(state_dir)
+    if meta is None:
+        raise ValueError(
+            f"no Bloom index under {state_dir}; run build_bloom_index first"
+        )
+    if os.path.exists(_purge_journal_path(state_dir)):
+        raise RuntimeError(
+            f"state dir {state_dir} has an in-flight purge commit journal; "
+            "run plans.maintenance.purge_deletes() first, then index"
+        )
+    columns = list(meta["columns"])
+    mb = int(meta["m_bits"])
+    manifest = load_manifest(state_dir)
+    pmeta = {c: dict(manifest[c]) for c in columns}
+    bd = _blocks_dir(state_dir)
+    paths = sorted(_hadoop_list_files(spark, bd, ".parquet"))
+    dd = _bloom_data_dir(state_dir)
+    covered = {
+        (r[0], r[1])
+        for r in spark.read.parquet(dd).select("file", "column").collect()
+    }
+    new_paths = [
+        p
+        for p in paths
+        if any((os.path.basename(p), c) not in covered for c in columns)
+    ]
+    if not new_paths:
+        return {"files_refreshed": 0, "columns": sorted(columns)}
+    idx = _index_df(spark, new_paths, columns, pmeta, mb)
+    if covered:
+        # a partially-covered file re-indexes all its columns; drop the
+        # rows that already exist so the sidecar stays duplicate-free
+        pairs = [f + "\0" + c for f, c in covered]
+        idx = idx.filter(
+            ~F.concat_ws("\0", F.col("file"), F.col("column")).isin(pairs)
+        )
+    idx.write.mode("append").parquet(dd)
+    _fill_gaps(spark, dd, new_paths, columns, mb)
+    meta["built_ts"] = time.time()
+    mp = _bloom_meta_path(state_dir)
+    with open(mp + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(mp + ".tmp", mp)
+    return {"files_refreshed": len(new_paths), "columns": sorted(columns)}
+
+
+def _fill_gaps(
+    spark: SparkSession, dd: str, paths: list[str], columns: list[str],
+    mb: int,
+) -> None:
+    """Cover EVERY listed file: zero-row part files (empty commit
+    partitions) and files lacking a column entirely (pre-evolution)
+    produce no build group, but leaving them index-less would make them
+    permanently unprunable. A zero bitmap is the sound record: the file
+    holds no value of the column, so no equality probe can match it."""
+    covered = {
+        (r[0], r[1])
+        for r in spark.read.parquet(dd).select("file", "column").collect()
+    }
+    gaps = [
+        (os.path.basename(p), c)
+        for p in paths
+        for c in columns
+        if (os.path.basename(p), c) not in covered
+    ]
+    if gaps:
+        zero = [0] * (mb // 64)
+        spark.createDataFrame(
+            [(f, c, 0, zero) for f, c in gaps],
+            schema="file string, column string, n_distinct long, "
+            "bloom array<long>",
+        ).coalesce(1).write.mode("append").parquet(dd)
+
+
+def _index_df(
+    spark: SparkSession,
+    paths: list[str],
+    columns: list[str],
+    pmeta: dict,
+    mb: int,
+):
+    """The distributed index build: one applyInPandas group per
+    (blocks file, column), each decoding only that column's payloads and
+    hashing the DISTINCT values (cardinality-bounded work), ORing the
+    per-block bitmaps."""
 
     def _build(key, pdf):
         import numpy as np
@@ -239,48 +356,11 @@ def build_bloom_index(
             "null_count",
         )
     )
-    idx = rows.groupBy("f", "column").applyInPandas(
+    return rows.groupBy("f", "column").applyInPandas(
         _build,
         schema="file string, column string, n_distinct long, "
         "bloom array<long>",
     )
-    dd = _bloom_data_dir(state_dir)
-    idx.write.mode("overwrite").parquet(dd)
-    # cover EVERY live file: zero-row part files (empty commit
-    # partitions) and files lacking the column entirely (pre-evolution)
-    # produce no group above, but leaving them index-less would make
-    # them permanently unprunable. A zero bitmap is the sound record:
-    # the file holds no value of the column, so no equality probe can
-    # ever match it.
-    covered = {
-        (r[0], r[1])
-        for r in spark.read.parquet(dd).select("file", "column").collect()
-    }
-    gaps = [
-        (os.path.basename(p), c)
-        for p in paths
-        for c in columns
-        if (os.path.basename(p), c) not in covered
-    ]
-    if gaps:
-        zero = [0] * (mb // 64)
-        spark.createDataFrame(
-            [(f, c, 0, zero) for f, c in gaps],
-            schema="file string, column string, n_distinct long, "
-            "bloom array<long>",
-        ).coalesce(1).write.mode("append").parquet(dd)
-    meta = {
-        "m_bits": mb,
-        "k": BLOOM_K,
-        "columns": sorted(columns),
-        "built_ts": time.time(),
-    }
-    mp = _bloom_meta_path(state_dir)
-    with open(mp + ".tmp", "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(mp + ".tmp", mp)
-    n_files = spark.read.parquet(dd).select("file").distinct().count()
-    return {"files_indexed": int(n_files), "columns": sorted(columns)}
 
 
 def load_bloom_meta(state_dir: str) -> dict | None:

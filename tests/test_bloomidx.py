@@ -172,6 +172,36 @@ def test_appended_files_uncovered_but_correct(spark, state, tmp_path):
     assert len(kept2) == 1
 
 
+def test_refresh_indexes_only_new_files(spark, state, tmp_path):
+    from d6tstack_spark.plans.bloomidx import refresh_bloom_index
+
+    paths, sd, src = state
+    build_bloom_index(spark, sd, ["conv_id"])
+    # up-to-date index → refresh is a no-op
+    assert refresh_bloom_index(spark, sd)["files_refreshed"] == 0
+    names_before = set(_basenames(sd))
+    extra = _mk_files(tmp_path / "more", prefixes=("d",), n=600)
+    encode_resume(spark, paths + extra, sd, order_cols=("conv_id", "turn_idx"))
+    new_files = set(_basenames(sd)) - names_before
+    rep = refresh_bloom_index(spark, sd)
+    assert rep["files_refreshed"] == len(new_files) > 0
+    # covered again: a point lookup on the appended data prunes to 1,
+    # and old coverage is intact (no duplicate rows in the sidecar)
+    manifest = load_manifest(sd)
+    names = _basenames(sd)
+    for probe in ("d0001", "b0007"):
+        kept = bloom_prune_basenames(
+            spark, sd, manifest, f"conv_id = '{probe}'", names
+        )
+        assert len(kept) == 1
+    idx = spark.read.parquet(os.path.join(sd, "bloomidx", "data"))
+    assert (
+        idx.groupBy("file", "column").count().filter("count > 1").count()
+        == 0
+    )
+    assert refresh_bloom_index(spark, sd)["files_refreshed"] == 0
+
+
 def test_update_rewrite_stays_correct_without_rebuild(spark, state):
     from d6tstack_spark.plans.maintenance import update_where
 
