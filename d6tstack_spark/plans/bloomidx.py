@@ -374,10 +374,13 @@ def load_bloom_meta(state_dir: str) -> dict | None:
 def _bit_hit(pos: int):
     """Spark condition: bit ``pos`` of the array<long> bitmap is set.
     ``shiftright`` is arithmetic, so bit 63 (sign bit of the stored
-    int64 word) reads correctly through the ``& 1``."""
+    int64 word) reads correctly through the ``& 1``; ``try_element_at``
+    (not ``element_at``) so a malformed row yields NULL — which the
+    miss-filter treats as "not a miss" = file kept — instead of an ANSI
+    out-of-bounds error."""
     word, bit = pos >> 6, pos & 63
     return F.expr(
-        f"(shiftright(element_at(bloom, {word + 1}), {bit}) & 1) = 1"
+        f"(shiftright(try_element_at(bloom, {word + 1}), {bit}) & 1) = 1"
     )
 
 
@@ -439,6 +442,10 @@ def bloom_prune_basenames(
         idx = spark.read.parquet(dd)
     except Exception:
         return basenames
+    # a row whose bitmap was written under a different m_bits (a crashed
+    # rebuild left data/meta mismatched) must not testify: size-gate it,
+    # so its file counts as uncovered — conservative in the safe direction
+    idx = idx.filter(F.expr(f"size(bloom) = {mb // 64}"))
 
     # a file is ruled out of a branch iff ANY of the branch's probes
     # MISSES in an existing index row; files without a row always pass.

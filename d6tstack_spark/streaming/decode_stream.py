@@ -17,6 +17,13 @@ Design constraints it inherits:
 - the decode itself is the normal block_id-repartition path per
   micro-batch: payload shuffle bounded by the batch size, never the
   corpus.
+
+Scope: this streams RAW appended blocks from a blocks dir. State-dir
+read semantics — pending delete tombstones, snapshot resolution,
+retired files — are deliberately NOT applied here (a file stream source
+cannot re-evaluate history); read state dirs through
+``plans.checkpoint.decode_state`` / ``decode_state_diff``, and point
+this stream at append-only block dirs (e.g. an encode_stream sink).
 """
 
 from __future__ import annotations
