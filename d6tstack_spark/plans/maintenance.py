@@ -1198,6 +1198,44 @@ def upsert_files(
     return {"replaced": prep, "appended": append, "n_keys": drep["n_keys"]}
 
 
+def upsert_frame(
+    spark: SparkSession,
+    state_dir: str,
+    df,
+    key_cols: tuple[str, ...] = ("conv_id",),
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    staging_dir: str | None = None,
+) -> dict:
+    """DataFrame-level MERGE: like :func:`upsert_files`, but the new
+    content is any DataFrame (a stream epoch, a join result, a repair
+    batch) rather than files on disk.
+
+    The frame is materialized ONCE under a unique staging path (default
+    ``<state>/staged/upsert-<uuid>``) and then rides the file-based
+    upsert unchanged. Staging is not an implementation wart — the
+    engine's resume bookkeeping is source-file-based (block ids embed a
+    file index; ``files.json`` records path → index forever), so the
+    staged copy is what makes the upsert REPLAYABLE after a crash and
+    auditable after the fact. Staged files join the table's source
+    lineage: keep them as long as the state dir lives, or point
+    ``staging_dir`` at wherever your sources belong."""
+    import uuid
+
+    from d6tstack_spark.operators.encode import _hadoop_list_files
+
+    stage = staging_dir or os.path.join(state_dir, "staged")
+    sub = os.path.join(stage, f"upsert-{uuid.uuid4().hex}")
+    df.write.parquet(sub)
+    paths = sorted(_hadoop_list_files(spark, sub, ".parquet"))
+    if not paths:
+        raise ValueError("upsert frame is empty — nothing to merge")
+    rep = upsert_files(
+        spark, state_dir, paths, key_cols=key_cols, order_cols=order_cols
+    )
+    rep["staged"] = sub
+    return rep
+
+
 def expire_snapshots(
     spark: SparkSession, state_dir: str, keep_from: int
 ) -> dict:

@@ -200,6 +200,38 @@ def test_update_crash_mid_commit_rolls_forward(spark, state):
     assert rep2["already_complete"]
 
 
+def test_upsert_frame_replaces_and_inserts(spark, state):
+    from pyspark.sql import functions as F
+
+    from d6tstack_spark.plans.maintenance import upsert_frame
+
+    paths, sd, src = state
+    # re-deliver conv a0003 with different text + a brand-new conv
+    delivery = src.filter("conv_id = 'a0003'").withColumn(
+        "text", F.lit("v2")
+    )
+    new_rows = src.filter("conv_id = 'a0001'").withColumn(
+        "conv_id", F.lit("z9999")
+    )
+    rep = upsert_frame(spark, sd, delivery.unionByName(new_rows))
+    assert rep["n_keys"] == 2
+    assert os.path.isdir(rep["staged"])
+    dec = decode_state(spark, sd)
+    n_after_first = dec.count()  # materialize BEFORE the next rewrite
+    assert n_after_first == src.count() + new_rows.count()
+    assert dec.filter("conv_id = 'a0003'").count() == 6
+    assert dec.filter("conv_id = 'a0003' AND text = 'v2'").count() == 6
+    assert dec.filter("conv_id = 'z9999'").count() == 6
+    # second delivery replaces again (fresh staging path each time)
+    rep2 = upsert_frame(
+        spark, sd, delivery.withColumn("text", F.lit("v3"))
+    )
+    assert rep2["staged"] != rep["staged"]
+    dec2 = decode_state(spark, sd)
+    assert dec2.filter("conv_id = 'a0003' AND text = 'v3'").count() == 6
+    assert dec2.count() == n_after_first
+
+
 def test_update_then_append_then_update(spark, state, tmp_path):
     """Updates interleave with appends; later updates see appended rows."""
     paths, sd, src = state
