@@ -384,6 +384,69 @@ def _bit_hit(pos: int):
     )
 
 
+_MAX_IN_PROBES = 64
+
+
+def _in_list_constraints(
+    where: str, manifest: dict, indexed: set
+) -> list[tuple]:
+    """Top-level ``col IN (lit, ...)`` conjuncts on indexed columns —
+    the zone compiler collapses IN to a [min, max] envelope, losing the
+    value set the Bloom needs, so the prober re-scans the conjuncts
+    itself with the SAME splitter/literal parser the zone compiler uses
+    (no second grammar to drift). A top-level conjunct constrains every
+    matching row, so a file where ALL the listed values miss is
+    eliminable outright, whatever the rest of the predicate does.
+    Conservative throughout: parse failure, unparseable literal, lists
+    longer than ``_MAX_IN_PROBES`` → no constraint."""
+    import re as _re
+
+    from d6tstack_spark.operators.encode import (
+        _IDENT_RE,
+        _LIT_RE,
+        _parse_zone_literal,
+        _split_conjuncts,
+        _strip_outer_parens,
+    )
+
+    if "\\" in where:  # same literal-escape hazard as the zone compiler
+        return []
+    out: list[tuple] = []
+    for conj in _split_conjuncts(where):
+        conj = _strip_outer_parens(conj)
+        m = _re.match(
+            rf"(?i)^({_IDENT_RE})\s+IN\s*\(\s*"
+            rf"({_LIT_RE}(?:\s*,\s*(?:{_LIT_RE}))*)\s*\)$",
+            conj,
+        )
+        if not m:
+            continue
+        col = m.group(1)
+        if col not in indexed or col not in manifest:
+            continue
+        lits = [
+            _parse_zone_literal(t, manifest[col])
+            for t in _re.findall(_LIT_RE, m.group(2))
+        ]
+        if not lits or len(lits) > _MAX_IN_PROBES:
+            continue
+        probes = []
+        for v in lits:
+            phys = None if v is None else _to_physical(v, manifest[col])
+            b = (
+                None
+                if phys is None
+                else _canonical_bytes(phys, manifest[col])
+            )
+            if b is None:
+                probes = None
+                break
+            probes.append(b)
+        if probes:
+            out.append((col, probes))
+    return out
+
+
 def bloom_prune_basenames(
     spark: SparkSession,
     state_dir: str,
@@ -396,20 +459,23 @@ def bloom_prune_basenames(
     reading of the predicate — a file survives iff SOME branch remains
     possible; a branch is ruled out for a file only when one of its
     equality atoms on an indexed column Bloom-misses in that file's
-    bitmap. Everything un-indexed, un-parsed, uncovered or non-equality
-    passes through untouched. Returns a subset of ``basenames`` (order
-    preserved); with no index or no usable atom, returns it unchanged."""
+    bitmap; top-level ``IN`` conjuncts additionally rule a file out when
+    every listed value misses. Everything un-indexed, un-parsed,
+    uncovered or non-equality passes through untouched. Returns a subset
+    of ``basenames`` (order preserved); with no index or no usable atom,
+    returns it unchanged."""
     meta = load_bloom_meta(state_dir)
     if meta is None or not basenames:
         return basenames
-    from d6tstack_spark.operators.encode import zone_dnf_from_where
-
-    dnf = zone_dnf_from_where(where, manifest)
-    if not dnf:
-        return basenames
-    indexed = set(meta["columns"])
     if meta.get("k") != BLOOM_K:
         return basenames  # built by a different construction — ignore
+    from d6tstack_spark.operators.encode import zone_dnf_from_where
+
+    indexed = set(meta["columns"])
+    dnf = zone_dnf_from_where(where, manifest) or []
+    ins = _in_list_constraints(where, manifest, indexed)
+    if not dnf and not ins:
+        return basenames
     mb = int(meta["m_bits"])
 
     # per branch: (col, probe bytes) for its usable equality atoms.
@@ -434,7 +500,7 @@ def bloom_prune_basenames(
                 continue
             probes.append((col, b))
         branches.append(probes)
-    if all(not p for p in branches):
+    if all(not p for p in branches) and not ins:
         return basenames
 
     dd = _bloom_data_dir(state_dir)
@@ -447,12 +513,34 @@ def bloom_prune_basenames(
     # so its file counts as uncovered — conservative in the safe direction
     idx = idx.filter(F.expr(f"size(bloom) = {mb // 64}"))
 
+    universe = set(basenames)
+
+    # top-level IN conjuncts constrain every row: a file where ALL the
+    # listed values miss leaves the universe outright
+    for col, probes in ins:
+        any_hit = None
+        for b in probes:
+            hit = None
+            for pos in _positions(b, mb):
+                c = _bit_hit(pos)
+                hit = c if hit is None else (hit & c)
+            any_hit = hit if any_hit is None else (any_hit | hit)
+        misses = (
+            idx.filter(F.col("column") == col)
+            .filter(~any_hit)
+            .select("file")
+            .distinct()
+            .collect()
+        )
+        universe -= {r[0] for r in misses}
+    if not universe:
+        return []
+
     # a file is ruled out of a branch iff ANY of the branch's probes
     # MISSES in an existing index row; files without a row always pass.
     # (Stale rows for retired files may land in the miss sets — harmless,
     # the subtraction below only ever touches the live universe.)
     alive: set[str] | None = None
-    universe = set(basenames)
     for probes in branches:
         ruled_out: set[str] = set()
         for col, b in probes:
@@ -471,5 +559,7 @@ def bloom_prune_basenames(
         branch_alive = universe - ruled_out
         alive = branch_alive if alive is None else (alive | branch_alive)
         if alive == universe:
-            break  # nothing prunable — stop probing early
+            break  # nothing more prunable — stop probing early
+    if alive is None:  # IN constraints only (no usable DNF branch)
+        alive = universe
     return [b for b in basenames if b in alive]

@@ -118,6 +118,27 @@ def test_or_branches_union(spark, state):
     ).count()
 
 
+def test_in_list_conjunct_prunes(spark, state):
+    paths, sd, src = state
+    build_bloom_index(spark, sd, ["conv_id", "seq"])
+    manifest = load_manifest(sd)
+    names = _basenames(sd)
+    kept = bloom_prune_basenames(
+        spark, sd, manifest, "conv_id IN ('a0001', 'c0001')", names
+    )
+    assert len(kept) == 2
+    # IN composes with other conjuncts (the zone envelope loses the
+    # value set; the prober's own conjunct scan recovers it)
+    kept2 = bloom_prune_basenames(
+        spark, sd, manifest, "seq IN (100005) AND turn_idx >= 2", names
+    )
+    assert len(kept2) == 1
+    dec = decode_state(
+        spark, sd, where="conv_id IN ('a0001', 'c0001') AND turn_idx = 0"
+    )
+    assert dec.count() == 2
+
+
 def test_unusable_predicates_pass_through(spark, state):
     paths, sd, _ = state
     build_bloom_index(spark, sd, ["conv_id"])
