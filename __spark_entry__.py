@@ -640,9 +640,7 @@ def q_bloom_point_lookup(spark, sf_dir):
     )
     build_bloom_index(spark, sd, ["event_id"])
     return decode_state(
-        spark,
-        sd,
-        where="event_id = 11 OR event_id = 503 OR event_id = 907",
+        spark, sd, where="event_id IN (11, 503, 907)"
     )
 
 
