@@ -4,7 +4,8 @@ Iceberg transcript table → snapshot file list (pure-python metadata reader)
 → checkpointed resumable encode (per-partition lineage + compression
 metrics) → zone-map-pruned decode spot-check → bit-identity assertion
 → predicate delete + zone-targeted purge → clustering rewrite on the
-shifted query key (all on a copy of the state dir)
+shifted query key (all on a copy of the state dir) → row-level UPDATE
+(redaction pass) → Bloom-indexed point lookup on the time-ordered dir
 — run it under a multi-executor master at two cluster sizes:
 
     zip -qr /tmp/pkg.zip d6tstack_spark
@@ -164,6 +165,46 @@ def main(work_dir: str, sf: float = 0.05) -> None:
         dec3.exceptAll(want3).count() + want3.exceptAll(dec3).count()
     )
 
+    # 6. row-level UPDATE (redaction pass: SET tool for one conv's
+    # assistant turns) — zone+Bloom-targeted rewrite under the same
+    # journaled commit — and a Bloom point lookup on the pre-cluster
+    # TIME-ordered dir, where conv zone ranges span every file and the
+    # sidecar is the only pruning.
+    from d6tstack_spark.plans.bloomidx import build_bloom_index
+    from d6tstack_spark.plans.explain import explain_decode
+    from d6tstack_spark.plans.maintenance import update_where
+
+    upd_pred = f"conv_id = '{first_conv}' AND role = 'assistant'"
+    urep = update_where(
+        spark, state_del, {"tool": "'redacted'"}, upd_pred
+    )
+    dec4 = decode_state(spark, state_del, where=upd_pred)
+    update_ok = (
+        dec4.count() == urep["matched"]
+        and dec4.filter("tool = 'redacted'").count() == urep["matched"]
+    )
+
+    # a TYPICAL conv (the corpus plants hot convs that appear in nearly
+    # every file — those are salting's story, not the index's)
+    small_conv = (
+        full_src.groupBy("conv_id")
+        .count()
+        .filter("count <= 12")
+        .agg(F.min("conv_id"))
+        .first()[0]
+    )
+    build_bloom_index(spark, state, ["conv_id"])
+    plan = explain_decode(
+        spark, state, where=f"conv_id = '{small_conv}'"
+    )
+    dec5 = decode_state(
+        spark, state, where=f"conv_id = '{small_conv}'"
+    )
+    want5 = full_src.filter(f"conv_id = '{small_conv}'")
+    bloom_mismatch = (
+        dec5.exceptAll(want5).count() + want5.exceptAll(dec5).count()
+    )
+
     print(
         json.dumps(
             {
@@ -190,6 +231,17 @@ def main(work_dir: str, sf: float = 0.05) -> None:
                     "files": [crep["files_before"], crep["files_after"]],
                     "conv_qualifying_files": [qual_before, qual_after],
                     "decode_exact_after_cluster": cluster_mismatch == 0,
+                },
+                "update": {
+                    "matched": urep["matched"],
+                    "files_rewritten": urep["files_rewritten"],
+                    "files_scanned": urep["files_scanned"],
+                    "decode_exact_after_update": update_ok,
+                },
+                "bloom_point_lookup": {
+                    "files_total": plan["files_total"],
+                    "files_after_bloom": plan["files_after_bloom"],
+                    "decode_exact": bloom_mismatch == 0,
                 },
             }
         )
