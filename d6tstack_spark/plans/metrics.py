@@ -97,8 +97,28 @@ def state_info(spark, state_dir: str) -> dict:
                 _expired_before(state_dir), snaps[0]["id"]
             ),
         }
+    from d6tstack_spark.plans.bloomidx import load_bloom_meta
+
+    bmeta = load_bloom_meta(state_dir)
     paths = _hadoop_list_files(spark, _blocks_dir(state_dir), ".parquet")
     info["n_files"] = len(paths)
+    if bmeta is not None:
+        covered = {
+            r[0]
+            for r in spark.read.parquet(
+                os.path.join(state_dir, "bloomidx", "data")
+            )
+            .select("file")
+            .distinct()
+            .collect()
+        }
+        live = {os.path.basename(p) for p in paths}
+        info["bloom_index"] = {
+            "columns": bmeta["columns"],
+            "m_bits": bmeta["m_bits"],
+            "files_covered": len(covered & live),
+            "files_uncovered": len(live - covered),
+        }
     if paths:
         t = table_totals(
             spark.read.parquet(*paths).select(

@@ -316,6 +316,23 @@ def test_update_targeting_uses_bloom_on_unclustered_key(spark, tmp_path):
     assert dec.filter("tag = 'patched'").count() == rep["matched"]
 
 
+def test_state_info_reports_bloom_coverage(spark, state, tmp_path):
+    from d6tstack_spark.plans.metrics import state_info
+
+    paths, sd, _ = state
+    assert "bloom_index" not in state_info(spark, sd)
+    build_bloom_index(spark, sd, ["conv_id"])
+    info = state_info(spark, sd)
+    bi = info["bloom_index"]
+    assert bi["columns"] == ["conv_id"]
+    assert bi["files_covered"] == info["n_files"]
+    assert bi["files_uncovered"] == 0
+    extra = _mk_files(tmp_path / "more", prefixes=("d",), n=600)
+    encode_resume(spark, paths + extra, sd, order_cols=("conv_id", "turn_idx"))
+    bi2 = state_info(spark, sd)["bloom_index"]
+    assert bi2["files_uncovered"] > 0
+
+
 def test_build_validates(spark, state):
     paths, sd, _ = state
     with pytest.raises(ValueError, match="not in manifest"):
