@@ -316,6 +316,53 @@ def test_update_targeting_uses_bloom_on_unclustered_key(spark, tmp_path):
     assert dec.filter("tag = 'patched'").count() == rep["matched"]
 
 
+def test_ts_point_equality_prunes(spark, tmp_path):
+    """Timestamp equality probes hash the µs physicalization — the
+    literal parses to a datetime, the build decodes int64 µs; both must
+    land on the same bytes."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    paths = []
+    for i in range(3):
+        n = 1200
+        tbl = pa.table(
+            {
+                "conv_id": pa.array(
+                    [f"{'abc'[i]}{j // 6:04d}" for j in range(n)]
+                ),
+                "turn_idx": pa.array([j % 6 for j in range(n)], pa.int32()),
+                # second offsets interleave across files: every file's ts
+                # range overlaps, each exact second lives in one file
+                "ts": pa.array(
+                    [
+                        base + dt.timedelta(seconds=(j % 50) * 100 + i)
+                        for j in range(n)
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        p = str(tmp_path / f"src_{i}.parquet")
+        pq.write_table(tbl, p, row_group_size=1200)
+        paths.append(p)
+    sd = str(tmp_path / "state")
+    encode_resume(spark, paths, sd, order_cols=("conv_id", "turn_idx"))
+    src = spark.read.parquet(*paths)
+    build_bloom_index(spark, sd, ["ts"])
+    manifest = load_manifest(sd)
+    names = _basenames(sd)
+    # second 701 = (j%50)=7 in file i=1 only
+    w = "ts = TIMESTAMP '2024-01-01 00:11:41'"
+    kept = bloom_prune_basenames(spark, sd, manifest, w, names)
+    assert len(kept) == 1
+    dec = decode_state(spark, sd, where=w)
+    assert dec.count() == src.filter(w).count() > 0
+    # absent timestamp → everything pruned, empty result
+    w2 = "ts = TIMESTAMP '2024-01-01 00:11:41.5'"
+    assert decode_state(spark, sd, where=w2).count() == 0
+
+
 def test_state_info_reports_bloom_coverage(spark, state, tmp_path):
     from d6tstack_spark.plans.metrics import state_info
 
