@@ -447,6 +447,66 @@ def _in_list_constraints(
     return out
 
 
+def bloom_value_keep(
+    spark: SparkSession,
+    state_dir: str,
+    manifest: dict,
+    col: str,
+    values: list,
+    basenames: list[str],
+) -> list[str]:
+    """Files that may contain ANY of ``values`` in ``col`` — the
+    value-set twin of :func:`bloom_prune_basenames`, for callers that
+    hold the values directly (equality-delete key sets) rather than a
+    WHERE string. ``values`` are LOGICAL (what a decode returns);
+    uncovered files and unconvertible values keep everything, and lists
+    longer than ``_MAX_IN_PROBES`` skip the probe — same advisory
+    contract as everywhere else."""
+    meta = load_bloom_meta(state_dir)
+    if (
+        meta is None
+        or not basenames
+        or meta.get("k") != BLOOM_K
+        or col not in set(meta["columns"])
+        or col not in manifest
+        or not values
+        or len(values) > _MAX_IN_PROBES
+    ):
+        return basenames
+    m = manifest[col]
+    mb = int(meta["m_bits"])
+    probes = []
+    for v in values:
+        phys = None if v is None else _to_physical(v, m)
+        b = None if phys is None else _canonical_bytes(phys, m)
+        if b is None:
+            # NULL or unconvertible value — the Bloom cannot speak for it
+            return basenames
+        probes.append(b)
+    dd = _bloom_data_dir(state_dir)
+    try:
+        idx = spark.read.parquet(dd)
+    except Exception:
+        return basenames
+    idx = idx.filter(F.expr(f"size(bloom) = {mb // 64}"))
+    any_hit = None
+    for b in probes:
+        hit = None
+        for pos in _positions(b, mb):
+            c = _bit_hit(pos)
+            hit = c if hit is None else (hit & c)
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    misses = (
+        idx.filter(F.col("column") == col)
+        .filter(~any_hit)
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    dead = {r[0] for r in misses}
+    return [b for b in basenames if b not in dead]
+
+
 def bloom_prune_basenames(
     spark: SparkSession,
     state_dir: str,

@@ -591,25 +591,62 @@ def purge_deletes(
                     for r in qual_df.select("f").distinct().collect()
                 }
                 affected = [p for p in paths if _norm_file_uri(p) in qual]
-        if affected and preds and not ksets:
-            # Bloom sidecar: equality atoms in the tombstone predicates
-            # can rule out files zone ranges keep (point deletes on a
-            # non-clustered key). Advisory — uncovered files pass, and
-            # key-set tombstones disable it (their files are not
-            # expressible as a WHERE for the prober).
-            from d6tstack_spark.plans.bloomidx import bloom_prune_basenames
+        if affected:
+            # Bloom sidecar: equality atoms in predicate tombstones and
+            # SMALL single-column key sets (the GDPR "forget this
+            # conversation" shape) can rule out files zone ranges keep.
+            # A file needs rewriting if ANY tombstone can match it, so
+            # the keep set is the UNION of per-tombstone keeps; any
+            # tombstone the prober cannot speak for keeps everything.
+            from d6tstack_spark.plans.bloomidx import (
+                _MAX_IN_PROBES,
+                bloom_prune_basenames,
+                bloom_value_keep,
+            )
 
             base_of = {
                 os.path.basename(_norm_file_uri(p)): p for p in affected
             }
-            kept_names = bloom_prune_basenames(
-                spark,
-                state_dir,
-                manifest,
-                " OR ".join(f"({d['where']})" for d in preds),
-                sorted(base_of),
-            )
-            affected = [base_of[b] for b in kept_names]
+            names = sorted(base_of)
+            keep: set = set()
+            if preds:
+                keep |= set(
+                    bloom_prune_basenames(
+                        spark,
+                        state_dir,
+                        manifest,
+                        " OR ".join(f"({d['where']})" for d in preds),
+                        names,
+                    )
+                )
+            for d in ksets:
+                cols = list(d["cols"])
+                vals = None
+                if len(cols) == 1:
+                    rows = (
+                        spark.read.parquet(
+                            os.path.join(state_dir, d["path"])
+                        )
+                        .select(cols[0])
+                        .distinct()
+                        .limit(_MAX_IN_PROBES + 1)
+                        .collect()
+                    )
+                    if len(rows) <= _MAX_IN_PROBES:
+                        vals = [r[0] for r in rows]
+                if vals is None:  # multi-column or large key set
+                    keep |= set(names)
+                else:
+                    keep |= set(
+                        bloom_value_keep(
+                            spark, state_dir, manifest, cols[0], vals, names
+                        )
+                    )
+            affected = [
+                p
+                for p in affected
+                if os.path.basename(_norm_file_uri(p)) in keep
+            ]
         # ---- sequence scoping (Iceberg semantics): a tombstone applies
         # only to files first seen BEFORE its delete record, so rows
         # appended after the delete are never purged by it. Files in no

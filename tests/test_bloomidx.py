@@ -280,6 +280,44 @@ def test_purge_targeting_uses_bloom_on_unclustered_key(spark, tmp_path):
     assert dec.count() == src.count() - rep["purged_rows"]
 
 
+def test_keys_purge_targeting_uses_bloom(spark, tmp_path):
+    """delete_keys of ONE value on an unclustered key (the GDPR 'forget
+    this conversation' shape): the key-set envelope spans every file,
+    the Bloom confines the rewrite to the one file holding the rows."""
+    from d6tstack_spark.plans.checkpoint import delete_keys
+    from d6tstack_spark.plans.maintenance import purge_deletes
+
+    paths = []
+    for i in range(3):
+        n = 1200
+        tbl = pa.table(
+            {
+                "conv_id": pa.array(
+                    [f"{'abc'[i]}{j // 6:04d}" for j in range(n)]
+                ),
+                "turn_idx": pa.array([j % 6 for j in range(n)], pa.int32()),
+                "tag": pa.array(
+                    [f"{j % 50:02d}_{i}_{j // 400}" for j in range(n)]
+                ),
+            }
+        )
+        p = str(tmp_path / f"src_{i}.parquet")
+        pq.write_table(tbl, p, row_group_size=400)
+        paths.append(p)
+    sd = str(tmp_path / "state")
+    encode_resume(spark, paths, sd, order_cols=("conv_id", "turn_idx"))
+    src = spark.read.parquet(*paths)
+    build_bloom_index(spark, sd, ["tag"])
+    keys = spark.createDataFrame([("07_1_1",)], "tag string")
+    delete_keys(spark, sd, keys, key_cols=("tag",))
+    rep = purge_deletes(spark, sd)
+    assert rep["purged_rows"] == src.filter("tag = '07_1_1'").count() > 0
+    assert rep["files_rewritten"] == 1 < rep["files_scanned"]
+    dec = decode_state(spark, sd)
+    assert dec.filter("tag = '07_1_1'").count() == 0
+    assert dec.count() == src.count() - rep["purged_rows"]
+
+
 def test_update_targeting_uses_bloom_on_unclustered_key(spark, tmp_path):
     from d6tstack_spark.plans.maintenance import update_where
 
