@@ -22,57 +22,20 @@ import os
 from pyspark.sql import SparkSession, functions as F
 
 
-def explain_decode(
-    spark: SparkSession,
-    state_dir: str,
-    where: str | None = None,
-    columns: list[str] | None = None,
-    snapshot: int | None = None,
-) -> dict:
-    """Plan (but do not run) ``decode_state(spark, state_dir, where=...,
-    columns=..., snapshot=...)``. Returns::
-
-        {
-          "files_total":        files the read starts from (snapshot- or
-                                live-resolved),
-          "files_after_bloom":  after Bloom point-lookup pruning,
-          "files_after_zone":   after the zone-map stats scan (the final
-                                file count the bulk decode plans),
-          "zone_dnf":           the compiled OR-of-ANDs, or None when the
-                                predicate is unprunable,
-          "bloom_columns":      indexed columns consulted (None = no
-                                sidecar),
-          "tombstones_visible": pending tombstones the read will apply,
-          "tombstone_generations": distinct applicable-tombstone file
-                                groups (each decodes separately),
-          "est_rows_scanned":   sum of n_rows over the qualifying blocks
-                                of the kept files (what the tasks will
-                                actually decode, before the exact row
-                                filter),
-          "columns_decoded":    projection incl. predicate/tombstone
-                                columns decoded-then-dropped,
-        }
-
-    Planning only — the numbers come from the metadata/stats scans the
-    real read performs, so they are exact for the plan, not estimates of
-    the result (the exact row filter still runs on decode)."""
-    import math
-
-    from d6tstack_spark.operators.encode import (
-        _hadoop_list_files,
-        _strip_evolved_unprunable,
-        _zone_keep_condition,
-        zone_dnf_from_where,
-    )
-    from d6tstack_spark.plans.bloomidx import (
-        bloom_prune_basenames,
-        load_bloom_meta,
-    )
+def resolve_read_state(
+    spark: SparkSession, state_dir: str, snapshot: int | None = None
+) -> tuple[dict, list[str], list[dict], dict]:
+    """The read-planning preamble every state-dir consumer performs:
+    refuse a mid-swap purge journal, load the manifest, resolve the
+    blocks-file set (live listing or snapshot log), and scope the
+    visible tombstones. Returns ``(manifest, basenames, visible_tombstones,
+    first_seen_ids)`` — exactly the inputs :func:`decode_state` plans
+    from, without touching any payload."""
+    from d6tstack_spark.operators.encode import _hadoop_list_files
     from d6tstack_spark.plans.checkpoint import (
         _blocks_dir,
         _first_seen_ids,
         _purge_journal_path,
-        _resolve_block_paths,
         _visible_tombstones,
         load_deletes,
         load_manifest,
@@ -122,6 +85,59 @@ def explain_decode(
             seen = _first_seen_ids(recs, latest)
         else:
             vis, seen = [], {}
+    return manifest, basenames, vis, seen
+
+
+def explain_decode(
+    spark: SparkSession,
+    state_dir: str,
+    where: str | None = None,
+    columns: list[str] | None = None,
+    snapshot: int | None = None,
+) -> dict:
+    """Plan (but do not run) ``decode_state(spark, state_dir, where=...,
+    columns=..., snapshot=...)``. Returns::
+
+        {
+          "files_total":        files the read starts from (snapshot- or
+                                live-resolved),
+          "files_after_bloom":  after Bloom point-lookup pruning,
+          "files_after_zone":   after the zone-map stats scan (the final
+                                file count the bulk decode plans),
+          "zone_dnf":           the compiled OR-of-ANDs, or None when the
+                                predicate is unprunable,
+          "bloom_columns":      indexed columns consulted (None = no
+                                sidecar),
+          "tombstones_visible": pending tombstones the read will apply,
+          "tombstone_generations": distinct applicable-tombstone file
+                                groups (each decodes separately),
+          "est_rows_scanned":   sum of n_rows over the qualifying blocks
+                                of the kept files (what the tasks will
+                                actually decode, before the exact row
+                                filter),
+          "columns_decoded":    projection incl. predicate/tombstone
+                                columns decoded-then-dropped,
+        }
+
+    Planning only — the numbers come from the metadata/stats scans the
+    real read performs, so they are exact for the plan, not estimates of
+    the result (the exact row filter still runs on decode)."""
+    import math
+
+    from d6tstack_spark.operators.encode import (
+        _strip_evolved_unprunable,
+        _zone_keep_condition,
+        zone_dnf_from_where,
+    )
+    from d6tstack_spark.plans.bloomidx import (
+        bloom_prune_basenames,
+        load_bloom_meta,
+    )
+    from d6tstack_spark.plans.checkpoint import _resolve_block_paths
+
+    manifest, basenames, vis, seen = resolve_read_state(
+        spark, state_dir, snapshot
+    )
     report: dict = {
         "files_total": len(basenames),
         "tombstones_visible": len(vis),

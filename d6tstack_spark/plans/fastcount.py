@@ -1,0 +1,265 @@
+"""Metadata-only and pruned counting over encoded state dirs.
+
+``SELECT COUNT(*) FROM t WHERE ...`` is the single most common query a
+100 TB pipeline runs (progress tracking, partition sizing, data-quality
+gates), and a naive implementation decodes every payload byte to throw
+it away. The block format already records everything needed to answer
+most counts from metadata alone: per-(block, column) ``n_rows`` /
+``null_count`` and the zone-map min/max stats. This module is the
+Iceberg/Snowflake "metadata-only scan" analog for the block format:
+
+- ``count(*)`` with no predicate and no pending tombstones is a pure
+  stats aggregation — O(metadata), zero payload I/O.
+- With a predicate, files are classified three ways:
+    * **no-match** — the existing may-match zone DNF prunes them (no
+      block can contain a matching row): contribute 0;
+    * **all-match** — compiling the predicate's NEGATION through the
+      same conservative may-match compiler proves NO row can fail the
+      predicate: contribute their stats row count, payload untouched;
+    * **undecided** — decoded through :func:`decode_where` (zone-pruned
+      + exact row filter), the only payload actually read.
+  The all-match proof must respect SQL three-valued logic: a row where
+  the predicate evaluates NULL matches neither the predicate nor its
+  negation, and for the compiler's grammar (comparisons, IN, LIKE,
+  AND/OR/NOT) a NULL result requires a NULL input column — so the
+  negation is widened with ``<col> IS NULL`` disjuncts for every
+  referenced column before compiling. Any construct outside the
+  grammar poisons the compile ([]), which simply disables the proof
+  and falls back to exact decoding — sound by construction.
+
+Reference analog: d6tstack answers "how many rows will this combine
+produce" by counting during the scan (combine_csv.py preview/row
+counts); this answers it without the scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from d6tstack_spark.plans.explain import resolve_read_state
+
+
+def _qualifying_pairs(
+    stats: DataFrame, manifest: dict, dnf: list[list[tuple]]
+) -> DataFrame:
+    """Distinct ``(f, block_id)`` pairs that MAY contain a row matching
+    the DNF — the driver half of decode's zone pruning, kept in-plan so
+    block classification never collects per-block state to the driver.
+    ``stats`` must carry an ``f`` (file) column alongside the stats
+    rows. Must stay in lockstep with decode_parquet_blocks' task-side
+    keep-id derivation (same stats rows, same
+    :func:`_zone_keep_condition`), or hybrid counts double- or
+    under-count."""
+    from d6tstack_spark.operators.encode import _zone_keep_condition
+
+    qual = None
+    for branch in dnf:
+        branch_df = None
+        for bf in branch:
+            col, keep = _zone_keep_condition(manifest, bf)
+            s = (
+                stats.filter(F.col("column") == col)
+                .filter(keep)
+                .select("f", "block_id")
+                .distinct()
+            )
+            branch_df = (
+                s
+                if branch_df is None
+                else branch_df.join(s, ["f", "block_id"], "inner")
+            )
+        qual = branch_df if qual is None else qual.unionByName(branch_df)
+    return qual.distinct()
+
+
+def _compile_dnf(where: str, manifest: dict):
+    """May-match DNF or None when the predicate is unprunable (compile
+    poison, backslash guard, or evolved-column strip disabling it)."""
+    from d6tstack_spark.operators.encode import (
+        _strip_evolved_unprunable,
+        zone_dnf_from_where,
+    )
+
+    try:
+        dnf = zone_dnf_from_where(where, manifest)
+    except Exception:
+        return None
+    return _strip_evolved_unprunable(dnf or None, manifest)
+
+
+def fast_count(
+    spark: SparkSession,
+    state_dir: str,
+    where: str | None = None,
+    snapshot: int | None = None,
+) -> dict:
+    """Exact row count of ``decode_state(spark, state_dir, where=...,
+    snapshot=...)`` touching as little payload as the stats allow.
+    Returns::
+
+        {
+          "count":               exact count (always equals the decode),
+          "mode":                "metadata" | "hybrid" | "fallback",
+          "files_total":         resolved blocks files,
+          "files_pruned":        proven to contain no matching row,
+          "files_metadata_only": proven all-match, counted from stats,
+          "files_decoded":       undecided, decoded + exactly filtered,
+          "blocks_kept":         blocks surviving may-match pruning,
+          "blocks_decoded":      undecided blocks actually decoded —
+                                 classification is block-granular, so a
+                                 single-file state dir still reads only
+                                 the blocks the proof cannot settle,
+        }
+
+    Pending tombstones force ``mode="fallback"`` (the count is still
+    exact — it routes through :func:`decode_state`'s merge-on-read);
+    purge them and the metadata path returns."""
+    from d6tstack_spark.plans.checkpoint import (
+        _blocks_dir,
+        _resolve_block_paths,
+        decode_state,
+    )
+
+    manifest, basenames, vis, _seen = resolve_read_state(
+        spark, state_dir, snapshot
+    )
+    report = {
+        "files_total": len(basenames),
+        "files_pruned": 0,
+        "files_metadata_only": 0,
+        "files_decoded": 0,
+        "blocks_total": 0,
+        "blocks_kept": 0,
+        "blocks_decoded": 0,
+    }
+    if not basenames:
+        return {"count": 0, "mode": "metadata", **report}
+    if vis:
+        # visible tombstones: generation-scoped anti-joins / keep-filters
+        # are decode_state's job; stats predate the deletes so metadata
+        # counting would overcount
+        dec = decode_state(spark, state_dir, where=where, snapshot=snapshot)
+        report["files_decoded"] = len(basenames)
+        return {"count": dec.count(), "mode": "fallback", **report}
+
+    paths = _resolve_block_paths(state_dir, basenames)
+    raw = spark.read.parquet(*paths)
+    if "n_rows" not in raw.columns:
+        dec = decode_state(spark, state_dir, where=where, snapshot=snapshot)
+        report["files_decoded"] = len(basenames)
+        return {"count": dec.count(), "mode": "fallback", **report}
+    has_zone = "vmin_num" in raw.columns
+    stats = raw.select(
+        F.input_file_name().alias("f"),
+        *[
+            c
+            for c in (
+                "block_id", "column", "n_rows", "null_count",
+                "vmin_num", "vmax_num", "vmin_str", "vmax_str",
+            )
+            if c in raw.columns
+        ],
+    )
+    rows_per_file = stats.groupBy("f", "block_id").agg(
+        F.max("n_rows").alias("r")
+    )
+
+    if where is None:
+        total = rows_per_file.agg(F.sum("r").alias("n")).collect()[0]["n"]
+        report["files_metadata_only"] = len(basenames)
+        return {"count": int(total or 0), "mode": "metadata", **report}
+
+    may_dnf = _compile_dnf(where, manifest) if has_zone else None
+
+    # all-match proof: no row can satisfy (NOT where) OR any-ref-col-NULL
+    ref_cols = [
+        c
+        for c in manifest
+        if re.search(rf"\b{re.escape(c)}\b", where, re.IGNORECASE)
+    ]
+    negated = f"(NOT ({where}))" + "".join(
+        f" OR ({c} IS NULL)" for c in ref_cols
+    )
+    neg_dnf = _compile_dnf(negated, manifest) if has_zone else None
+
+    # the undecided blocks decode under may AND may-fail — expressible
+    # as a DNF only via branch products, so cap the blowup (past the cap
+    # the proof is skipped, never wrong)
+    combined = None
+    if may_dnf and neg_dnf and len(may_dnf) * len(neg_dnf) <= 64:
+        combined = [mb + nb for mb in may_dnf for nb in neg_dnf]
+    else:
+        neg_dnf = neg_dnf if may_dnf is None else None
+        combined = may_dnf or neg_dnf
+
+    pairs_all = rows_per_file.select("f", "block_id")
+    may_pairs = (
+        _qualifying_pairs(stats, manifest, may_dnf) if may_dnf else pairs_all
+    )
+    undec_pairs = (
+        may_pairs.join(
+            _qualifying_pairs(stats, manifest, neg_dnf),
+            ["f", "block_id"],
+            "inner",
+        )
+        if neg_dnf
+        else may_pairs
+    )
+    # one job: per-file kept/undecided/allmatch block tallies + the
+    # metadata-counted rows
+    tallies = (
+        rows_per_file.join(
+            may_pairs.withColumn("_kept", F.lit(1)), ["f", "block_id"], "left"
+        )
+        .join(
+            undec_pairs.withColumn("_undec", F.lit(1)),
+            ["f", "block_id"],
+            "left",
+        )
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("nblocks"),
+            F.sum("_kept").alias("kept"),
+            F.sum("_undec").alias("undec"),
+            F.sum(
+                F.when(
+                    F.col("_kept").isNotNull() & F.col("_undec").isNull(),
+                    F.col("r"),
+                )
+            ).alias("meta_rows"),
+        )
+        .collect()
+    )
+    count = sum(int(t["meta_rows"] or 0) for t in tallies)
+    undec_files = sorted(t["f"] for t in tallies if t["undec"])
+    report["files_pruned"] = sum(1 for t in tallies if not t["kept"])
+    report["files_metadata_only"] = sum(
+        1 for t in tallies if t["kept"] and not t["undec"]
+    )
+    report["files_decoded"] = len(undec_files)
+    # block-granular tallies: classification is per BLOCK, so even a
+    # single-file state dir decodes only its undecided blocks
+    report["blocks_total"] = sum(int(t["nblocks"]) for t in tallies)
+    report["blocks_kept"] = sum(int(t["kept"] or 0) for t in tallies)
+    report["blocks_decoded"] = sum(int(t["undec"] or 0) for t in tallies)
+
+    if undec_files:
+        from d6tstack_spark.operators.encode import decode_parquet_blocks
+
+        base_of = {p.split("/")[-1]: p for p in paths}
+        # input_file_name URIs vs resolved paths: match on basename
+        # (unique within a blocks dir by construction)
+        dec_paths = [base_of[f.split("/")[-1]] for f in undec_files]
+        dec = decode_parquet_blocks(
+            spark,
+            _blocks_dir(state_dir),
+            manifest,
+            columns=ref_cols or None,
+            block_filter=combined,
+            paths=dec_paths,
+        )
+        count += dec.filter(F.expr(where)).count()
+    mode = "metadata" if not undec_files else "hybrid"
+    return {"count": count, "mode": mode, **report}
