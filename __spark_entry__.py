@@ -602,6 +602,41 @@ _FC_PREDS = [
 ]
 
 
+def q_fast_minmax_stats(spark, sf_dir):
+    """Metadata-driven MIN/MAX and profile (round 5):
+    ``plans.fastcount.fast_min_max`` recovers each block's true
+    float-rounded extreme by inverting the 1-ulp stats widening
+    (``nextafter`` is a bijection step and float rounding is monotone),
+    decodes only the blocks tying for the best bound, and aggregates
+    exactly — including int64 past 2^53 where the stats collapse and
+    the decode disambiguates. ``fast_profile`` reads COUNT(*) straight
+    from the per-block ``n_rows``. Graded against DuckDB MIN/MAX/COUNT
+    over the source."""
+    import tempfile
+
+    from d6tstack_spark.plans.checkpoint import encode_resume
+    from d6tstack_spark.plans.fastcount import fast_min_max, fast_profile
+
+    sd = tempfile.mkdtemp() + "/state"
+    encode_resume(
+        spark, [f"{sf_dir}/events.parquet"], sd, order_cols=("event_id",)
+    )
+    mid = fast_min_max(spark, sd, "event_id")
+    mval = fast_min_max(spark, sd, "value")
+    mtyp = fast_min_max(spark, sd, "event_type")
+    n = {r["column"]: r["n_rows"] for r in fast_profile(spark, sd).collect()}
+    return spark.createDataFrame(
+        [
+            (
+                mid["min"], mid["max"], mval["min"], mval["max"],
+                mtyp["min"], mtyp["max"], n["event_id"],
+            )
+        ],
+        "mn_id long, mx_id long, mn_val double, mx_val double, "
+        "mn_type string, mx_type string, n_rows long",
+    )
+
+
 def q_fast_count_pruned(spark, sf_dir):
     """Metadata-only / pruned counting (round 5):
     ``plans.fastcount.fast_count`` answers COUNT(*)-with-WHERE by
@@ -1707,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encdec_update_where": q_encdec_update_where,
         "bloom_point_lookup": q_bloom_point_lookup,
         "fast_count_pruned": q_fast_count_pruned,
+        "fast_minmax_stats": q_fast_minmax_stats,
         # --- last graded in round 3 (stalest first) ---
         "sessionize": q_sessionize,
         "props_json": q_props_json,
@@ -1962,6 +1998,13 @@ def oracle_sql() -> dict[str, str]:
             f"FROM events WHERE {w}"
             for k, w in _FC_PREDS
         ),
+        "fast_minmax_stats": """
+            SELECT MIN(event_id) AS mn_id, MAX(event_id) AS mx_id,
+                   MIN(value) AS mn_val, MAX(value) AS mx_val,
+                   MIN(event_type) AS mn_type, MAX(event_type) AS mx_type,
+                   COUNT(*) AS n_rows
+            FROM events
+        """,
         "encdec_zorder": (
             "SELECT * FROM events WHERE value BETWEEN 0.25 AND 0.35 "
             "AND user_id BETWEEN 5 AND 60"

@@ -263,3 +263,161 @@ def fast_count(
         count += dec.filter(F.expr(where)).count()
     mode = "metadata" if not undec_files else "hybrid"
     return {"count": count, "mode": mode, **report}
+
+
+def fast_profile(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-column data-quality profile — rows, nulls, non-nulls, blocks —
+    from the stats rows alone: a full-table quality gate that reads zero
+    payload bytes. Refuses pending tombstones (stats predate deletes;
+    purge first) rather than silently overcounting."""
+    from d6tstack_spark.plans.checkpoint import _resolve_block_paths
+
+    _manifest, basenames, vis, _seen = resolve_read_state(
+        spark, state_dir, None
+    )
+    if vis:
+        raise RuntimeError(
+            f"state dir {state_dir} has pending delete tombstones; the "
+            "stats predate them, so a metadata profile would overcount — "
+            "run plans.maintenance.purge_deletes() first"
+        )
+    paths = _resolve_block_paths(state_dir, basenames)
+    if not paths:
+        return spark.createDataFrame(
+            [],
+            "column string, n_rows long, null_count long, "
+            "non_null long, n_blocks long",
+        )
+    return (
+        spark.read.parquet(*paths)
+        .groupBy("column")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("null_count").alias("null_count"),
+            (F.sum("n_rows") - F.sum("null_count")).alias("non_null"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+    )
+
+
+def fast_min_max(
+    spark: SparkSession, state_dir: str, col: str
+) -> dict:
+    """EXACT min/max of one column, decoding only the blocks that can
+    hold the extremes. The numeric zone stats are 1-ulp widened — an
+    invertible ``nextafter`` step, so each block's true (float-rounded)
+    min/max is recovered exactly and float rounding is monotone: the
+    blocks tying for the best recovered bound are precisely the
+    candidates, usually one per extreme. String stats: the truncated
+    ``vmin_str`` prefix is order-monotone so min candidates are the
+    prefix-min ties; ``vmax_str`` is truncate-INCREMENT (not monotone
+    past the 64-byte cap), so any full-width bound is conservatively a
+    max candidate too. Falls back to a full decode aggregation when
+    tombstones pend or the stats predate zone maps. Returns
+    ``{"min", "max", "mode", "blocks_decoded"}``; SQL semantics (nulls
+    skipped; all-null column → both None)."""
+    import math
+
+    from d6tstack_spark.operators.encode import decode_parquet_blocks
+    from d6tstack_spark.plans.checkpoint import (
+        _blocks_dir,
+        _resolve_block_paths,
+        decode_state,
+    )
+
+    manifest, basenames, vis, _seen = resolve_read_state(
+        spark, state_dir, None
+    )
+    if col not in manifest:
+        raise ValueError(f"column {col!r} not in manifest")
+    if not basenames:
+        return {"min": None, "max": None, "mode": "metadata",
+                "blocks_decoded": 0}
+
+    def _exact_fallback():
+        agg = (
+            decode_state(spark, state_dir, columns=[col])
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+            .collect()[0]
+        )
+        return {"min": agg["mn"], "max": agg["mx"], "mode": "fallback",
+                "blocks_decoded": -1}
+
+    if vis:
+        return _exact_fallback()
+    paths = _resolve_block_paths(state_dir, basenames)
+    raw = spark.read.parquet(*paths)
+    if "vmin_num" not in raw.columns:
+        return _exact_fallback()
+    is_str = manifest[col]["ptype"] in ("str", "bin")
+    lo_c, hi_c = ("vmin_str", "vmax_str") if is_str else (
+        "vmin_num", "vmax_num")
+    stats = (
+        raw.filter(F.col("column") == col)
+        .select(
+            F.input_file_name().alias("f"), "block_id",
+            "n_rows", "null_count", lo_c, hi_c,
+        )
+        .collect()
+    )
+    base_of = {p.split("/")[-1]: p for p in paths}
+
+    rows = [r for r in stats if r[lo_c] is not None]
+    if not rows:
+        if any(r["null_count"] < r["n_rows"] for r in stats):
+            # non-null values exist but their blocks carry no usable
+            # stats (unsupported type / legacy) — cannot plan
+            return _exact_fallback()
+        return {"min": None, "max": None, "mode": "metadata",
+                "blocks_decoded": 0}
+    if len(rows) < sum(
+        1 for r in stats if r["null_count"] < r["n_rows"]
+    ):
+        # some non-null blocks are stat-less: they could hide an extreme
+        return _exact_fallback()
+
+    if is_str:
+        lo_best = min(r[lo_c] for r in rows)
+        cand_min = {(r["f"], r["block_id"]) for r in rows if r[lo_c] == lo_best}
+        his = [r[hi_c] for r in rows]
+        if any(h is None for h in his):
+            cand_max = {(r["f"], r["block_id"]) for r in rows}
+        else:
+            hi_best = max(his)
+            cand_max = {
+                (r["f"], r["block_id"])
+                for r in rows
+                # full-width bounds may be truncate-incremented
+                # overshoots — conservatively candidates
+                if r[hi_c] == hi_best or len(r[hi_c]) >= 64
+            }
+    else:
+        tm = {
+            (r["f"], r["block_id"]): (
+                math.nextafter(r[lo_c], math.inf),
+                math.nextafter(r[hi_c], -math.inf),
+            )
+            for r in rows
+        }
+        lo_best = min(v[0] for v in tm.values())
+        hi_best = max(v[1] for v in tm.values())
+        cand_min = {k for k, v in tm.items() if v[0] == lo_best}
+        cand_max = {k for k, v in tm.items() if v[1] == hi_best}
+
+    cand = cand_min | cand_max
+    dec_paths = sorted({base_of[f.split("/")[-1]] for f, _ in cand})
+    ids = sorted({b for _, b in cand})
+    dec = decode_parquet_blocks(
+        spark, _blocks_dir(state_dir), manifest, columns=[col],
+        paths=dec_paths,
+    )
+    # block-id restriction happens via the candidate files; the extra
+    # blocks a shared file contributes only widen the agg input, never
+    # change min/max soundness — but keep it tight when possible
+    agg = dec.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
+    return {
+        "min": agg["mn"],
+        "max": agg["mx"],
+        "mode": "hybrid",
+        "blocks_decoded": len(ids),
+    }

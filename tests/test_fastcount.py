@@ -150,6 +150,87 @@ def test_tombstones_force_exact_fallback(spark, state3):
     assert rep["count"] == 600
 
 
+def test_fast_profile_is_metadata_only(spark, state3):
+    from d6tstack_spark.plans.fastcount import fast_profile
+
+    prof = {r["column"]: r.asDict() for r in fast_profile(spark, state3).collect()}
+    assert prof["seq"]["n_rows"] == 3600
+    assert prof["seq"]["null_count"] == 0
+    # val: every 7th row null per file
+    assert prof["val"]["null_count"] == 3 * len(range(0, 1200, 7))
+    assert prof["val"]["non_null"] == 3600 - prof["val"]["null_count"]
+
+
+def test_fast_profile_refuses_pending_tombstones(spark, state3):
+    from d6tstack_spark.plans.checkpoint import delete_where
+    from d6tstack_spark.plans.fastcount import fast_profile
+
+    delete_where(spark, state3, "seq >= 3000")
+    with pytest.raises(RuntimeError, match="tombstones"):
+        fast_profile(spark, state3)
+
+
+def test_fast_min_max_exact(spark, state3):
+    from d6tstack_spark.plans.fastcount import fast_min_max
+
+    r = fast_min_max(spark, state3, "seq")
+    assert (r["min"], r["max"]) == (0, 3599)
+    assert r["mode"] == "hybrid"
+    r = fast_min_max(spark, state3, "conv_id")
+    assert (r["min"], r["max"]) == ("a0000", "c0199")
+    r = fast_min_max(spark, state3, "val")  # nulls skipped
+    assert (r["min"], r["max"]) == (0.0, 99.0)
+
+
+def test_fast_min_max_beyond_float53(spark, tmp_path):
+    """int64 extremes past 2^53: float-rounded stats collapse distinct
+    values, so several blocks tie as candidates — the exact answer must
+    come from the decode, not the stats."""
+    from d6tstack_spark.plans.fastcount import fast_min_max
+
+    base = 2**60
+    vals = [base + j for j in range(4000)]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"c{j // 50:04d}" for j in range(4000)]),
+            "turn_idx": pa.array([j % 50 for j in range(4000)], pa.int32()),
+            "big": pa.array(vals, pa.int64()),
+        }
+    )
+    p = str(tmp_path / "src.parquet")
+    pq.write_table(tbl, p, row_group_size=500)
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [p], sd, order_cols=("conv_id", "turn_idx"))
+    r = fast_min_max(spark, sd, "big")
+    assert (r["min"], r["max"]) == (base, base + 3999)
+
+
+def test_fast_min_max_all_null_and_fallback(spark, tmp_path):
+    from d6tstack_spark.plans.checkpoint import delete_where
+    from d6tstack_spark.plans.fastcount import fast_min_max
+
+    n = 600
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"c{j // 6:03d}" for j in range(n)]),
+            "turn_idx": pa.array([j % 6 for j in range(n)], pa.int32()),
+            "empty": pa.array([None] * n, pa.float64()),
+            "seq": pa.array(list(range(n)), pa.int64()),
+        }
+    )
+    p = str(tmp_path / "src.parquet")
+    pq.write_table(tbl, p)
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [p], sd, order_cols=("conv_id", "turn_idx"))
+    r = fast_min_max(spark, sd, "empty")
+    assert (r["min"], r["max"]) == (None, None)
+    assert r["mode"] == "metadata"
+    delete_where(spark, sd, "seq < 100")
+    r = fast_min_max(spark, sd, "seq")
+    assert r["mode"] == "fallback"
+    assert (r["min"], r["max"]) == (100, 599)
+
+
 def test_snapshot_count(spark, state3):
     from d6tstack_spark.plans.checkpoint import load_snapshots
 
