@@ -1612,6 +1612,62 @@ def q_stream_decode_roundtrip(spark, sf_dir):
     return spark.read.parquet(out).drop("epoch")
 
 
+def q_stream_upsert_cdc(spark, sf_dir):
+    """Continuous MERGE / CDC apply (round 5): events lands as epoch 0,
+    epoch 1 re-delivers every ``user_id % 10 = 3`` user with rewritten
+    rows (upper event_type, doubled value — whole-key replacement) and
+    emits delete events for every ``user_id % 10 = 7`` user. The stream
+    applies each micro-batch merge-on-read: one sequence-scoped key
+    tombstone + append, no physical rewrite in the hot path; decode
+    merges exactly. The Delta/Iceberg streaming-MERGE analog over the
+    block format."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from d6tstack_spark.plans.checkpoint import decode_state
+    from d6tstack_spark.streaming.upsert_stream import start_upsert_stream
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"stream_ups_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(base, ignore_errors=True)  # fresh offsets per invocation
+    inp, sd, ckpt = (os.path.join(base, d) for d in ("in", "state", "ckpt"))
+    os.makedirs(inp)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dcol = F.lit(False).alias("is_delete")
+    ev.select("*", dcol).write.parquet(os.path.join(inp, "b0.parquet"))
+    q = start_upsert_stream(
+        spark, inp, sd, ckpt,
+        schema=ev.select("*", dcol).schema,
+        key_cols=("user_id",), order_cols=("user_id", "event_id"),
+        delete_col="is_delete",
+    )
+    try:
+        q.processAllAvailable()
+        redeliver = (
+            ev.filter("user_id % 10 = 3")
+            .withColumn("event_type", F.upper("event_type"))
+            .withColumn("value", F.col("value") * 2)
+            .select("*", dcol)
+        )
+        dels = (
+            ev.filter("user_id % 10 = 7")
+            .groupBy("user_id")
+            .agg(*[F.min(c).alias(c) for c in ev.columns if c != "user_id"])
+            .select(*ev.columns, F.lit(True).alias("is_delete"))
+        )
+        redeliver.unionByName(dels).write.parquet(
+            os.path.join(inp, "b1.parquet")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return decode_state(spark, sd)
+
+
 def q_jsonl_stacked(spark, sf_dir):
     """JSONL drift-stacking in the gate: 200 events → two JSONL 'files'
     with DIFFERENT schemas (f0 carries user_id, f1 carries event_type),
@@ -1743,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup": q_bloom_point_lookup,
         "fast_count_pruned": q_fast_count_pruned,
         "fast_minmax_stats": q_fast_minmax_stats,
+        "stream_upsert_cdc": q_stream_upsert_cdc,
         # --- last graded in round 3 (stalest first) ---
         "sessionize": q_sessionize,
         "props_json": q_props_json,
@@ -2004,6 +2061,15 @@ def oracle_sql() -> dict[str, str]:
                    MIN(event_type) AS mn_type, MAX(event_type) AS mx_type,
                    COUNT(*) AS n_rows
             FROM events
+        """,
+        "stream_upsert_cdc": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events WHERE user_id % 10 NOT IN (3, 7)
+            UNION ALL
+            SELECT event_id, ts, user_id,
+                   upper(event_type) AS event_type,
+                   value * 2 AS value, props
+            FROM events WHERE user_id % 10 = 3
         """,
         "encdec_zorder": (
             "SELECT * FROM events WHERE value BETWEEN 0.25 AND 0.35 "

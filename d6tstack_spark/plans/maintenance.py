@@ -1223,6 +1223,17 @@ def upsert_files(
             "already recorded in the state dir (its splits would be "
             "skipped as complete, silently dropping the new content)"
         )
+    if recorded:
+        # Complete any in-flight append FIRST: a prior upsert/resume that
+        # crashed mid-append left recorded sources with missing splits,
+        # and the key tombstone below only covers files appended BEFORE
+        # its delete record (sequence scoping). Completing them here puts
+        # their rows under the tombstone; finishing them after it would
+        # resurrect the old version next to the new one. No-op (anti-join
+        # planning only) when everything is already complete.
+        encode_resume(
+            spark, sorted(recorded), state_dir, order_cols=order_cols
+        )
     keys = spark.read.parquet(*new_paths).select(*key_cols)
     drep = delete_keys(spark, state_dir, keys, key_cols=key_cols)
     prep = (
