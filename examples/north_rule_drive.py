@@ -205,6 +205,17 @@ def main(work_dir: str, sf: float = 0.05) -> None:
         dec5.exceptAll(want5).count() + want5.exceptAll(dec5).count()
     )
 
+    # 7. metadata-only aggregation: COUNT(*) from per-block n_rows alone
+    # (zero payload reads), and a ts-slice count where zone stats prove
+    # most blocks all-match — only boundary blocks decode.
+    from d6tstack_spark.plans.fastcount import fast_count, fast_min_max
+
+    fc_all = fast_count(spark, state)
+    fc_slice = fast_count(spark, state, where=f"ts >= TIMESTAMP '{cut_ts}'")
+    want_slice = full_src.filter(f"ts >= TIMESTAMP '{cut_ts}'").count()
+    mm = fast_min_max(spark, state, "conv_id")
+    minmax_ok = (mm["min"], mm["max"]) == (first_conv, last_conv)
+
     print(
         json.dumps(
             {
@@ -242,6 +253,16 @@ def main(work_dir: str, sf: float = 0.05) -> None:
                     "files_total": plan["files_total"],
                     "files_after_bloom": plan["files_after_bloom"],
                     "decode_exact": bloom_mismatch == 0,
+                },
+                "fast_count": {
+                    "count_star_exact": fc_all["count"] == n,
+                    "count_star_mode": fc_all["mode"],
+                    "ts_slice_exact": fc_slice["count"] == want_slice,
+                    "ts_slice_blocks": [
+                        fc_slice["blocks_decoded"],
+                        fc_slice["blocks_total"],
+                    ],
+                    "minmax_exact": minmax_ok,
                 },
             }
         )
