@@ -300,6 +300,40 @@ def fast_profile(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def preview_state(
+    spark: SparkSession, state_dir: str, n: int = 100
+) -> DataFrame:
+    """Head preview of an encoded table touching as few files as
+    possible — the reference's preview contract (head scans before a
+    combine, combine_csv.py preview mode) at block-format scale: on a
+    100 TB dir this decodes ONE file, not the table. Files are tried in
+    listing order until ``n`` rows accumulate (empty part files from
+    empty commit partitions are skipped by construction); pending
+    tombstones or an empty dir fall back to the exact decode path."""
+    from d6tstack_spark.operators.encode import decode_parquet_blocks
+    from d6tstack_spark.plans.checkpoint import (
+        _blocks_dir,
+        _resolve_block_paths,
+        decode_state,
+    )
+
+    manifest, basenames, vis, _seen = resolve_read_state(
+        spark, state_dir, None
+    )
+    if vis or not basenames:
+        return decode_state(spark, state_dir).limit(n)
+    paths = _resolve_block_paths(state_dir, basenames)
+    out = None
+    for p in paths:
+        d = decode_parquet_blocks(
+            spark, _blocks_dir(state_dir), manifest, paths=[p]
+        ).limit(n)
+        out = d if out is None else out.unionByName(d).limit(n)
+        if out.count() >= n:
+            break
+    return out.limit(n)
+
+
 def fast_min_max(
     spark: SparkSession, state_dir: str, col: str
 ) -> dict:

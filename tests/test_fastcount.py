@@ -231,6 +231,19 @@ def test_fast_min_max_all_null_and_fallback(spark, tmp_path):
     assert (r["min"], r["max"]) == (100, 599)
 
 
+def test_preview_state_reads_one_file(spark, state3):
+    from d6tstack_spark.plans.fastcount import preview_state
+
+    head = preview_state(spark, state3, n=50)
+    rows = head.collect()
+    assert len(rows) == 50
+    assert set(head.columns) == {"conv_id", "turn_idx", "seq", "val", "tag"}
+    # larger than any single file: accumulates across files
+    assert preview_state(spark, state3, n=2000).count() == 2000
+    # larger than the table: everything, once
+    assert preview_state(spark, state3, n=10_000).count() == 3600
+
+
 def test_snapshot_count(spark, state3):
     from d6tstack_spark.plans.checkpoint import load_snapshots
 

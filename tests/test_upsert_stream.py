@@ -155,6 +155,28 @@ def test_unmarked_replay_is_content_idempotent(spark, tmp_path):
     assert dec.count() == 12
 
 
+def test_purge_every_folds_tombstones(spark, tmp_path):
+    from d6tstack_spark.plans.checkpoint import load_deletes
+
+    sd = str(tmp_path / "state")
+    base = spark.createDataFrame(_rows("a"), _SCHEMA)
+    apply_upsert_batch(
+        spark, sd, base, 0, "ck",
+        key_cols=("conv_id",), order_cols=("conv_id", "turn_idx"),
+    )
+    batch = spark.createDataFrame(_rows("a", n_conv=1, text="v2"), _SCHEMA)
+    rep = apply_upsert_batch(
+        spark, sd, batch, 1, "ck",
+        key_cols=("conv_id",), order_cols=("conv_id", "turn_idx"),
+        purge_every=1,
+    )
+    assert rep["purged"]["files_rewritten"] >= 1
+    assert load_deletes(sd) == []  # folded, not pending
+    dec = decode_state(spark, sd)
+    assert dec.filter("conv_id = 'a000' AND text LIKE 'v2%'").count() == 4
+    assert dec.count() == 12
+
+
 def test_crash_mid_append_retry_does_not_duplicate(spark, tmp_path):
     """The drill behind the pre-completion step: attempt 1 recorded its
     staged file but crashed before encoding any split (files.json is
