@@ -268,8 +268,12 @@ def fast_count(
 def fast_profile(spark: SparkSession, state_dir: str) -> DataFrame:
     """Per-column data-quality profile — rows, nulls, non-nulls, blocks —
     from the stats rows alone: a full-table quality gate that reads zero
-    payload bytes. Refuses pending tombstones (stats predate deletes;
-    purge first) rather than silently overcounting."""
+    payload bytes. ``n_rows`` is the TABLE row count for every column
+    (evolved columns have no stats rows in pre-evolution blocks, but
+    decode surfaces those rows as null — the profile reports what a
+    decode would see, so nulls include the evolution backfill). Refuses
+    pending tombstones (stats predate deletes; purge first) rather than
+    silently overcounting."""
     from d6tstack_spark.plans.checkpoint import _resolve_block_paths
 
     _manifest, basenames, vis, _seen = resolve_read_state(
@@ -288,15 +292,23 @@ def fast_profile(spark: SparkSession, state_dir: str) -> DataFrame:
             "column string, n_rows long, null_count long, "
             "non_null long, n_blocks long",
         )
-    return (
-        spark.read.parquet(*paths)
-        .groupBy("column")
-        .agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.sum("null_count").alias("null_count"),
-            (F.sum("n_rows") - F.sum("null_count")).alias("non_null"),
-            F.count(F.lit(1)).alias("n_blocks"),
-        )
+    raw = spark.read.parquet(*paths).select(
+        F.input_file_name().alias("f"), "block_id", "column",
+        "n_rows", "null_count",
+    )
+    total = (
+        raw.groupBy("f", "block_id")
+        .agg(F.max("n_rows").alias("r"))
+        .agg(F.sum("r"))
+        .collect()[0][0]
+        or 0
+    )
+    return raw.groupBy("column").agg(
+        F.lit(int(total)).alias("n_rows"),
+        (F.lit(int(total)) - F.sum(F.col("n_rows") - F.col("null_count")))
+        .alias("null_count"),
+        F.sum(F.col("n_rows") - F.col("null_count")).alias("non_null"),
+        F.count(F.lit(1)).alias("n_blocks"),
     )
 
 

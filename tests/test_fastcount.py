@@ -161,6 +161,35 @@ def test_fast_profile_is_metadata_only(spark, state3):
     assert prof["val"]["non_null"] == 3600 - prof["val"]["null_count"]
 
 
+def test_fast_profile_counts_evolution_backfill(spark, tmp_path):
+    """A column added by a later append: pre-evolution blocks have no
+    stats rows for it, but decode surfaces their rows as null — the
+    profile must agree with the decode, not the physical storage."""
+    from d6tstack_spark.plans.fastcount import fast_profile
+
+    def _mk(path, n, with_extra):
+        cols = {
+            "conv_id": pa.array([f"c{j // 6:03d}" for j in range(n)]),
+            "turn_idx": pa.array([j % 6 for j in range(n)], pa.int32()),
+        }
+        if with_extra:
+            cols["extra"] = pa.array([float(j) for j in range(n)])
+        pq.write_table(pa.table(cols), path)
+
+    p1 = str(tmp_path / "g1.parquet")
+    p2 = str(tmp_path / "g2.parquet")
+    _mk(p1, 600, False)
+    _mk(p2, 300, True)
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [p1], sd, order_cols=("conv_id", "turn_idx"))
+    encode_resume(spark, [p1, p2], sd, order_cols=("conv_id", "turn_idx"))
+    prof = {r["column"]: r.asDict() for r in fast_profile(spark, sd).collect()}
+    assert prof["extra"]["n_rows"] == 900
+    assert prof["extra"]["null_count"] == 600  # the backfilled old rows
+    assert prof["extra"]["non_null"] == 300
+    assert prof["conv_id"]["null_count"] == 0
+
+
 def test_fast_profile_refuses_pending_tombstones(spark, state3):
     from d6tstack_spark.plans.checkpoint import delete_where
     from d6tstack_spark.plans.fastcount import fast_profile
