@@ -302,23 +302,42 @@ def _record_snapshot(
 def _visible_tombstones(recs: list[dict], snapshot: int) -> list[dict]:
     """Tombstone definitions visible at ``snapshot``: added by a delete
     record ≤ snapshot and not yet cleared by a rewrite ≤ snapshot. Each
-    returned dict carries ``_rec`` = the delete record's snapshot id —
-    the tombstone's SEQUENCE NUMBER: it applies only to files first seen
-    before that record (rows appended after a delete are never deleted
-    by it, Iceberg's sequence-number scoping)."""
-    cleared: set = set()
+    returned dict carries ``_rec`` = the tombstone's SEQUENCE NUMBER: it
+    applies only to files first seen before that record (rows appended
+    after a delete are never deleted by it, Iceberg's sequence-number
+    scoping). Normally the delete record's own id; a tombstone re-added
+    by :func:`~d6tstack_spark.plans.maintenance.rollback_to_snapshot`
+    carries an explicit ``seq`` preserving its ORIGINAL scope.
+
+    Event-sourced walk (records are in id order): a rewrite clears only
+    tombstones DEFINED BY EARLIER RECORDS, so a tombstone id that is
+    reused after a purge (ids restart from deletes.json's max) is not
+    masked by the earlier rewrite that cleared its previous owner."""
+    live: dict[int, dict] = {}
     for r in recs:
-        if r["id"] <= snapshot and r["op"] == "rewrite":
-            cleared |= set(r.get("tombstones", []))
-    vis: list[dict] = []
-    for r in recs:
-        if r["id"] <= snapshot and r["op"] == "delete":
-            vis += [
-                {**t, "_rec": r["id"]}
-                for t in r.get("tombstones", [])
-                if t["id"] not in cleared
-            ]
-    return vis
+        if r["id"] > snapshot:
+            break
+        if r["op"] == "delete":
+            for t in r.get("tombstones", []):
+                live[t["id"]] = {**t, "_rec": t.get("seq", r["id"])}
+        elif r["op"] == "rewrite":
+            for i in r.get("tombstones", []):
+                live.pop(i, None)
+    return list(live.values())
+
+
+def _next_tombstone_id(state_dir: str, items: list[dict]) -> int:
+    """Globally-unique next tombstone id: above every pending id AND
+    every id the snapshot log has ever recorded (delete definitions and
+    rewrite clears). Reusing a cleared id would (a) let the earlier
+    rewrite's clear mask the new tombstone in snapshot-log walks of old
+    readers and (b) collide the keys tombstone's ``retired/keys/<id>``
+    slot, destroying the previous owner's historical key set."""
+    hi = max((d["id"] for d in items), default=0)
+    for r in load_snapshots(state_dir):
+        for t in r.get("tombstones", []) or []:
+            hi = max(hi, t["id"] if isinstance(t, dict) else int(t))
+    return hi + 1
 
 
 def _first_seen_ids(recs: list[dict], upto: int) -> dict[str, int]:
@@ -893,7 +912,7 @@ def delete_where(
                 report["recorded"] = False
                 return report
         items = load_deletes(state_dir)
-        nxt = max((d["id"] for d in items), default=0) + 1
+        nxt = _next_tombstone_id(state_dir, items)
         items.append({"id": nxt, "where": where, "ts": time.time()})
         _write_deletes(state_dir, items)
         report["tombstone_id"] = nxt
@@ -953,7 +972,7 @@ def delete_keys(
             )
         kdf = keys.select(*key_cols).distinct()
         items = load_deletes(state_dir)
-        nxt = max((d["id"] for d in items), default=0) + 1
+        nxt = _next_tombstone_id(state_dir, items)
         rel = os.path.join("delete_keys", str(nxt))
         kdir = os.path.join(state_dir, rel)
         kdf.write.mode("overwrite").parquet(kdir)

@@ -600,3 +600,40 @@ def test_delete_where_counts_net_of_prior_keys_tombstone(spark, state):
     assert rep["matched"] == src.filter("conv_id = 'a0002'").count()
     want = _rows(src.filter("conv_id NOT IN ('a0001', 'a0002')"))
     assert _rows(decode_state(spark, sd)) == want
+
+
+def test_tombstone_ids_never_reused_after_purge(spark, state):
+    """Regression: delete → purge → delete used to reuse tombstone id 1
+    (allocated from deletes.json's max alone), and the earlier rewrite's
+    clear then masked the NEW tombstone in _visible_tombstones — decode
+    silently ignored the pending delete. Ids are now allocated above
+    everything the snapshot log ever recorded, and _visible_tombstones
+    is an event-sourced walk (a rewrite clears only earlier records'
+    tombstones), so even legacy logs with reused ids read correctly."""
+    from d6tstack_spark.plans.checkpoint import delete_keys, load_snapshots
+
+    paths, sd, src = state
+    r1 = delete_where(spark, sd, "turn_idx = 0")
+    purge_deletes(spark, sd)
+    n_after_purge = decode_state(spark, sd).count()
+    assert n_after_purge == src.filter("turn_idx <> 0").count()
+
+    r2 = delete_where(spark, sd, "turn_idx = 1")
+    assert r2["tombstone_id"] > r1["tombstone_id"]
+    want = _rows(src.filter("turn_idx NOT IN (0, 1)"))
+    assert _rows(decode_state(spark, sd)) == want  # pending delete applies
+
+    # keys kind: the retired/keys/<id> slot must stay unique per owner
+    purge_deletes(spark, sd)
+    keys = spark.createDataFrame([("a0005",)], "conv_id string")
+    r3 = delete_keys(spark, sd, keys)
+    assert r3["tombstone_id"] > r2["tombstone_id"]
+    snap = load_snapshots(sd)[-1]["id"]
+    purge_deletes(spark, sd)
+    want_keys = _rows(
+        src.filter("turn_idx NOT IN (0, 1) AND conv_id <> 'a0005'")
+    )
+    assert _rows(decode_state(spark, sd)) == want_keys
+    # time travel AT the keys-tombstone snapshot resolves ITS key set
+    # (not a previous owner of a reused retired/keys slot)
+    assert _rows(decode_state(spark, sd, snapshot=snap)) == want_keys
