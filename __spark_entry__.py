@@ -524,6 +524,49 @@ def q_encdec_time_travel_purge(spark, sf_dir):
     return v1.unionByName(live)
 
 
+def q_encdec_rollback(spark, sf_dir):
+    """Snapshot rollback (round 5): even events encode (s1), a predicate
+    delete records a tombstone (s2), purge physically rewrites (s3), odd
+    events append (s4) — then ``rollback_to_snapshot(s2)`` restores the
+    live table to exactly s2's state: the purged-away original files come
+    back from ``retired/`` (copies — s3/s4 stay time-travel-readable),
+    the appended files retire, and the tombstone is RE-ADDED as pending
+    with its original sequence scope, applied merge-on-read. Graded as
+    the live decode after rollback vs the oracle's scan of even events
+    under the delete predicate (d6tstack parity: the "re-ingest the
+    originals" recovery story as a metadata+file-move operation)."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from d6tstack_spark.plans.checkpoint import (
+        decode_state,
+        delete_where,
+        encode_resume,
+    )
+    from d6tstack_spark.plans.maintenance import (
+        purge_deletes,
+        rollback_to_snapshot,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    even = pc.equal(pc.bit_wise_and(t.column("event_id"), 1), 0)
+    d = tempfile.mkdtemp()
+    f1 = os.path.join(d, "even.parquet")
+    f2 = os.path.join(d, "odd.parquet")
+    pq.write_table(t.filter(even), f1)
+    pq.write_table(t.filter(pc.invert(even)), f2)
+    sd = os.path.join(d, "state")
+    encode_resume(spark, [f1], sd, order_cols=("event_id",))
+    rep = delete_where(spark, sd, _TT_PRED, count_matches=False)
+    purge_deletes(spark, sd, order_cols=("event_id",))
+    encode_resume(spark, [f1, f2], sd, order_cols=("event_id",))
+    rollback_to_snapshot(spark, sd, rep["snapshot"])
+    return decode_state(spark, sd)
+
+
 def q_changelog_purge_diff(spark, sf_dir):
     """Changelog scan across a rewrite (round 5): even events encode,
     a predicate delete purges, odd events append; the (first, latest]
@@ -1793,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "encdec_snapshot_tombstones": q_encdec_snapshot_tombstones,
         "encdec_time_travel_purge": q_encdec_time_travel_purge,
+        "encdec_rollback": q_encdec_rollback,
         "changelog_purge_diff": q_changelog_purge_diff,
         "encdec_zorder": q_encdec_zorder,
         "encdec_update_where": q_encdec_update_where,
@@ -2029,6 +2073,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT *, 'live' AS asof FROM events
             WHERE NOT coalesce(({_TT_PRED}), false)
+        """,
+        "encdec_rollback": f"""
+            SELECT * FROM events
+            WHERE event_id % 2 = 0 AND NOT coalesce(({_TT_PRED}), false)
         """,
         "changelog_purge_diff": f"""
             SELECT *, 'insert' AS change FROM events WHERE event_id % 2 = 1

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import SparkSession, Window, functions as F
 
@@ -1378,6 +1379,180 @@ def expire_snapshots(
             "retired_files_removed": removed,
             "retired_files_kept": kept,
             "retired_keysets_removed": kdirs_removed,
+        }
+    finally:
+        hb.release()
+
+
+def rollback_to_snapshot(
+    spark: SparkSession, state_dir: str, snapshot: int
+) -> dict:
+    """Restore the table's LIVE state to what snapshot ``snapshot``
+    resolved — Iceberg's ``rollback`` (reference analog: d6tstack's
+    re-run-from-scratch recovery story, combine_csv.py's "re-ingest the
+    originals", done here as a metadata+file-move operation instead).
+
+    Physical plan: files visible at the target but retired since are
+    COPIED back from ``retired/`` (copies, not moves — older snapshots
+    keep resolving through the retired area), files live now but not
+    visible at the target are retired. Tombstones visible at the target
+    are re-added as pending with an explicit ``seq`` preserving their
+    ORIGINAL sequence scope (rows appended between the tombstone and the
+    target stay out of its reach, exactly as they were at the target);
+    tombstones recorded after the target are dropped.
+
+    Crash safety rides the purge commit journal: restores are staged
+    into the sibling ``.purge`` dir, the journal is the commit point,
+    and :func:`~d6tstack_spark.plans.checkpoint._replay_purge_journal`
+    rolls the apply forward from any writer entry point (decode refuses
+    while the journal pends, as for any rewrite). History is preserved:
+    rollback APPENDS a rewrite record (plus a delete record for re-added
+    tombstones) — it never truncates the snapshot log, so rolling
+    forward again is just another ``rollback_to_snapshot``.
+
+    The manifest (schema) stays CURRENT: rolling back across a schema
+    evolution restores the old rows, and columns added after the target
+    read as null for them — the same contract as live reads of
+    pre-evolution blocks. Returns ``{"rolled_back_to",
+    "files_restored", "files_retired", "tombstones_readded",
+    "tombstones_dropped", "snapshot"}``."""
+    import shutil
+
+    from d6tstack_spark.operators.encode import _hadoop_list_files
+    from d6tstack_spark.plans.checkpoint import (
+        _LeaseHeartbeat,
+        _acquire_lease,
+        _blocks_dir,
+        _next_tombstone_id,
+        _purge_journal_path,
+        _record_snapshot,
+        _replay_purge_journal,
+        _resolve_keys_path,
+        _retired_blocks_dir,
+        _sweep_snapshot_appends,
+        _visible_tombstones,
+        _write_deletes,
+        load_deletes,
+        load_snapshots,
+        resolve_snapshot,
+    )
+
+    lease = _acquire_lease(state_dir)
+    hb = _LeaseHeartbeat(lease)
+    try:
+        _replay_purge_journal(spark, state_dir)
+        _sweep_snapshot_appends(spark, state_dir)
+        recs = load_snapshots(state_dir)
+        if not recs:
+            raise ValueError(f"{state_dir} has no snapshot log")
+        latest = recs[-1]["id"]
+        target = set(resolve_snapshot(state_dir, snapshot))  # checks expiry
+        bd = _blocks_dir(state_dir)
+        live = {
+            os.path.basename(p)
+            for p in _hadoop_list_files(spark, bd, ".parquet")
+        }
+        restore = sorted(target - live)
+        retire = sorted(live - target)
+        rd = _retired_blocks_dir(state_dir)
+        gone = [b for b in restore if not os.path.exists(os.path.join(rd, b))]
+        if gone:
+            raise ValueError(
+                f"snapshot {snapshot} needs {len(gone)} retired file(s) that "
+                f"no longer exist (first: {gone[0]}) — reclaimed by "
+                "expire_snapshots; rollback cannot reach past the expiry "
+                "watermark"
+            )
+
+        pending = load_deletes(state_dir)
+        vis_n = _visible_tombstones(recs, snapshot)
+        if (
+            snapshot == latest
+            and not restore
+            and not retire
+            and {d["id"] for d in pending} == {t["id"] for t in vis_n}
+        ):
+            return {
+                "rolled_back_to": snapshot,
+                "files_restored": 0,
+                "files_retired": 0,
+                "tombstones_readded": 0,
+                "tombstones_dropped": 0,
+                "snapshot": latest,
+            }
+
+        # --- re-add the target's visible tombstones under fresh ids with
+        # their ORIGINAL sequence numbers; key sets are copied (the source
+        # may be live OR retired — both stay untouched for older snapshots)
+        items = list(pending)
+        readds: list[dict] = []
+        for t in vis_n:
+            nid = _next_tombstone_id(state_dir, items)
+            nd: dict = {"id": nid, "seq": t["_rec"], "ts": time.time()}
+            if t.get("kind") == "keys":
+                src_kdir = _resolve_keys_path(state_dir, t)
+                rel = os.path.join("delete_keys", str(nid))
+                dst_kdir = os.path.join(state_dir, rel)
+                shutil.rmtree(dst_kdir, ignore_errors=True)
+                shutil.copytree(src_kdir, dst_kdir)
+                nd.update(kind="keys", cols=list(t["cols"]), path=rel)
+            else:
+                nd["where"] = t["where"]
+            items.append(nd)
+            readds.append(nd)
+        _write_deletes(state_dir, items)
+        if readds:
+            _record_snapshot(
+                state_dir,
+                "delete",
+                [],
+                tombstones=[
+                    {k: v for k, v in d.items() if k != "ts"} for d in readds
+                ],
+            )
+
+        # --- stage restores as COPIES into the journal's adopt dir, then
+        # commit via the shared roll-forward journal (replayable from any
+        # writer entry; decode refuses while it pends)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+
+        def _p(p: str):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
+        fs = _p(bd).getFileSystem(conf)
+        tmp = bd + ".purge"
+        if fs.exists(_p(tmp)):
+            fs.delete(_p(tmp), True)
+        fs.mkdirs(_p(tmp))
+        for b in restore:
+            ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, _p(os.path.join(rd, b)), fs, _p(tmp + "/" + b),
+                False, conf,
+            )
+            if not ok:
+                fs.delete(_p(tmp), True)
+                raise RuntimeError(
+                    f"failed to stage retired file {b} for rollback; "
+                    "blocks dir untouched"
+                )
+        journal = {
+            "remove": retire,
+            "adopt": restore,
+            "tombstones": [d["id"] for d in pending],
+        }
+        jp = _purge_journal_path(state_dir)
+        with open(jp + ".tmp", "w") as f:
+            json.dump(journal, f, indent=1)
+        os.replace(jp + ".tmp", jp)
+        _replay_purge_journal(spark, state_dir)
+        return {
+            "rolled_back_to": snapshot,
+            "files_restored": len(restore),
+            "files_retired": len(retire),
+            "tombstones_readded": len(readds),
+            "tombstones_dropped": len(pending),
+            "snapshot": load_snapshots(state_dir)[-1]["id"],
         }
     finally:
         hb.release()

@@ -1,0 +1,197 @@
+"""rollback_to_snapshot: restore the live table to a past snapshot's
+state (Iceberg rollback) — file moves ride the purge commit journal,
+tombstones visible at the target are re-added with their original
+sequence scope, and history is append-only (roll forward = another
+rollback)."""
+
+from __future__ import annotations
+
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from d6tstack_spark.plans.checkpoint import (
+    decode_state,
+    delete_keys,
+    delete_where,
+    encode_resume,
+    load_deletes,
+    load_snapshots,
+)
+from d6tstack_spark.plans.maintenance import (
+    expire_snapshots,
+    purge_deletes,
+    rollback_to_snapshot,
+)
+
+ORDER = ("conv_id", "turn_idx")
+
+
+def _mk(tmp_path, name, pref, n=1200):
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"{pref}{j // 6:04d}" for j in range(n)]),
+            "turn_idx": pa.array([j % 6 for j in range(n)], pa.int32()),
+            "text": pa.array([f"msg {pref}{j}" for j in range(n)]),
+        }
+    )
+    p = str(tmp_path / name)
+    pq.write_table(tbl, p, row_group_size=400)
+    return p
+
+
+def _rows(df):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in df.select("conv_id", "turn_idx", "text").collect()
+    )
+
+
+@pytest.fixture()
+def hist(spark, tmp_path):
+    """append a → delete (pending) → purge → append b, snapshot per step."""
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    s1 = load_snapshots(sd)[-1]["id"]
+    delete_where(spark, sd, "turn_idx = 0")
+    s2 = load_snapshots(sd)[-1]["id"]
+    purge_deletes(spark, sd, order_cols=ORDER)
+    s3 = load_snapshots(sd)[-1]["id"]
+    b = _mk(tmp_path, "b.parquet", "b")
+    encode_resume(spark, [a, b], sd, order_cols=ORDER)
+    s4 = load_snapshots(sd)[-1]["id"]
+    src_a = spark.read.parquet(a)
+    src_ab = spark.read.parquet(a, b)
+    return sd, (s1, s2, s3, s4), src_a, src_ab
+
+
+def test_rollback_restores_files_and_readds_tombstone(spark, hist):
+    sd, (s1, s2, s3, s4), src_a, src_ab = hist
+    rep = rollback_to_snapshot(spark, sd, s2)
+    assert rep["files_restored"] > 0 and rep["files_retired"] > 0
+    assert rep["tombstones_readded"] == 1
+    # live state == the target snapshot's state: pre-purge files with the
+    # tombstone applied as merge-on-read
+    want = _rows(src_a.filter("turn_idx <> 0"))
+    assert _rows(decode_state(spark, sd)) == want
+    assert _rows(decode_state(spark, sd, snapshot=s2)) == want
+    # the re-added tombstone purges cleanly again
+    purge_deletes(spark, sd, order_cols=ORDER)
+    assert _rows(decode_state(spark, sd)) == want
+    assert load_deletes(sd) == []
+
+
+def test_rollback_preserves_history_and_rolls_forward(spark, hist):
+    sd, (s1, s2, s3, s4), src_a, src_ab = hist
+    rollback_to_snapshot(spark, sd, s1)
+    assert _rows(decode_state(spark, sd)) == _rows(src_a)
+    # history is append-only: every earlier snapshot still readable
+    assert decode_state(spark, sd, snapshot=s4).count() == src_ab.filter(
+        "turn_idx <> 0 OR conv_id LIKE 'b%'"
+    ).count()
+    # roll FORWARD again — just another rollback
+    rep = rollback_to_snapshot(spark, sd, s4)
+    assert rep["files_restored"] > 0
+    want = _rows(src_ab.filter("turn_idx <> 0 OR conv_id LIKE 'b%'"))
+    assert _rows(decode_state(spark, sd)) == want
+
+
+def test_rollback_readds_keys_tombstone_with_original_scope(
+    spark, tmp_path
+):
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    delete_keys(
+        spark, sd, spark.createDataFrame([("a0001",)], "conv_id string")
+    )
+    s_del = load_snapshots(sd)[-1]["id"]
+    purge_deletes(spark, sd, order_cols=ORDER)
+    # a later append exercises the retire leg of the rollback
+    late = _mk(tmp_path, "late.parquet", "z", n=6)
+    encode_resume(spark, [a, late], sd, order_cols=ORDER)
+    rep = rollback_to_snapshot(spark, sd, s_del)
+    assert rep["tombstones_readded"] == 1
+    src_a = spark.read.parquet(a)
+    want = _rows(src_a.filter("conv_id <> 'a0001'"))
+    assert _rows(decode_state(spark, sd)) == want
+    # the re-added key set purges again
+    purge_deletes(spark, sd, order_cols=ORDER)
+    assert _rows(decode_state(spark, sd)) == want
+
+
+def test_rollback_drops_tombstones_recorded_after_target(spark, tmp_path):
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    s1 = load_snapshots(sd)[-1]["id"]
+    delete_where(spark, sd, "turn_idx = 0")
+    assert decode_state(spark, sd).count() == 1000
+    rep = rollback_to_snapshot(spark, sd, s1)
+    assert rep["tombstones_dropped"] == 1 and rep["tombstones_readded"] == 0
+    assert load_deletes(sd) == []
+    assert decode_state(spark, sd).count() == 1200  # delete undone
+
+
+def test_rollback_crash_after_journal_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the journal write and the apply: decode refuses,
+    any writer entry replays the journal forward, state lands exactly at
+    the target."""
+    import d6tstack_spark.plans.checkpoint as cp
+    import d6tstack_spark.plans.maintenance as mt
+
+    a = _mk(tmp_path, "a.parquet", "a")
+    b = _mk(tmp_path, "b.parquet", "b")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    s1 = load_snapshots(sd)[-1]["id"]
+    encode_resume(spark, [a, b], sd, order_cols=ORDER)
+
+    real = cp._replay_purge_journal
+    calls = {"n": 0}
+
+    def dying(spark_, sd_):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the commit-time replay inside rollback
+            raise RuntimeError("rollback crash drill: died at commit")
+        return real(spark_, sd_)
+
+    monkeypatch.setattr(cp, "_replay_purge_journal", dying)
+    with pytest.raises(RuntimeError, match="crash drill"):
+        rollback_to_snapshot(spark, sd, s1)
+    monkeypatch.setattr(cp, "_replay_purge_journal", real)
+    # journal pends → decode refuses
+    with pytest.raises(RuntimeError, match="in-flight purge commit"):
+        decode_state(spark, sd).count()
+    # any writer entry point replays forward; delete_where is one
+    delete_where(spark, sd, "turn_idx = 99", count_matches=False)
+    src_a = spark.read.parquet(a)
+    got = decode_state(spark, sd).filter("turn_idx <> 99")
+    assert _rows(got) == _rows(src_a)
+
+
+def test_rollback_past_expiry_refuses(spark, tmp_path):
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    s1 = load_snapshots(sd)[-1]["id"]
+    delete_where(spark, sd, "turn_idx = 0")
+    purge_deletes(spark, sd, order_cols=ORDER)
+    s3 = load_snapshots(sd)[-1]["id"]
+    expire_snapshots(spark, sd, keep_from=s3)
+    with pytest.raises(ValueError, match="expired|expire"):
+        rollback_to_snapshot(spark, sd, s1)
+
+
+def test_rollback_noop_at_latest(spark, tmp_path):
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    s1 = load_snapshots(sd)[-1]["id"]
+    rep = rollback_to_snapshot(spark, sd, s1)
+    assert rep["files_restored"] == rep["files_retired"] == 0
+    assert load_snapshots(sd)[-1]["id"] == s1  # no new records on a no-op
