@@ -175,6 +175,9 @@ def main(work_dir: str, sf: float = 0.05) -> None:
     from d6tstack_spark.plans.maintenance import update_where
 
     upd_pred = f"conv_id = '{first_conv}' AND role = 'assistant'"
+    from d6tstack_spark.plans.checkpoint import load_snapshots
+
+    pre_upd = load_snapshots(state_del)[-1]["id"]
     urep = update_where(
         spark, state_del, {"tool": "'redacted'"}, upd_pred
     )
@@ -182,6 +185,18 @@ def main(work_dir: str, sf: float = 0.05) -> None:
     update_ok = (
         dec4.count() == urep["matched"]
         and dec4.filter("tool = 'redacted'").count() == urep["matched"]
+    )
+
+    # 6b. snapshot ROLLBACK: undo the redaction — restore the live table
+    # to the pre-update snapshot (retired files copy back, the update's
+    # rewrite outputs retire; history stays readable both ways).
+    from d6tstack_spark.plans.maintenance import rollback_to_snapshot
+
+    rrep = rollback_to_snapshot(spark, state_del, pre_upd)
+    dec4b = decode_state(spark, state_del, where=upd_pred)
+    rollback_ok = (
+        dec4b.count() == urep["matched"]
+        and dec4b.filter("tool = 'redacted'").count() == 0
     )
 
     # a TYPICAL conv (the corpus plants hot convs that appear in nearly
@@ -248,6 +263,11 @@ def main(work_dir: str, sf: float = 0.05) -> None:
                     "files_rewritten": urep["files_rewritten"],
                     "files_scanned": urep["files_scanned"],
                     "decode_exact_after_update": update_ok,
+                },
+                "rollback": {
+                    "files_restored": rrep["files_restored"],
+                    "files_retired": rrep["files_retired"],
+                    "update_undone_exact": rollback_ok,
                 },
                 "bloom_point_lookup": {
                     "files_total": plan["files_total"],
