@@ -567,6 +567,51 @@ def q_encdec_rollback(spark, sf_dir):
     return decode_state(spark, sd)
 
 
+def q_ndv_stats(spark, sf_dir):
+    """Approximate-NDV sketch sidecar (round 5): per-(file, column) HLL
+    registers built by a maintenance pass (plans/ndvstats.py — the
+    Iceberg-Puffin table-statistics analog), merged DISTRIBUTEDLY by
+    per-position max into the estimator's two sufficient statistics.
+    Graded with the recall-pinning pattern the ANN queries use: the row
+    carries the EXACT Spark-side COUNT(DISTINCT) plus a boolean pinning
+    the estimate within the sketch's error bound; the oracle recomputes
+    the exact NDV and pins TRUE."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from d6tstack_spark.plans.checkpoint import encode_resume
+    from d6tstack_spark.plans.ndvstats import build_ndv_stats, ndv_estimates
+
+    sd = tempfile.mkdtemp() + "/state"
+    encode_resume(
+        spark, [f"{sf_dir}/events.parquet"], sd, order_cols=("event_id",)
+    )
+    build_ndv_stats(spark, sd, ["user_id", "event_type"])
+    est = ndv_estimates(spark, sd).select("column", "ndv_estimate")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = src.select(
+        F.lit("user_id").alias("column"),
+        F.countDistinct("user_id").alias("exact_ndv"),
+    ).unionByName(
+        src.select(
+            F.lit("event_type").alias("column"),
+            F.countDistinct("event_type").alias("exact_ndv"),
+        )
+    )
+    return (
+        exact.join(est, "column")
+        .select(
+            F.col("column").alias("col_name"),
+            "exact_ndv",
+            (
+                F.abs(F.col("ndv_estimate") - F.col("exact_ndv"))
+                <= 0.05 * F.col("exact_ndv")
+            ).alias("est_ok"),
+        )
+    )
+
+
 def q_changelog_purge_diff(spark, sf_dir):
     """Changelog scan across a rewrite (round 5): even events encode,
     a predicate delete purges, odd events append; the (first, latest]
@@ -1837,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encdec_snapshot_tombstones": q_encdec_snapshot_tombstones,
         "encdec_time_travel_purge": q_encdec_time_travel_purge,
         "encdec_rollback": q_encdec_rollback,
+        "ndv_stats": q_ndv_stats,
         "changelog_purge_diff": q_changelog_purge_diff,
         "encdec_zorder": q_encdec_zorder,
         "encdec_update_where": q_encdec_update_where,
@@ -2077,6 +2123,17 @@ def oracle_sql() -> dict[str, str]:
         "encdec_rollback": f"""
             SELECT * FROM events
             WHERE event_id % 2 = 0 AND NOT coalesce(({_TT_PRED}), false)
+        """,
+        "ndv_stats": """
+            SELECT 'user_id' AS col_name,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+                   TRUE AS est_ok
+            FROM events
+            UNION ALL
+            SELECT 'event_type' AS col_name,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS exact_ndv,
+                   TRUE AS est_ok
+            FROM events
         """,
         "changelog_purge_diff": f"""
             SELECT *, 'insert' AS change FROM events WHERE event_id % 2 = 1

@@ -119,6 +119,18 @@ def state_info(spark, state_dir: str) -> dict:
             "files_covered": len(covered & live),
             "files_uncovered": len(live - covered),
         }
+    from d6tstack_spark.plans.ndvstats import load_ndv_meta, ndv_estimates
+
+    nmeta = load_ndv_meta(state_dir)
+    if nmeta is not None:
+        info["ndv_stats"] = {
+            "columns": nmeta["columns"],
+            "lg_k": nmeta["lg_k"],
+            "estimates": {
+                r["column"]: r["ndv_estimate"]
+                for r in ndv_estimates(spark, state_dir).collect()
+            },
+        }
     if paths:
         t = table_totals(
             spark.read.parquet(*paths).select(
