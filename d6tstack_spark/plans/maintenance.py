@@ -1556,3 +1556,102 @@ def rollback_to_snapshot(
         }
     finally:
         hb.release()
+
+
+def vacuum_state(spark: SparkSession, state_dir: str) -> dict:
+    """Reclaim orphaned writer debris from a state dir — the VACUUM of
+    the block format. Removes only artifacts NO reader or writer can
+    reach:
+
+    - ``blocks.purge`` / ``blocks.repair`` staging dirs with no pending
+      commit journal (a rewrite that crashed BEFORE its journal write —
+      the journal is the commit point, so unjournaled staging is dead);
+    - ``blocks/_temporary`` (a crashed append's task outputs — the
+      single-writer model makes stale committer state always dead);
+    - ``*.tmp`` metadata files (torn atomic-replace temporaries);
+    - ``delete_keys/<id>`` dirs referenced by neither ``deletes.json``
+      nor any snapshot record (a crash between the key-set write and
+      the tombstone record orphans the parquet dir).
+
+    Live blocks, retired files (time travel — reclaim those with
+    :func:`expire_snapshots`), pending key sets and recorded history are
+    never touched. Runs under the writer lease and replays any pending
+    commit journal FIRST, so a journaled ``.purge`` dir is applied, not
+    deleted. Returns per-category counts and bytes reclaimed."""
+    import shutil
+
+    from d6tstack_spark.plans.checkpoint import (
+        _LeaseHeartbeat,
+        _acquire_lease,
+        _blocks_dir,
+        _purge_journal_path,
+        _replay_purge_journal,
+        load_deletes,
+        load_snapshots,
+    )
+
+    def _du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+        return total
+
+    lease = _acquire_lease(state_dir)
+    hb = _LeaseHeartbeat(lease)
+    try:
+        _replay_purge_journal(spark, state_dir)
+        bd = _blocks_dir(state_dir)
+        report = {
+            "staging_dirs_removed": 0,
+            "temporary_removed": 0,
+            "tmp_files_removed": 0,
+            "orphan_keysets_removed": 0,
+            "bytes_reclaimed": 0,
+        }
+        # unjournaled staging: the replay above consumed any journaled one
+        assert not os.path.exists(_purge_journal_path(state_dir))
+        for stage in (bd + ".purge", bd + ".repair"):
+            if os.path.isdir(stage):
+                report["bytes_reclaimed"] += _du(stage)
+                shutil.rmtree(stage, ignore_errors=True)
+                report["staging_dirs_removed"] += 1
+        tmpdir = os.path.join(bd, "_temporary")
+        if os.path.isdir(tmpdir):
+            report["bytes_reclaimed"] += _du(tmpdir)
+            shutil.rmtree(tmpdir, ignore_errors=True)
+            report["temporary_removed"] += 1
+        for name in sorted(os.listdir(state_dir)):
+            p = os.path.join(state_dir, name)
+            if name.endswith(".tmp") and os.path.isfile(p):
+                try:
+                    report["bytes_reclaimed"] += os.path.getsize(p)
+                    os.unlink(p)
+                    report["tmp_files_removed"] += 1
+                except OSError:
+                    pass
+        # orphan key sets: referenced = pending tombstones + every keys
+        # tombstone any snapshot record ever defined (their live rel path
+        # keeps serving snapshot reads until a purge retires it)
+        referenced = {
+            d.get("path") for d in load_deletes(state_dir)
+        }
+        for r in load_snapshots(state_dir):
+            for t in r.get("tombstones", []) or []:
+                if isinstance(t, dict) and t.get("path"):
+                    referenced.add(t["path"])
+        kroot = os.path.join(state_dir, "delete_keys")
+        if os.path.isdir(kroot):
+            for name in sorted(os.listdir(kroot)):
+                rel = os.path.join("delete_keys", name)
+                p = os.path.join(kroot, name)
+                if rel not in referenced and os.path.isdir(p):
+                    report["bytes_reclaimed"] += _du(p)
+                    shutil.rmtree(p, ignore_errors=True)
+                    report["orphan_keysets_removed"] += 1
+        return report
+    finally:
+        hb.release()

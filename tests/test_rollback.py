@@ -195,3 +195,45 @@ def test_rollback_noop_at_latest(spark, tmp_path):
     rep = rollback_to_snapshot(spark, sd, s1)
     assert rep["files_restored"] == rep["files_retired"] == 0
     assert load_snapshots(sd)[-1]["id"] == s1  # no new records on a no-op
+
+
+def test_vacuum_reclaims_only_orphans(spark, tmp_path):
+    """vacuum_state removes unjournaled staging, stale _temporary, torn
+    .tmp files and unreferenced key-set dirs — and nothing a reader or
+    snapshot can still reach."""
+    import os
+
+    from d6tstack_spark.plans.maintenance import vacuum_state
+
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    delete_keys(
+        spark, sd, spark.createDataFrame([("a0001",)], "conv_id string")
+    )
+    # plant orphans: unjournaled staging dir, _temporary, torn .tmp,
+    # an unreferenced key-set dir
+    os.makedirs(os.path.join(sd, "blocks.purge"))
+    with open(os.path.join(sd, "blocks.purge", "junk.parquet"), "wb") as f:
+        f.write(b"x" * 128)
+    os.makedirs(os.path.join(sd, "blocks", "_temporary", "0"))
+    with open(os.path.join(sd, "manifest.json.tmp"), "w") as f:
+        f.write("{}")
+    os.makedirs(os.path.join(sd, "delete_keys", "99"))
+    with open(os.path.join(sd, "delete_keys", "99", "part.parquet"), "wb") as f:
+        f.write(b"y" * 64)
+
+    rep = vacuum_state(spark, sd)
+    assert rep["staging_dirs_removed"] == 1
+    assert rep["temporary_removed"] == 1
+    assert rep["tmp_files_removed"] == 1
+    assert rep["orphan_keysets_removed"] == 1
+    assert rep["bytes_reclaimed"] > 0
+    # the PENDING tombstone's key set survives, and the table still reads
+    assert os.path.isdir(os.path.join(sd, "delete_keys", "1"))
+    src = spark.read.parquet(a)
+    want = _rows(src.filter("conv_id <> 'a0001'"))
+    assert _rows(decode_state(spark, sd)) == want
+    # second vacuum is a no-op
+    rep2 = vacuum_state(spark, sd)
+    assert rep2["bytes_reclaimed"] == 0
