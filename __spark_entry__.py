@@ -567,6 +567,46 @@ def q_encdec_rollback(spark, sf_dir):
     return decode_state(spark, sd)
 
 
+def q_clone_state(spark, sf_dir):
+    """Snapshot CLONE (round 5): even events encode, a predicate delete
+    pends (scoped to the even file), odd events append, then
+    clone_state copies the table into a fresh independent dir — block
+    byte-copies plus a faithful log projection, so the pending
+    tombstone binds in the clone to exactly the files it bound to in
+    the source (the odd rows appended after the delete survive). The
+    clone then PURGES independently and is decoded; the oracle scans
+    the equivalent final state. (Delta/Iceberg CLONE verb; d6tstack
+    parity: the copy-the-originals dev/test workflow as metadata.)"""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from d6tstack_spark.plans.checkpoint import (
+        decode_state,
+        delete_where,
+        encode_resume,
+    )
+    from d6tstack_spark.plans.maintenance import clone_state, purge_deletes
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    even = pc.equal(pc.bit_wise_and(t.column("event_id"), 1), 0)
+    d = tempfile.mkdtemp()
+    f1 = os.path.join(d, "even.parquet")
+    f2 = os.path.join(d, "odd.parquet")
+    pq.write_table(t.filter(even), f1)
+    pq.write_table(t.filter(pc.invert(even)), f2)
+    sd = os.path.join(d, "state")
+    encode_resume(spark, [f1], sd, order_cols=("event_id",))
+    delete_where(spark, sd, _TT_PRED, count_matches=False)
+    encode_resume(spark, [f1, f2], sd, order_cols=("event_id",))
+    dst = os.path.join(d, "clone")
+    clone_state(spark, sd, dst)
+    purge_deletes(spark, dst, order_cols=("event_id",))
+    return decode_state(spark, dst)
+
+
 def q_ndv_stats(spark, sf_dir):
     """Approximate-NDV sketch sidecar (round 5): per-(file, column) HLL
     registers built by a maintenance pass (plans/ndvstats.py — the
@@ -1883,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encdec_time_travel_purge": q_encdec_time_travel_purge,
         "encdec_rollback": q_encdec_rollback,
         "ndv_stats": q_ndv_stats,
+        "clone_state": q_clone_state,
         "changelog_purge_diff": q_changelog_purge_diff,
         "encdec_zorder": q_encdec_zorder,
         "encdec_update_where": q_encdec_update_where,
@@ -2123,6 +2164,10 @@ def oracle_sql() -> dict[str, str]:
         "encdec_rollback": f"""
             SELECT * FROM events
             WHERE event_id % 2 = 0 AND NOT coalesce(({_TT_PRED}), false)
+        """,
+        "clone_state": f"""
+            SELECT * FROM events
+            WHERE NOT (event_id % 2 = 0 AND coalesce(({_TT_PRED}), false))
         """,
         "ndv_stats": """
             SELECT 'user_id' AS col_name,

@@ -1655,3 +1655,142 @@ def vacuum_state(spark: SparkSession, state_dir: str) -> dict:
         return report
     finally:
         hb.release()
+
+
+def clone_state(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    snapshot: int | None = None,
+) -> dict:
+    """CLONE a state dir at a snapshot into a fresh, independent state
+    dir — the Delta/Iceberg ``CLONE`` verb: dev/test copies of a
+    production table, or materializing a historical version as its own
+    table. Block files are immutable, so the clone is plain byte-copies
+    of exactly the files the snapshot resolves (live or retired), plus a
+    FAITHFUL LOG PROJECTION: the source's records up to the snapshot
+    replay into the clone's ``snapshots.jsonl`` in original order —
+    appends keep their file generations, rewrite survivors append at
+    their rewrite's position, and tombstones still visible at the
+    snapshot re-record at their original sequence point — so
+    sequence-scoped deletes in the clone bind to exactly the files they
+    bound to in the source. Pending key sets copy in under their
+    original ids (the clone's log defines those ids, so there is no
+    reuse hazard). Bloom/NDV sidecars copy too: their rows key on
+    basenames, extra rows for files outside the clone are inert, and
+    both treat coverage as advisory.
+
+    The clone shares NO mutable state with the source: future writes,
+    purges, snapshots and expiries on either side are invisible to the
+    other. Decoding the clone equals ``decode_state(src,
+    snapshot=N)``."""
+    import shutil
+
+    from d6tstack_spark.plans.checkpoint import (
+        _blocks_dir,
+        _deletes_path,
+        _files_path,
+        _first_seen_ids,
+        _format_path,
+        _lineage_dir,
+        _manifest_path,
+        _purge_journal_path,
+        _purge_seq_path,
+        _resolve_block_paths,
+        _resolve_keys_path,
+        _rewritten_dir,
+        _snapshots_path,
+        _visible_tombstones,
+        _write_deletes,
+        load_snapshots,
+        resolve_snapshot,
+    )
+
+    if os.path.exists(_purge_journal_path(src_dir)):
+        raise RuntimeError(
+            f"source state dir {src_dir} has an in-flight purge commit "
+            "journal; run plans.maintenance.purge_deletes() first"
+        )
+    recs = load_snapshots(src_dir)
+    if not recs:
+        raise ValueError(
+            f"{src_dir} has no snapshot log — clone_state needs one "
+            "(dirs written by builds with snapshot support)"
+        )
+    if os.path.exists(dst_dir) and os.listdir(dst_dir):
+        raise ValueError(f"destination {dst_dir} exists and is not empty")
+    if snapshot is None:
+        snapshot = recs[-1]["id"]
+    target = resolve_snapshot(src_dir, snapshot)  # validates id + expiry
+    srcs = _resolve_block_paths(src_dir, target)  # live or retired
+    first_seen = _first_seen_ids(recs, snapshot)
+    vis = _visible_tombstones(recs, snapshot)
+    vis_ids = {t["id"] for t in vis}
+
+    os.makedirs(os.path.join(dst_dir, "blocks"), exist_ok=True)
+    for meta in (
+        _manifest_path, _format_path, _files_path, _purge_seq_path,
+    ):
+        if os.path.exists(meta(src_dir)):
+            shutil.copyfile(meta(src_dir), meta(dst_dir))
+    for d in (_lineage_dir(src_dir), _rewritten_dir(src_dir)):
+        if os.path.isdir(d):
+            shutil.copytree(
+                d, os.path.join(dst_dir, os.path.basename(d))
+            )
+    for side in ("bloomidx", "ndvstats"):
+        sdir = os.path.join(src_dir, side)
+        if os.path.isdir(sdir):
+            shutil.copytree(sdir, os.path.join(dst_dir, side))
+    n_bytes = 0
+    bd_dst = _blocks_dir(dst_dir)
+    for b, sp in zip(target, srcs):
+        dst = os.path.join(bd_dst, b)
+        shutil.copyfile(sp, dst)
+        n_bytes += os.path.getsize(dst)
+
+    # pending tombstones of the clone = those visible at the snapshot,
+    # under their ORIGINAL ids (the projected log defines them); key
+    # sets copy to their original relative path
+    pend = []
+    for t in vis:
+        d = {k: v for k, v in t.items() if k not in ("_rec", "seq")}
+        d["ts"] = time.time()
+        if t.get("kind") == "keys":
+            kdst = os.path.join(dst_dir, t["path"])
+            os.makedirs(os.path.dirname(kdst), exist_ok=True)
+            shutil.copytree(_resolve_keys_path(src_dir, t), kdst)
+        pend.append(d)
+    _write_deletes(dst_dir, pend)
+
+    # log projection: events ordered by their EFFECTIVE source position
+    # — appends at each file's first-seen record, visible tombstones at
+    # their sequence number (a rollback-re-added tombstone's explicit
+    # ``seq``, else its delete record's id), then renumber sequentially.
+    # Order alone carries the scoping, so the explicit seq field drops:
+    # in the projected log each tombstone's own record id IS its seq.
+    tgt = set(target)
+    gen_files: dict[int, list[str]] = {}
+    for f in tgt:
+        gen_files.setdefault(first_seen[f], []).append(f)
+    events: list[tuple[int, int, dict]] = []  # (src_pos, tiebreak, rec)
+    for sid, files in gen_files.items():
+        events.append((sid, 0, {"op": "append", "files": sorted(files)}))
+    for t in vis:
+        d = {k: v for k, v in t.items() if k not in ("_rec", "seq")}
+        events.append(
+            (t["_rec"], 1, {"op": "delete", "files": [],
+                            "tombstones": [d]})
+        )
+    events.sort(key=lambda e: (e[0], e[1]))
+    with open(_snapshots_path(dst_dir), "w") as f:
+        for i, (_, _, r) in enumerate(events, start=1):
+            f.write(json.dumps({"id": i, **r}) + "\n")
+    return {
+        "cloned_from": src_dir,
+        "snapshot": int(snapshot),
+        "files": len(target),
+        "bytes": n_bytes,
+        "tombstones_pending": len(pend),
+        "records": len(events),
+    }

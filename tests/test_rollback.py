@@ -237,3 +237,73 @@ def test_vacuum_reclaims_only_orphans(spark, tmp_path):
     # second vacuum is a no-op
     rep2 = vacuum_state(spark, sd)
     assert rep2["bytes_reclaimed"] == 0
+
+
+def test_clone_state_latest_and_historical(spark, tmp_path):
+    """clone_state: an independent copy whose decode equals the source
+    at the cloned snapshot, with sequence scoping preserved — a
+    tombstone pending at the snapshot binds only to the files it bound
+    to in the source (rows appended after the delete survive in the
+    clone too), and purging the clone never touches the source."""
+    from d6tstack_spark.plans.maintenance import clone_state
+
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    delete_where(spark, sd, "turn_idx = 0")  # pending, scoped to file a
+    b = _mk(tmp_path, "b.parquet", "b")
+    encode_resume(spark, [a, b], sd, order_cols=ORDER)
+    s3 = load_snapshots(sd)[-1]["id"]
+    src_a = spark.read.parquet(a)
+    src_b = spark.read.parquet(b)
+    # b's turn_idx=0 rows postdate the delete and must survive everywhere
+    want = _rows(src_a.filter("turn_idx <> 0")) + _rows(src_b)
+    want.sort()
+
+    dst = str(tmp_path / "clone")
+    rep = clone_state(spark, sd, dst, snapshot=s3)
+    assert rep["files"] > 0 and rep["tombstones_pending"] == 1
+    assert _rows(decode_state(spark, dst)) == want
+    assert _rows(decode_state(spark, dst)) == _rows(
+        decode_state(spark, sd, snapshot=s3)
+    )
+    # the clone purges independently; the source is untouched
+    purge_deletes(spark, dst, order_cols=ORDER)
+    assert _rows(decode_state(spark, dst)) == want
+    assert load_deletes(dst) == []
+    assert len(load_deletes(sd)) == 1
+    assert _rows(decode_state(spark, sd)) == want
+
+    # historical clone BEFORE the delete: full table, no tombstones
+    dst1 = str(tmp_path / "clone1")
+    rep1 = clone_state(spark, sd, dst1, snapshot=1)
+    assert rep1["tombstones_pending"] == 0
+    assert _rows(decode_state(spark, dst1)) == _rows(src_a)
+
+
+def test_clone_state_across_purge_uses_retired(spark, tmp_path):
+    from d6tstack_spark.plans.maintenance import clone_state
+
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    s1 = load_snapshots(sd)[-1]["id"]
+    delete_where(spark, sd, "turn_idx = 0")
+    purge_deletes(spark, sd, order_cols=ORDER)
+    # snapshot 1 resolves through retired/ — the clone copies from there
+    dst = str(tmp_path / "clone")
+    clone_state(spark, sd, dst, snapshot=s1)
+    src_a = spark.read.parquet(a)
+    assert _rows(decode_state(spark, dst)) == _rows(src_a)
+
+
+def test_clone_state_refuses_nonempty_dst(spark, tmp_path):
+    from d6tstack_spark.plans.maintenance import clone_state
+
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    dst = str(tmp_path / "clone")
+    clone_state(spark, sd, dst)
+    with pytest.raises(ValueError, match="not empty"):
+        clone_state(spark, sd, dst)
