@@ -85,3 +85,20 @@ def compare_versions(version1: str, version2: str) -> int:
 
     a, b = norm(version1), norm(version2)
     return (a > b) - (a < b)
+
+
+def list_tofront(items: list, val) -> list:
+    """Move ``val`` to the front of a list, order of the rest preserved
+    (SURVEY §2.8 F5 family, reference helpers.py:93-98). Missing value
+    raises — silently no-opping would hide a schema mismatch."""
+    out = list(items)
+    out.remove(val)  # ValueError if absent, matching list semantics
+    return [val] + out
+
+
+def columns_tofront(df, col: str = "_filename"):
+    """Reorder a DataFrame's columns so ``col`` leads — the Spark analog
+    of the reference's df_filename_tofront (helpers.py:101-103): a pure
+    projection, so Catalyst collapses it into the surrounding plan (no
+    data movement)."""
+    return df.select(*list_tofront(df.columns, col))

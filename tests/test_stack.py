@@ -181,3 +181,25 @@ def test_jsonl_failfast_on_corrupt_line(spark, tmp_path):
     # permissive default: corrupt line becomes a null row, scan survives
     ok = read_jsonl_stacked(spark, [str(bad)])
     assert ok.count() == 3
+
+
+def test_helpers_version_compare_and_tofront(spark):
+    from d6tstack_spark.functions.helpers import (
+        columns_tofront,
+        compare_versions,
+        list_tofront,
+    )
+
+    assert compare_versions("0.19.2", "0.20.0") == -1
+    assert compare_versions("1.0", "1.0.0") == 0
+    assert compare_versions("1.10", "1.9") == 1
+    assert compare_versions("2.0.rc", "2.0") == 0  # no digits → 0 → trims
+
+    assert list_tofront(["a", "b", "c"], "c") == ["c", "a", "b"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list_tofront(["a", "b"], "z")
+
+    df = spark.createDataFrame([(1, "x", "f1")], "a int, b string, _filename string")
+    assert columns_tofront(df).columns == ["_filename", "a", "b"]
