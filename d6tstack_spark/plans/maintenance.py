@@ -665,7 +665,11 @@ def purge_deletes(
         for r in recs:
             if r["op"] == "delete":
                 for t in r.get("tombstones", []):
-                    rec_of[t["id"]] = r["id"]
+                    # a rollback-re-added tombstone carries an explicit
+                    # seq pinning its ORIGINAL scope — honoring only the
+                    # late re-add record id here would pull post-delete
+                    # files into its purge scope and delete their rows
+                    rec_of[t["id"]] = t.get("seq", r["id"])
         fgroups: dict[frozenset, list[str]] = {}
         for p in affected:
             add = seen.get(os.path.basename(_norm_file_uri(p)), math.inf)
@@ -1481,9 +1485,41 @@ def rollback_to_snapshot(
                 "snapshot": latest,
             }
 
+        # --- stage restores FIRST, as COPIES into the journal's adopt
+        # dir: a staging failure raises with metadata genuinely untouched
+        # (a dead .purge dir is the only residue — vacuum_state fodder);
+        # the tombstone metadata below is written only once every byte it
+        # depends on is staged
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+
+        def _p(p: str):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
+        fs = _p(bd).getFileSystem(conf)
+        tmp = bd + ".purge"
+        if fs.exists(_p(tmp)):
+            fs.delete(_p(tmp), True)
+        fs.mkdirs(_p(tmp))
+        for b in restore:
+            ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, _p(os.path.join(rd, b)), fs, _p(tmp + "/" + b),
+                False, conf,
+            )
+            if not ok:
+                fs.delete(_p(tmp), True)
+                raise RuntimeError(
+                    f"failed to stage retired file {b} for rollback; "
+                    "state dir untouched"
+                )
+
         # --- re-add the target's visible tombstones under fresh ids with
-        # their ORIGINAL sequence numbers; key sets are copied (the source
-        # may be live OR retired — both stay untouched for older snapshots)
+        # their ORIGINAL sequence numbers (explicit ``seq`` — decode AND
+        # purge scoping honor it); key sets are copied (the source may be
+        # live OR retired — both stay untouched for older snapshots). A
+        # crash between this record and the journal leaves decode
+        # consistent (re-applying a tombstone is idempotent) and a
+        # re-run rollback clears these re-adds like any pending tombstone.
         items = list(pending)
         readds: list[dict] = []
         for t in vis_n:
@@ -1511,31 +1547,6 @@ def rollback_to_snapshot(
                 ],
             )
 
-        # --- stage restores as COPIES into the journal's adopt dir, then
-        # commit via the shared roll-forward journal (replayable from any
-        # writer entry; decode refuses while it pends)
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-
-        def _p(p: str):
-            return jvm.org.apache.hadoop.fs.Path(p)
-
-        fs = _p(bd).getFileSystem(conf)
-        tmp = bd + ".purge"
-        if fs.exists(_p(tmp)):
-            fs.delete(_p(tmp), True)
-        fs.mkdirs(_p(tmp))
-        for b in restore:
-            ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
-                fs, _p(os.path.join(rd, b)), fs, _p(tmp + "/" + b),
-                False, conf,
-            )
-            if not ok:
-                fs.delete(_p(tmp), True)
-                raise RuntimeError(
-                    f"failed to stage retired file {b} for rollback; "
-                    "blocks dir untouched"
-                )
         journal = {
             "remove": retire,
             "adopt": restore,
@@ -1551,7 +1562,14 @@ def rollback_to_snapshot(
             "files_restored": len(restore),
             "files_retired": len(retire),
             "tombstones_readded": len(readds),
-            "tombstones_dropped": len(pending),
+            # dropped = recorded after the target (not merely re-keyed)
+            "tombstones_dropped": len(
+                [
+                    d
+                    for d in pending
+                    if d["id"] not in {t["id"] for t in vis_n}
+                ]
+            ),
             "snapshot": load_snapshots(state_dir)[-1]["id"],
         }
     finally:
@@ -1563,9 +1581,14 @@ def vacuum_state(spark: SparkSession, state_dir: str) -> dict:
     the block format. Removes only artifacts NO reader or writer can
     reach:
 
-    - ``blocks.purge`` / ``blocks.repair`` staging dirs with no pending
-      commit journal (a rewrite that crashed BEFORE its journal write —
-      the journal is the commit point, so unjournaled staging is dead);
+    - a ``blocks.purge`` staging dir with no pending commit journal (a
+      rewrite that crashed BEFORE its journal write — the journal is the
+      commit point, so unjournaled ``.purge`` staging is dead);
+    - a ``blocks.repair`` staging dir — UNLESS the blocks dir itself is
+      missing/empty: repair_duplicate_blocks commits by delete-then-
+      rename, so a crash in that window leaves ``.repair`` holding the
+      only copy; vacuum then COMPLETES the rename instead of deleting
+      (reported as ``repairs_completed``);
     - ``blocks/_temporary`` (a crashed append's task outputs — the
       single-writer model makes stale committer state always dead);
     - ``*.tmp`` metadata files (torn atomic-replace temporaries);
@@ -1607,22 +1630,57 @@ def vacuum_state(spark: SparkSession, state_dir: str) -> dict:
         bd = _blocks_dir(state_dir)
         report = {
             "staging_dirs_removed": 0,
+            "repairs_completed": 0,
             "temporary_removed": 0,
             "tmp_files_removed": 0,
             "orphan_keysets_removed": 0,
             "bytes_reclaimed": 0,
         }
-        # unjournaled staging: the replay above consumed any journaled one
-        assert not os.path.exists(_purge_journal_path(state_dir))
-        for stage in (bd + ".purge", bd + ".repair"):
-            if os.path.isdir(stage):
-                report["bytes_reclaimed"] += _du(stage)
-                shutil.rmtree(stage, ignore_errors=True)
+        if os.path.exists(_purge_journal_path(state_dir)):
+            # replay is the contract; a journal surviving it means the
+            # roll-forward failed — deleting .purge now would destroy
+            # files the journal still plans to adopt
+            raise RuntimeError(
+                f"state dir {state_dir} still has a purge commit journal "
+                "after replay; resolve the failed rewrite before vacuuming"
+            )
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+
+        def _p(p: str):
+            return jvm.org.apache.hadoop.fs.Path(p)
+
+        fs = _p(bd).getFileSystem(conf)
+        stage = bd + ".purge"
+        if os.path.isdir(stage):
+            report["bytes_reclaimed"] += _du(stage)
+            fs.delete(_p(stage), True)
+            report["staging_dirs_removed"] += 1
+        repair = bd + ".repair"
+        if os.path.isdir(repair):
+            blocks_live = os.path.isdir(bd) and any(
+                n.endswith(".parquet") for n in os.listdir(bd)
+            )
+            if blocks_live:
+                # repair staged but its delete-then-rename commit never
+                # started (blocks intact) — stale staging, safe to drop
+                report["bytes_reclaimed"] += _du(repair)
+                fs.delete(_p(repair), True)
                 report["staging_dirs_removed"] += 1
+            else:
+                # crash BETWEEN delete(blocks) and rename: .repair holds
+                # the only copy — roll the repair forward
+                fs.delete(_p(bd), True)  # empty/ghost dir blocks rename
+                fs.rename(_p(repair), _p(bd))
+                report["repairs_completed"] += 1
         tmpdir = os.path.join(bd, "_temporary")
         if os.path.isdir(tmpdir):
+            from d6tstack_spark.plans.checkpoint import (
+                _clean_stale_temporary,
+            )
+
             report["bytes_reclaimed"] += _du(tmpdir)
-            shutil.rmtree(tmpdir, ignore_errors=True)
+            _clean_stale_temporary(spark, state_dir)  # Hadoop FS API
             report["temporary_removed"] += 1
         for name in sorted(os.listdir(state_dir)):
             p = os.path.join(state_dir, name)
@@ -1706,91 +1764,123 @@ def clone_state(
         resolve_snapshot,
     )
 
-    if os.path.exists(_purge_journal_path(src_dir)):
-        raise RuntimeError(
-            f"source state dir {src_dir} has an in-flight purge commit "
-            "journal; run plans.maintenance.purge_deletes() first"
-        )
-    recs = load_snapshots(src_dir)
-    if not recs:
-        raise ValueError(
-            f"{src_dir} has no snapshot log — clone_state needs one "
-            "(dirs written by builds with snapshot support)"
-        )
-    if os.path.exists(dst_dir) and os.listdir(dst_dir):
-        raise ValueError(f"destination {dst_dir} exists and is not empty")
-    if snapshot is None:
-        snapshot = recs[-1]["id"]
-    target = resolve_snapshot(src_dir, snapshot)  # validates id + expiry
-    srcs = _resolve_block_paths(src_dir, target)  # live or retired
-    first_seen = _first_seen_ids(recs, snapshot)
-    vis = _visible_tombstones(recs, snapshot)
-    vis_ids = {t["id"] for t in vis}
+    from d6tstack_spark.plans.checkpoint import (
+        _LeaseHeartbeat,
+        _acquire_lease,
+        load_deletes,
+    )
 
-    os.makedirs(os.path.join(dst_dir, "blocks"), exist_ok=True)
-    for meta in (
-        _manifest_path, _format_path, _files_path, _purge_seq_path,
-    ):
-        if os.path.exists(meta(src_dir)):
-            shutil.copyfile(meta(src_dir), meta(dst_dir))
-    for d in (_lineage_dir(src_dir), _rewritten_dir(src_dir)):
-        if os.path.isdir(d):
-            shutil.copytree(
-                d, os.path.join(dst_dir, os.path.basename(d))
+    # the SOURCE writer lease: a concurrent purge/rollback would move
+    # blocks live->retired under the copy loop and tear the clone
+    lease = _acquire_lease(src_dir)
+    hb = _LeaseHeartbeat(lease)
+    try:
+        if os.path.exists(_purge_journal_path(src_dir)):
+            raise RuntimeError(
+                f"source state dir {src_dir} has an in-flight purge commit "
+                "journal; run plans.maintenance.purge_deletes() first"
             )
-    for side in ("bloomidx", "ndvstats"):
-        sdir = os.path.join(src_dir, side)
-        if os.path.isdir(sdir):
-            shutil.copytree(sdir, os.path.join(dst_dir, side))
-    n_bytes = 0
-    bd_dst = _blocks_dir(dst_dir)
-    for b, sp in zip(target, srcs):
-        dst = os.path.join(bd_dst, b)
-        shutil.copyfile(sp, dst)
-        n_bytes += os.path.getsize(dst)
+        recs = load_snapshots(src_dir)
+        if not recs:
+            raise ValueError(
+                f"{src_dir} has no snapshot log — clone_state needs one "
+                "(dirs written by builds with snapshot support)"
+            )
+        if os.path.exists(dst_dir) and os.listdir(dst_dir):
+            raise ValueError(f"destination {dst_dir} exists and is not empty")
+        if snapshot is None:
+            snapshot = recs[-1]["id"]
+        recorded = {
+            t["id"]
+            for r in recs
+            if r["op"] == "delete"
+            for t in r.get("tombstones", [])
+        }
+        unscoped = [
+            d for d in load_deletes(src_dir) if d["id"] not in recorded
+        ]
+        if unscoped:
+            # same refusal as decode_state(snapshot=): these tombstones'
+            # creation time is unknown, so the projected log cannot place
+            # them — cloning would silently resurrect their deleted rows
+            raise ValueError(
+                f"source {src_dir} has pending tombstone(s) "
+                f"{[d['id'] for d in unscoped]} with no snapshot record; "
+                "run plans.maintenance.purge_deletes() first"
+            )
+        target = resolve_snapshot(src_dir, snapshot)  # validates id + expiry
+        srcs = _resolve_block_paths(src_dir, target)  # live or retired
+        first_seen = _first_seen_ids(recs, snapshot)
+        vis = _visible_tombstones(recs, snapshot)
+        vis_ids = {t["id"] for t in vis}
 
-    # pending tombstones of the clone = those visible at the snapshot,
-    # under their ORIGINAL ids (the projected log defines them); key
-    # sets copy to their original relative path
-    pend = []
-    for t in vis:
-        d = {k: v for k, v in t.items() if k not in ("_rec", "seq")}
-        d["ts"] = time.time()
-        if t.get("kind") == "keys":
-            kdst = os.path.join(dst_dir, t["path"])
-            os.makedirs(os.path.dirname(kdst), exist_ok=True)
-            shutil.copytree(_resolve_keys_path(src_dir, t), kdst)
-        pend.append(d)
-    _write_deletes(dst_dir, pend)
+        os.makedirs(os.path.join(dst_dir, "blocks"), exist_ok=True)
+        for meta in (
+            _manifest_path, _format_path, _files_path, _purge_seq_path,
+        ):
+            if os.path.exists(meta(src_dir)):
+                shutil.copyfile(meta(src_dir), meta(dst_dir))
+        for d in (_lineage_dir(src_dir), _rewritten_dir(src_dir)):
+            if os.path.isdir(d):
+                shutil.copytree(
+                    d, os.path.join(dst_dir, os.path.basename(d))
+                )
+        for side in ("bloomidx", "ndvstats"):
+            sdir = os.path.join(src_dir, side)
+            if os.path.isdir(sdir):
+                shutil.copytree(sdir, os.path.join(dst_dir, side))
+        n_bytes = 0
+        bd_dst = _blocks_dir(dst_dir)
+        for b, sp in zip(target, srcs):
+            dst = os.path.join(bd_dst, b)
+            shutil.copyfile(sp, dst)
+            n_bytes += os.path.getsize(dst)
 
-    # log projection: events ordered by their EFFECTIVE source position
-    # — appends at each file's first-seen record, visible tombstones at
-    # their sequence number (a rollback-re-added tombstone's explicit
-    # ``seq``, else its delete record's id), then renumber sequentially.
-    # Order alone carries the scoping, so the explicit seq field drops:
-    # in the projected log each tombstone's own record id IS its seq.
-    tgt = set(target)
-    gen_files: dict[int, list[str]] = {}
-    for f in tgt:
-        gen_files.setdefault(first_seen[f], []).append(f)
-    events: list[tuple[int, int, dict]] = []  # (src_pos, tiebreak, rec)
-    for sid, files in gen_files.items():
-        events.append((sid, 0, {"op": "append", "files": sorted(files)}))
-    for t in vis:
-        d = {k: v for k, v in t.items() if k not in ("_rec", "seq")}
-        events.append(
-            (t["_rec"], 1, {"op": "delete", "files": [],
-                            "tombstones": [d]})
-        )
-    events.sort(key=lambda e: (e[0], e[1]))
-    with open(_snapshots_path(dst_dir), "w") as f:
-        for i, (_, _, r) in enumerate(events, start=1):
-            f.write(json.dumps({"id": i, **r}) + "\n")
-    return {
-        "cloned_from": src_dir,
-        "snapshot": int(snapshot),
-        "files": len(target),
-        "bytes": n_bytes,
-        "tombstones_pending": len(pend),
-        "records": len(events),
-    }
+        # pending tombstones of the clone = those visible at the snapshot,
+        # under their ORIGINAL ids (the projected log defines them); key
+        # sets copy to their original relative path
+        pend = []
+        for t in vis:
+            d = {k: v for k, v in t.items() if k not in ("_rec", "seq")}
+            d["ts"] = time.time()
+            if t.get("kind") == "keys":
+                kdst = os.path.join(dst_dir, t["path"])
+                os.makedirs(os.path.dirname(kdst), exist_ok=True)
+                shutil.copytree(_resolve_keys_path(src_dir, t), kdst)
+            pend.append(d)
+        _write_deletes(dst_dir, pend)
+
+        # log projection: events ordered by their EFFECTIVE source position
+        # — appends at each file's first-seen record, visible tombstones at
+        # their sequence number (a rollback-re-added tombstone's explicit
+        # ``seq``, else its delete record's id), then renumber sequentially.
+        # Order alone carries the scoping, so the explicit seq field drops:
+        # in the projected log each tombstone's own record id IS its seq.
+        tgt = set(target)
+        gen_files: dict[int, list[str]] = {}
+        for f in tgt:
+            gen_files.setdefault(first_seen[f], []).append(f)
+        events: list[tuple[int, int, dict]] = []  # (src_pos, tiebreak, rec)
+        for sid, files in gen_files.items():
+            events.append((sid, 0, {"op": "append", "files": sorted(files)}))
+        for t in vis:
+            d = {k: v for k, v in t.items() if k not in ("_rec", "seq")}
+            events.append(
+                (t["_rec"], 1, {"op": "delete", "files": [],
+                                "tombstones": [d]})
+            )
+        events.sort(key=lambda e: (e[0], e[1]))
+        with open(_snapshots_path(dst_dir), "w") as f:
+            for i, (_, _, r) in enumerate(events, start=1):
+                f.write(json.dumps({"id": i, **r}) + "\n")
+        return {
+            "cloned_from": src_dir,
+            "snapshot": int(snapshot),
+            "files": len(target),
+            "bytes": n_bytes,
+            "tombstones_pending": len(pend),
+            "records": len(events),
+        }
+
+    finally:
+        hb.release()

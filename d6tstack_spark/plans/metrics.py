@@ -45,7 +45,7 @@ def table_totals(blocks: DataFrame) -> DataFrame:
     )
 
 
-def state_info(spark, state_dir: str) -> dict:
+def state_info(spark, state_dir: str, with_ndv: bool = False) -> dict:
     """One-call operational inspection of an encoded state dir — the
     ``DESCRIBE EXTENDED`` of the block format. Everything except the
     blocks rollup is metadata-file reads; the rollup itself is a
@@ -126,11 +126,15 @@ def state_info(spark, state_dir: str) -> dict:
         info["ndv_stats"] = {
             "columns": nmeta["columns"],
             "lg_k": nmeta["lg_k"],
-            "estimates": {
+        }
+        if with_ndv:
+            # the register merge is a real (if metadata-sized) Spark job
+            # — 2^lg_k rows per sketched file through a shuffle — so the
+            # default inspection call reports only the sidecar's presence
+            info["ndv_stats"]["estimates"] = {
                 r["column"]: r["ndv_estimate"]
                 for r in ndv_estimates(spark, state_dir).collect()
-            },
-        }
+            }
     if paths:
         t = table_totals(
             spark.read.parquet(*paths).select(

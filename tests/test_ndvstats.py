@@ -103,8 +103,11 @@ def test_state_info_reports_ndv(spark, tmp_path):
     encode_resume(spark, [a], sd, order_cols=ORDER)
     build_ndv_stats(spark, sd, ["conv_id"])
     info = state_info(spark, sd)
-    assert "ndv_stats" in info
-    assert "conv_id" in info["ndv_stats"]["estimates"]
+    # default call stays cheap: sidecar presence only, no merge job
+    assert info["ndv_stats"]["columns"] == ["conv_id"]
+    assert "estimates" not in info["ndv_stats"]
+    info2 = state_info(spark, sd, with_ndv=True)
+    assert "conv_id" in info2["ndv_stats"]["estimates"]
 
 
 def test_unsketchable_and_missing_sidecar_refused(spark, tmp_path):

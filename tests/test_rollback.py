@@ -307,3 +307,81 @@ def test_clone_state_refuses_nonempty_dst(spark, tmp_path):
     clone_state(spark, sd, dst)
     with pytest.raises(ValueError, match="not empty"):
         clone_state(spark, sd, dst)
+
+
+def test_purge_honors_readded_tombstone_seq_scope(spark, tmp_path):
+    """Review regression: purge's scope map must honor the explicit seq
+    of a rollback-re-added tombstone — keying off the late re-add record
+    would pull post-delete files into its scope and physically delete
+    rows the tombstone never covered."""
+    from d6tstack_spark.plans.maintenance import rollback_to_snapshot
+
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    delete_where(spark, sd, "turn_idx = 0")  # scoped to file a
+    b = _mk(tmp_path, "b.parquet", "b")
+    encode_resume(spark, [a, b], sd, order_cols=ORDER)
+    s3 = load_snapshots(sd)[-1]["id"]
+    c = _mk(tmp_path, "c.parquet", "c")
+    encode_resume(spark, [a, b, c], sd, order_cols=ORDER)
+
+    rollback_to_snapshot(spark, sd, s3)  # re-adds the tombstone, seq=2
+    src_a = spark.read.parquet(a)
+    src_b = spark.read.parquet(b)
+    want = _rows(src_a.filter("turn_idx <> 0")) + _rows(src_b)
+    want.sort()
+    assert _rows(decode_state(spark, sd)) == want  # merge-on-read
+    purge_deletes(spark, sd, order_cols=ORDER)
+    # b's turn_idx=0 rows postdate the delete: they must SURVIVE the
+    # physical purge exactly as they survived merge-on-read
+    assert _rows(decode_state(spark, sd)) == want
+    assert load_deletes(sd) == []
+
+
+def test_vacuum_completes_crashed_repair_instead_of_deleting(
+    spark, tmp_path
+):
+    """Review regression: a crash between repair_duplicate_blocks'
+    delete(blocks) and rename(.repair -> blocks) leaves .repair holding
+    the ONLY copy; vacuum must complete the rename, never rmtree it."""
+    import os
+    import shutil
+
+    from d6tstack_spark.plans.maintenance import vacuum_state
+
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    src = spark.read.parquet(a)
+    bd = os.path.join(sd, "blocks")
+    # simulate the crash window: blocks moved wholesale to .repair
+    shutil.move(bd, bd + ".repair")
+    rep = vacuum_state(spark, sd)
+    assert rep["repairs_completed"] == 1
+    assert rep["staging_dirs_removed"] == 0
+    assert _rows(decode_state(spark, sd)) == _rows(src)
+    # a .repair WITH live blocks present is stale staging: removed
+    shutil.copytree(bd, bd + ".repair")
+    rep2 = vacuum_state(spark, sd)
+    assert rep2["staging_dirs_removed"] == 1
+    assert rep2["repairs_completed"] == 0
+    assert _rows(decode_state(spark, sd)) == _rows(src)
+
+
+def test_clone_refuses_unscoped_tombstones(spark, tmp_path):
+    """Review regression: a pending tombstone with no snapshot record
+    cannot be placed in the projected log — clone must refuse (as
+    decode_state(snapshot=) does), not silently resurrect its rows."""
+    import json
+    import os
+
+    from d6tstack_spark.plans.maintenance import clone_state
+
+    a = _mk(tmp_path, "a.parquet", "a")
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [a], sd, order_cols=ORDER)
+    with open(os.path.join(sd, "deletes.json"), "w") as f:
+        json.dump([{"id": 999, "where": "turn_idx = 0", "ts": 0}], f)
+    with pytest.raises(ValueError, match="no snapshot record"):
+        clone_state(spark, sd, str(tmp_path / "clone"))
