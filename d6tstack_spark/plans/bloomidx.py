@@ -232,10 +232,16 @@ def refresh_bloom_index(spark: SparkSession, state_dir: str) -> dict:
     idx = _index_df(spark, new_paths, columns, pmeta, mb)
     if covered:
         # a partially-covered file re-indexes all its columns; drop the
-        # rows that already exist so the sidecar stays duplicate-free
-        pairs = [f + "\0" + c for f, c in covered]
-        idx = idx.filter(
-            ~F.concat_ws("\0", F.col("file"), F.col("column")).isin(pairs)
+        # rows that already exist so the sidecar stays duplicate-free.
+        # left_anti against a small DataFrame, NOT isin() — an In
+        # expression with one literal per covered pair grows to the full
+        # sidecar size (10^5+ literals) and blows up plan construction
+        # on exactly the incremental cadence this function exists for
+        cov_df = spark.createDataFrame(
+            sorted(covered), "file string, column string"
+        )
+        idx = idx.join(
+            F.broadcast(cov_df), ["file", "column"], "left_anti"
         )
     idx.write.mode("append").parquet(dd)
     _fill_gaps(spark, dd, new_paths, columns, mb)

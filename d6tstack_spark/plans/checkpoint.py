@@ -340,6 +340,43 @@ def _next_tombstone_id(state_dir: str, items: list[dict]) -> int:
     return hi + 1
 
 
+def _live_visibility(
+    recs: list[dict], deletes: list[dict]
+) -> tuple[list[dict], dict[str, int]]:
+    """Visible tombstones + first-seen map for a LIVE read — the one
+    shared resolution both :func:`decode_state` and
+    ``plans.explain.resolve_read_state`` plan from. Unscoped pending
+    tombstones (no snapshot record: legacy dirs, or a crash between
+    deletes.json and the log) apply globally (``_rec=None`` — their
+    creation time is unknown); scoped ones keep their sequence scope
+    from the log. Mixing the two must NOT globalize the scoped ones:
+    rows legally appended after a scoped delete stay exempt even while
+    an unscoped tombstone pends."""
+    if not deletes:
+        return [], {}
+    recorded = {
+        t["id"]
+        for r in recs
+        if r["op"] == "delete"
+        for t in r.get("tombstones", [])
+    }
+    unscoped_ids = {d["id"] for d in deletes if d["id"] not in recorded}
+    vis: list[dict] = [
+        {**d, "_rec": None} for d in deletes if d["id"] in unscoped_ids
+    ]
+    seen: dict[str, int] = {}
+    scoped = {d["id"] for d in deletes} - unscoped_ids
+    if recs and scoped:
+        latest = recs[-1]["id"]
+        vis += [
+            t
+            for t in _visible_tombstones(recs, latest)
+            if t["id"] in scoped
+        ]
+        seen = _first_seen_ids(recs, latest)
+    return vis, seen
+
+
 def _first_seen_ids(recs: list[dict], upto: int) -> dict[str, int]:
     """Basename → snapshot id of the record that first listed it (its
     add sequence). Files a rewrite re-lists keep their original add id;
@@ -1606,23 +1643,7 @@ def decode_state(
                 spark, _blocks_dir(state_dir), ".parquet"
             )
         )
-        if deletes and unscoped:
-            # legacy global application: valid because appends were
-            # refused while these tombstones pended, so every live file
-            # predates every tombstone (_rec=None = applies everywhere)
-            vis = [{**d, "_rec": None} for d in deletes]
-            seen = {}
-        elif deletes:
-            latest = recs[-1]["id"]
-            pend = {d["id"] for d in deletes}
-            vis = [
-                t
-                for t in _visible_tombstones(recs, latest)
-                if t["id"] in pend
-            ]
-            seen = _first_seen_ids(recs, latest)
-        else:
-            vis, seen = [], {}
+        vis, seen = _live_visibility(recs, deletes)
 
     if where is not None and basenames:
         # advisory point-lookup pruning: if a Bloom sidecar exists
@@ -1651,6 +1672,10 @@ def decode_state(
     dec = _decode_scoped(
         spark, state_dir, manifest, basenames, vis, seen,
         columns=columns, block_filter=block_filter, where=where,
+        # live reads just listed the blocks dir — skip the per-file
+        # exists() fallback probe (10^5 stats on big dirs); snapshot
+        # reads keep the live-then-retired resolution
+        live_basenames=None if snapshot is not None else set(basenames),
     )
     return dec
 
@@ -1665,6 +1690,7 @@ def _decode_scoped(
     columns: list[str] | None = None,
     block_filter: tuple | list | None = None,
     where: str | None = None,
+    live_basenames: set | None = None,
 ) -> DataFrame:
     """Decode ``basenames`` (resolved live-first-then-retired) applying
     each visible tombstone only to the files it is sequence-scoped to:
@@ -1725,7 +1751,16 @@ def _decode_scoped(
         gpreds = [tmap[i] for i in s if tmap[i].get("kind") != "keys"]
         gksets = [tmap[i] for i in s if tmap[i].get("kind") == "keys"]
         gkeep = _tombstone_keep_expr(gpreds)
-        paths = _resolve_block_paths(state_dir, bs)
+        if live_basenames is not None:
+            # caller vouches these basenames came from a live listing:
+            # join paths directly instead of stat()ing every file
+            known = [b for b in bs if b in live_basenames]
+            rest = [b for b in bs if b not in live_basenames]
+            paths = [os.path.join(bd, b) for b in known]
+            if rest:
+                paths += _resolve_block_paths(state_dir, rest)
+        else:
+            paths = _resolve_block_paths(state_dir, bs)
         if where is not None:
             eff = f"({where}) AND ({gkeep})" if gkeep else where
             dec = decode_where(

@@ -63,28 +63,9 @@ def resolve_read_state(
                 spark, _blocks_dir(state_dir), ".parquet"
             )
         )
-        recorded_ids = {
-            t["id"]
-            for r in recs
-            if r["op"] == "delete"
-            for t in r.get("tombstones", [])
-        }
-        unscoped = [d for d in deletes if d["id"] not in recorded_ids]
-        if deletes and unscoped:
-            # legacy tombstones with unknown creation time apply everywhere
-            vis = [{**d, "_rec": None} for d in deletes]
-            seen = {}
-        elif deletes:
-            latest = recs[-1]["id"]
-            pend = {d["id"] for d in deletes}
-            vis = [
-                t
-                for t in _visible_tombstones(recs, latest)
-                if t["id"] in pend
-            ]
-            seen = _first_seen_ids(recs, latest)
-        else:
-            vis, seen = [], {}
+        from d6tstack_spark.plans.checkpoint import _live_visibility
+
+        vis, seen = _live_visibility(recs, deletes)
     return manifest, basenames, vis, seen
 
 

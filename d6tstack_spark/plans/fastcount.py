@@ -335,15 +335,22 @@ def preview_state(
     if vis or not basenames:
         return decode_state(spark, state_dir).limit(n)
     paths = _resolve_block_paths(state_dir, basenames)
-    out = None
+    # accumulate per-file counts driver-side (each file decodes ONCE),
+    # then build the final union over only the files actually needed —
+    # re-counting the growing union per file would decode the first file
+    # k times over k iterations (quadratic in files scanned)
+    take: list[str] = []
+    have = 0
     for p in paths:
-        d = decode_parquet_blocks(
+        have += decode_parquet_blocks(
             spark, _blocks_dir(state_dir), manifest, paths=[p]
-        ).limit(n)
-        out = d if out is None else out.unionByName(d).limit(n)
-        if out.count() >= n:
+        ).limit(n).count()
+        take.append(p)
+        if have >= n:
             break
-    return out.limit(n)
+    return decode_parquet_blocks(
+        spark, _blocks_dir(state_dir), manifest, paths=take
+    ).limit(n)
 
 
 def fast_min_max(

@@ -253,11 +253,19 @@ def _zorder_value(decoded, cluster_by: tuple[str, ...]):
     cuts = stats.stat.approxQuantile(
         [f"__p{i}" for i in range(len(proxies))], [0.005, 0.995], 0.001
     )
+    # approxQuantile ignores nulls and returns an EMPTY list for an
+    # all-null column (e.g. a just-evolved key) — normalize before unpack
+    cuts = [c if len(c) == 2 else (None, None) for c in cuts]
     zv = F.lit(0).cast("long")
     for k, (p, (lo, hi)) in enumerate(zip(proxies, cuts)):
         if lo is None or hi is None or not (hi > lo):
             continue  # constant or all-null key: contributes nothing
-        clamped = F.greatest(F.least(p, F.lit(hi)), F.lit(lo))
+        # null-to-lo BEFORE clamping: least/greatest SKIP nulls, which
+        # would otherwise land null rows in the TOP bucket against the
+        # documented NULLS-FIRST contract
+        clamped = F.greatest(
+            F.least(F.coalesce(p, F.lit(lo)), F.lit(hi)), F.lit(lo)
+        )
         bucket = F.width_bucket(
             clamped, F.lit(lo), F.lit(hi), F.lit(nbuckets - 1)
         ) - F.lit(1)

@@ -227,6 +227,12 @@ def to_sql_dbapi(
     collist = ", ".join(f'"{c}"' for c in cols)
     insert = f'INSERT INTO "{table}" ({collist}) VALUES ({placeholders})'
     copy_sql = f'COPY "{table}" ({collist}) FROM STDIN WITH (FORMAT csv)'
+    from pyspark.sql.types import BinaryType
+
+    # bytes values have no faithful CSV text form (str(b'..') reprs would
+    # corrupt bytea columns) — binary frames always take the executemany
+    # path, which passes bytes natively
+    has_binary = any(isinstance(f.dataType, BinaryType) for f in df.schema)
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -239,16 +245,36 @@ def to_sql_dbapi(
                 # capability branch: psycopg2-style COPY (the reference's
                 # only measured win — pd_to_psql 6.0x via copy_expert,
                 # d6tstack utils.py:69-111). The wire path streams CSV
-                # straight into the server's bulk loader; per-batch
-                # csv-escape via pandas (quoting handles commas/quotes/
-                # newlines; \\N-free because na_rep defaults to empty =
-                # CSV NULL for COPY).
-                copy = getattr(cur, "copy_expert", None)
+                # straight into the server's bulk loader. Escaping is
+                # explicit, not pandas to_csv: COPY csv reads an UNQUOTED
+                # empty field as NULL and a QUOTED empty field as '', so
+                # every non-null value is quoted (QUOTE_MINIMAL would
+                # silently turn '' into NULL — a divergence from the
+                # executemany path).
+                copy = (
+                    None if has_binary
+                    else getattr(cur, "copy_expert", None)
+                )
                 for b in batches:
                     if copy is not None:
-                        buf = io.StringIO()
-                        b[cols].to_csv(buf, index=False, header=False)
-                        buf.seek(0)
+                        lines = []
+                        for row in b[cols].itertuples(
+                            index=False, name=None
+                        ):
+                            fields = []
+                            for v in row:
+                                if v is None or pd.isna(v):
+                                    fields.append("")  # unquoted → NULL
+                                else:
+                                    fields.append(
+                                        '"'
+                                        + str(v).replace('"', '""')
+                                        + '"'
+                                    )
+                            lines.append(",".join(fields))
+                        buf = io.StringIO(
+                            "\n".join(lines) + ("\n" if lines else "")
+                        )
                         copy(copy_sql, buf)
                         n += len(b)
                         continue

@@ -324,11 +324,17 @@ class CopyCaptureCursor:
             f.write(sql + "\n\x00\n")
             f.write(buf.read())
 
-    def executemany(self, sql: str, rows) -> None:  # pragma: no cover
-        raise AssertionError(
-            "executemany called although copy_expert is available — the "
-            "COPY capability branch was not taken"
-        )
+    def executemany(self, sql: str, rows) -> None:
+        # reached only when the sink deliberately declines COPY (binary
+        # frames); spooled so tests can assert WHICH wire path ran
+        import os
+        import uuid
+
+        os.makedirs(self._spool, exist_ok=True)
+        p = os.path.join(self._spool, f"{uuid.uuid4().hex}.rows")
+        with open(p, "w") as f:
+            f.write(sql + "\n")
+            f.write(repr(list(rows)))
 
     def execute(self, sql: str) -> None:
         pass

@@ -262,3 +262,39 @@ def _key_z(spark, sd):
         (r.ts, r.conv_id, int(r.score), r.text)
         for r in decode_state(spark, sd).collect()
     )
+
+
+def test_zorder_with_all_null_and_sparse_null_key(spark, tmp_path):
+    """Review regression: approxQuantile returns an EMPTY list for an
+    all-null cluster key (a just-evolved column), which crashed the
+    (lo, hi) unpack; and per-row nulls fell into the TOP bucket because
+    least/greatest skip nulls, against the NULLS-FIRST contract. The
+    all-null key now contributes nothing, per-row nulls clamp to lo,
+    and the clustered dir stays bit-equal."""
+    n = 900
+    tbl = pa.table(
+        {
+            "ts": pa.array([j * 1000 for j in range(n)], pa.int64()),
+            "conv_id": pa.array([f"c{j % 40:03d}" for j in range(n)]),
+            "turn_idx": pa.array(
+                [None if j % 7 == 0 else j for j in range(n)],
+                pa.int32(),
+            ),
+            "dead_col": pa.array([None] * n, pa.string()),
+            "text": pa.array([f"msg {j}" for j in range(n)]),
+        }
+    )
+    p = str(tmp_path / "src.parquet")
+    pq.write_table(tbl, p, row_group_size=300)
+    sd = str(tmp_path / "state")
+    encode_resume(spark, [p], sd, order_cols=("ts",))
+    src = spark.read.parquet(p)
+    rep = cluster_blocks(
+        spark, sd, cluster_by=("conv_id", "dead_col", "turn_idx"),
+        method="zorder",
+    )
+    assert rep["files_after"] > 0
+    got = decode_state(spark, sd)
+    assert (
+        got.exceptAll(src).count() + src.exceptAll(got).count() == 0
+    )

@@ -637,3 +637,46 @@ def test_tombstone_ids_never_reused_after_purge(spark, state):
     # time travel AT the keys-tombstone snapshot resolves ITS key set
     # (not a previous owner of a reused retired/keys slot)
     assert _rows(decode_state(spark, sd, snapshot=snap)) == want_keys
+
+
+def test_mixed_scoped_and_unscoped_tombstones_keep_scoping(spark, state):
+    """Review regression: an unscoped tombstone (crash between
+    deletes.json and the snapshot record) used to globalize EVERY
+    pending tombstone on live reads — rows legally appended after a
+    scoped delete vanished until purge. The unscoped one applies
+    globally; the scoped one keeps its sequence scope."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths, sd, src = state
+    delete_where(spark, sd, "turn_idx = 0")  # scoped (snapshot record)
+    # append a file whose turn_idx=0 rows postdate the delete (exempt)
+    n = 60
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"z{j // 6:04d}" for j in range(n)]),
+            "turn_idx": pa.array([j % 6 for j in range(n)], pa.int32()),
+            "text": pa.array([f"late {j}" for j in range(n)]),
+            "tool": pa.array(["tz"] * n),
+        }
+    )
+    late = os.path.join(os.path.dirname(paths[0]), "late.parquet")
+    pq.write_table(tbl, late)
+    encode_resume(spark, paths + [late], sd, order_cols=("conv_id", "turn_idx"))
+    # plant an UNSCOPED tombstone (no snapshot record)
+    dp = os.path.join(sd, "deletes.json")
+    items = json.load(open(dp))
+    items.append({"id": 999, "where": "tool = 't2'", "ts": 0})
+    json.dump(items, open(dp, "w"))
+
+    got = _rows(decode_state(spark, sd))
+    late_src = spark.read.parquet(late)
+    want = _rows(
+        src.filter("NOT coalesce(turn_idx = 0, false)")
+        .filter("NOT coalesce(tool = 't2', false)")
+    ) + _rows(late_src)  # late rows: exempt from scoped, tool='tz' != 't2'
+    want.sort()
+    assert got == want

@@ -297,22 +297,50 @@ def test_to_sql_dbapi_prefers_copy_when_available(spark, tmp_path):
         (2, 'comma, and "quotes"'),
         (3, "line\nbreak"),
         (4, None),
+        (5, ""),  # empty string must NOT collapse to NULL on the wire
     ]
     df = spark.createDataFrame(rows, "id long, txt string").coalesce(1)
     n = to_sql_dbapi(
         df, functools.partial(make_copy_capture_conn, spool), "t_copy"
     )
-    assert n == 4
+    assert n == 5
     payloads = sorted(glob.glob(spool + "/*.copy"))
     assert payloads, "COPY path produced no spool — branch not taken"
+    assert not glob.glob(spool + "/*.rows")  # executemany never ran
     got = {}
+    raw = ""
     for p in payloads:
         sql, body = open(p).read().split("\n\x00\n", 1)
         assert sql.startswith('COPY "t_copy" ("id", "txt") FROM STDIN')
+        raw += body
         for rec in csv.reader(io.StringIO(body)):
             if rec:
                 got[int(rec[0])] = rec[1]
     assert got[2] == 'comma, and "quotes"'
     assert got[3] == "line\nbreak"
-    assert got[4] == ""  # empty field = CSV NULL for COPY
-    assert len(got) == 4
+    assert got[4] == ""  # csv.reader can't distinguish; the raw line can:
+    # COPY csv semantics: UNQUOTED empty = NULL, QUOTED empty = ''
+    assert '"4",\n' in raw or raw.endswith('"4",')
+    assert '"5",""' in raw
+    assert len(got) == 5
+
+
+def test_to_sql_dbapi_binary_frames_skip_copy(spark, tmp_path):
+    """bytes have no faithful CSV text form: a binary column must take
+    the executemany path even when the driver offers copy_expert."""
+    import functools
+    import glob
+
+    from d6tstack_spark.sources.sql import to_sql_dbapi
+    from d6tstack_spark.testing.stubs import make_copy_capture_conn
+
+    spool = str(tmp_path / "spool_bin")
+    df = spark.createDataFrame(
+        [(1, b"\x00\xffraw")], "id long, payload binary"
+    ).coalesce(1)
+    n = to_sql_dbapi(
+        df, functools.partial(make_copy_capture_conn, spool), "t_bin"
+    )
+    assert n == 1
+    assert not glob.glob(spool + "/*.copy")  # COPY branch not taken
+    assert glob.glob(spool + "/*.rows")  # executemany carried the bytes
