@@ -1614,15 +1614,15 @@ def decode_state(
     deletes = load_deletes(state_dir)
     manifest = load_manifest(state_dir)
     recs = load_snapshots(state_dir)
-    recorded_ids = {
-        t["id"]
-        for r in recs
-        if r["op"] == "delete"
-        for t in r.get("tombstones", [])
-    }
-    unscoped = [d for d in deletes if d["id"] not in recorded_ids]
 
     if snapshot is not None:
+        recorded_ids = {
+            t["id"]
+            for r in recs
+            if r["op"] == "delete"
+            for t in r.get("tombstones", [])
+        }
+        unscoped = [d for d in deletes if d["id"] not in recorded_ids]
         if unscoped:
             # tombstones recorded before delete records existed (legacy
             # dirs, or a crash between deletes.json and the log): their

@@ -53,6 +53,22 @@ def resolve_read_state(
     recs = load_snapshots(state_dir)
 
     if snapshot is not None:
+        recorded = {
+            t["id"]
+            for r in recs
+            if r["op"] == "delete"
+            for t in r.get("tombstones", [])
+        }
+        unscoped = [d for d in deletes if d["id"] not in recorded]
+        if unscoped:
+            # decode_state(snapshot=) refuses these; the planners must
+            # refuse identically or fast_count/explain would answer for
+            # a read the decode rejects
+            raise ValueError(
+                f"state dir {state_dir} has pending tombstone(s) "
+                f"{[d['id'] for d in unscoped]} with no snapshot record; "
+                "run plans.maintenance.purge_deletes() first or plan live"
+            )
         basenames = resolve_snapshot(state_dir, snapshot)
         vis = _visible_tombstones(recs, snapshot)
         seen = _first_seen_ids(recs, snapshot)

@@ -1666,19 +1666,19 @@ def vacuum_state(spark: SparkSession, state_dir: str) -> dict:
             report["staging_dirs_removed"] += 1
         repair = bd + ".repair"
         if os.path.isdir(repair):
-            blocks_live = os.path.isdir(bd) and any(
-                n.endswith(".parquet") for n in os.listdir(bd)
-            )
-            if blocks_live:
-                # repair staged but its delete-then-rename commit never
-                # started (blocks intact) — stale staging, safe to drop
+            if os.path.isdir(bd):
+                # blocks dir EXISTS (even legally empty — a fully-purged
+                # table keeps its dir): the repair's delete-then-rename
+                # commit never started, so .repair is stale staging.
+                # Rolling it forward here would resurrect pre-purge rows.
                 report["bytes_reclaimed"] += _du(repair)
                 fs.delete(_p(repair), True)
                 report["staging_dirs_removed"] += 1
             else:
-                # crash BETWEEN delete(blocks) and rename: .repair holds
-                # the only copy — roll the repair forward
-                fs.delete(_p(bd), True)  # empty/ghost dir blocks rename
+                # blocks dir GONE entirely = the exact crash window of
+                # repair_duplicate_blocks (fs.delete(bd) removes the dir
+                # itself; rename recreates it): .repair holds the only
+                # copy — roll the repair forward
                 fs.rename(_p(repair), _p(bd))
                 report["repairs_completed"] += 1
         tmpdir = os.path.join(bd, "_temporary")
@@ -1778,6 +1778,14 @@ def clone_state(
         load_deletes,
     )
 
+    from d6tstack_spark.plans.checkpoint import _manifest_path
+
+    # validate BEFORE taking the lease: _acquire_lease mkdirs its dir,
+    # and a mistyped source path should raise without side effects
+    if not os.path.exists(_manifest_path(src_dir)):
+        raise ValueError(
+            f"{src_dir} is not an encoded state dir (no manifest.json)"
+        )
     # the SOURCE writer lease: a concurrent purge/rollback would move
     # blocks live->retired under the copy loop and tear the clone
     lease = _acquire_lease(src_dir)

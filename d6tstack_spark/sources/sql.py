@@ -227,12 +227,21 @@ def to_sql_dbapi(
     collist = ", ".join(f'"{c}"' for c in cols)
     insert = f'INSERT INTO "{table}" ({collist}) VALUES ({placeholders})'
     copy_sql = f'COPY "{table}" ({collist}) FROM STDIN WITH (FORMAT csv)'
-    from pyspark.sql.types import BinaryType
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        MapType,
+        StructType,
+    )
 
-    # bytes values have no faithful CSV text form (str(b'..') reprs would
-    # corrupt bytea columns) — binary frames always take the executemany
-    # path, which passes bytes natively
-    has_binary = any(isinstance(f.dataType, BinaryType) for f in df.schema)
+    # bytes have no faithful CSV text form (str(b'..') reprs would
+    # corrupt bytea columns) and array/map/struct cells arrive as numpy
+    # arrays whose str() isn't server-parseable (and trips pd.isna) —
+    # frames with any such column always take the executemany path
+    has_binary = any(
+        isinstance(f.dataType, (ArrayType, BinaryType, MapType, StructType))
+        for f in df.schema
+    )
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io

@@ -367,6 +367,16 @@ def test_vacuum_completes_crashed_repair_instead_of_deleting(
     assert rep2["staging_dirs_removed"] == 1
     assert rep2["repairs_completed"] == 0
     assert _rows(decode_state(spark, sd)) == _rows(src)
+    # a legally EMPTY blocks dir (fully-purged table) + stale .repair
+    # must NOT roll forward — that would resurrect the purged rows
+    shutil.copytree(bd, bd + ".repair")
+    delete_where(spark, sd, "turn_idx >= 0")
+    purge_deletes(spark, sd, order_cols=ORDER)
+    assert decode_state(spark, sd).count() == 0
+    rep3 = vacuum_state(spark, sd)
+    assert rep3["repairs_completed"] == 0
+    assert rep3["staging_dirs_removed"] == 1
+    assert decode_state(spark, sd).count() == 0  # rows stay gone
 
 
 def test_clone_refuses_unscoped_tombstones(spark, tmp_path):
