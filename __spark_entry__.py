@@ -19,23 +19,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _encdec(spark: SparkSession, sf_dir: str, table: str, order_cols, bucket):
-    from d6tstack_spark.operators.encode import (
-        build_manifest,
-        build_shared_fsst_tables,
-        decode_table,
-        encode_table,
+    # round 6: slice-parallel scan-fused encode + exchange-free decode.
+    # The classic encode_table ran at parquet row-group parallelism (1-6
+    # tasks for the gate's single-file tables) and decode_table paid a
+    # blocks repartition; the sliced path sub-splits row groups up to
+    # cluster parallelism and decodes in the same stage — value- and
+    # schema-identical output (tests/test_encode_sliced.py), zero
+    # exchanges. ``bucket`` is kept for signature stability (the classic
+    # local-mode encode ignored bucket_col too).
+    from d6tstack_spark.operators.encode_sliced import (
+        decode_blocks_local,
+        encode_parquet_files_sliced,
     )
 
-    df = _t(spark, sf_dir, table)
-    # parquet-backed input → the caller can hand encode_table the same
-    # deterministic shared-FSST sample the scan-fused path builds itself
-    shared = build_shared_fsst_tables(
-        [f"{sf_dir}/{table}.parquet"], build_manifest(df.schema)
+    blocks, manifest = encode_parquet_files_sliced(
+        spark, f"{sf_dir}/{table}.parquet", order_cols=order_cols
     )
-    blocks, manifest = encode_table(
-        df, order_cols=order_cols, bucket_col=bucket, shared_fsst_tables=shared
-    )
-    return decode_table(blocks, manifest)
+    return decode_blocks_local(blocks, manifest)
 
 
 # ---------------------------------------------------------------------------

@@ -348,7 +348,10 @@ def _live_visibility(
     ``plans.explain.resolve_read_state`` plan from. Unscoped pending
     tombstones (no snapshot record: legacy dirs, or a crash between
     deletes.json and the log) apply globally (``_rec=None`` — their
-    creation time is unknown); scoped ones keep their sequence scope
+    creation time is unknown) UNLESS the item itself carries a ``seq``
+    field (only rollback_to_snapshot writes one, preserving the
+    re-added tombstone's original scope — honored even before its
+    snapshot record lands); scoped ones keep their sequence scope
     from the log. Mixing the two must NOT globalize the scoped ones:
     rows legally appended after a scoped delete stay exempt even while
     an unscoped tombstone pends."""
@@ -361,18 +364,25 @@ def _live_visibility(
         for t in r.get("tombstones", [])
     }
     unscoped_ids = {d["id"] for d in deletes if d["id"] not in recorded}
+    # an unrecorded pending tombstone that carries an explicit ``seq``
+    # was written by rollback_to_snapshot in the crash window between
+    # deletes.json and its snapshot record: its original scope is known
+    # and MUST be honored — applying it globally would silently
+    # over-delete rows in post-target files until the rollback re-runs
     vis: list[dict] = [
-        {**d, "_rec": None} for d in deletes if d["id"] in unscoped_ids
+        {**d, "_rec": d.get("seq")} for d in deletes if d["id"] in unscoped_ids
     ]
     seen: dict[str, int] = {}
     scoped = {d["id"] for d in deletes} - unscoped_ids
-    if recs and scoped:
+    need_seen = bool(scoped) or any(v["_rec"] is not None for v in vis)
+    if recs and need_seen:
         latest = recs[-1]["id"]
-        vis += [
-            t
-            for t in _visible_tombstones(recs, latest)
-            if t["id"] in scoped
-        ]
+        if scoped:
+            vis += [
+                t
+                for t in _visible_tombstones(recs, latest)
+                if t["id"] in scoped
+            ]
         seen = _first_seen_ids(recs, latest)
     return vis, seen
 

@@ -1678,8 +1678,19 @@ def vacuum_state(spark: SparkSession, state_dir: str) -> dict:
                 # blocks dir GONE entirely = the exact crash window of
                 # repair_duplicate_blocks (fs.delete(bd) removes the dir
                 # itself; rename recreates it): .repair holds the only
-                # copy — roll the repair forward
-                fs.rename(_p(repair), _p(bd))
+                # copy — roll the repair forward. The rename's boolean
+                # return is checked: a False here means .repair (the only
+                # copy of the blocks) was NOT adopted, and reporting a
+                # completed repair would mask a table left headless.
+                if not fs.rename(_p(repair), _p(bd)):
+                    raise RuntimeError(
+                        f"vacuum_state: adopting {repair} as the blocks dir"
+                        " failed (fs.rename returned false) — the repair"
+                        " staging dir still holds the only copy of the"
+                        " blocks; re-run vacuum_state after clearing"
+                        " whatever blocks the rename (permissions or a"
+                        " concurrent writer recreating the dir)."
+                    )
                 report["repairs_completed"] += 1
         tmpdir = os.path.join(bd, "_temporary")
         if os.path.isdir(tmpdir):

@@ -362,7 +362,13 @@ def ndv_estimates(
                 spark, _blocks_dir(state_dir), ".parquet"
             )
         ]
-        df = df.filter(F.col("file").isin(live))
+        # broadcast semi join, not isin: an In expression with 10^5+
+        # literals (one per live file) blows up plan construction — same
+        # fix as bloomidx's left_anti on retired files
+        live_df = spark.createDataFrame(
+            [(b,) for b in live], schema="file string"
+        )
+        df = df.join(F.broadcast(live_df), "file", "leftsemi")
     merged = (
         df.select(
             "column", F.posexplode("regs").alias("pos", "r")

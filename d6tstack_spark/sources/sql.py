@@ -266,21 +266,25 @@ def to_sql_dbapi(
                 )
                 for b in batches:
                     if copy is not None:
-                        lines = []
-                        for row in b[cols].itertuples(
-                            index=False, name=None
-                        ):
-                            fields = []
-                            for v in row:
-                                if v is None or pd.isna(v):
-                                    fields.append("")  # unquoted → NULL
-                                else:
-                                    fields.append(
-                                        '"'
-                                        + str(v).replace('"', '""')
-                                        + '"'
-                                    )
-                            lines.append(",".join(fields))
+                        # vectorized serialization (the per-cell python
+                        # loop eroded the 6x bulk-load win this path
+                        # exists for): per column, quote-and-escape the
+                        # whole Series, then mask nulls to the unquoted
+                        # empty field COPY csv reads as NULL. Same
+                        # escaping contract as before — every non-null
+                        # value quoted ('' stays '', not NULL).
+                        parts = None
+                        for c in cols:
+                            s = b[c]
+                            q = (
+                                '"'
+                                + s.astype(str).str.replace(
+                                    '"', '""', regex=False
+                                )
+                                + '"'
+                            ).mask(s.isna(), "")
+                            parts = q if parts is None else parts + "," + q
+                        lines = [] if parts is None else parts.tolist()
                         buf = io.StringIO(
                             "\n".join(lines) + ("\n" if lines else "")
                         )

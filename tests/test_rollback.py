@@ -395,3 +395,47 @@ def test_clone_refuses_unscoped_tombstones(spark, tmp_path):
         json.dump([{"id": 999, "where": "turn_idx = 0", "ts": 0}], f)
     with pytest.raises(ValueError, match="no snapshot record"):
         clone_state(spark, sd, str(tmp_path / "clone"))
+
+
+def test_rollback_crash_before_snapshot_record_stays_scoped(
+    spark, hist, monkeypatch
+):
+    """Crash window fix (round 6): rollback writes the re-added tombstones
+    into deletes.json and then records their snapshot entry — a crash
+    between the two used to leave them unscoped, so LIVE reads applied
+    them globally and silently over-deleted rows in post-target files.
+    The items carry an explicit ``seq``; _live_visibility now honors it
+    even before the snapshot record lands."""
+    from d6tstack_spark.plans import checkpoint as ckpt
+
+    sd, (s1, s2, s3, s4), src_a, src_ab = hist
+    real = ckpt._record_snapshot
+
+    def boom(state_dir, op, files, tombstones=None):
+        if op == "delete":
+            raise RuntimeError("injected crash before snapshot record")
+        return real(state_dir, op, files, tombstones=tombstones)
+
+    monkeypatch.setattr(ckpt, "_record_snapshot", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rollback_to_snapshot(spark, sd, s2)
+    monkeypatch.undo()
+
+    # crash window: the re-added tombstone pends with seq=s2 but no
+    # snapshot record. It must apply ONLY to files first seen before s2 —
+    # the post-purge rewrite files (first seen s3) and the appended b file
+    # (first seen s4) keep every row, including turn_idx = 0.
+    deletes = load_deletes(sd)
+    assert any(d.get("seq") == s2 for d in deletes)
+    live = _rows(decode_state(spark, sd))
+    want_window = sorted(
+        _rows(src_a.filter("turn_idx <> 0"))
+        + _rows(src_ab.subtract(src_a))
+    )
+    assert live == want_window  # b's turn_idx=0 rows survive the window
+
+    # re-running the rollback completes and lands on the target state
+    rollback_to_snapshot(spark, sd, s2)
+    assert _rows(decode_state(spark, sd)) == _rows(
+        src_a.filter("turn_idx <> 0")
+    )
