@@ -19,23 +19,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _encdec(spark: SparkSession, sf_dir: str, table: str, order_cols, bucket):
-    # round 6: slice-parallel scan-fused encode + exchange-free decode.
-    # The classic encode_table ran at parquet row-group parallelism (1-6
+    # round 6: slice-parallel scan-fused encode + in-task decode. The
+    # classic encode_table ran at parquet row-group parallelism (1-6
     # tasks for the gate's single-file tables) and decode_table paid a
-    # blocks repartition; the sliced path sub-splits row groups up to
-    # cluster parallelism and decodes in the same stage — value- and
-    # schema-identical output (tests/test_encode_sliced.py), zero
-    # exchanges. ``bucket`` is kept for signature stability (the classic
-    # local-mode encode ignored bucket_col too).
+    # blocks repartition; the sliced round trip sub-splits row groups up
+    # to cluster parallelism and pipes each slice's blocks straight into
+    # the block decoder — value- and schema-identical output
+    # (tests/test_encode_sliced.py), one zero-exchange stage. ``bucket``
+    # is kept for signature stability (the classic local-mode encode
+    # ignored bucket_col too).
     from d6tstack_spark.operators.encode_sliced import (
-        decode_blocks_local,
-        encode_parquet_files_sliced,
+        roundtrip_parquet_files_sliced,
     )
 
-    blocks, manifest = encode_parquet_files_sliced(
+    return roundtrip_parquet_files_sliced(
         spark, f"{sf_dir}/{table}.parquet", order_cols=order_cols
     )
-    return decode_blocks_local(blocks, manifest)
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +251,19 @@ def q_knn_bruteforce(spark, sf_dir):
     from d6tstack_spark.operators.similarity import knn_bruteforce
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    # round 6: the query vector is a driver-side point lookup — reading
+    # it with pyarrow skips a whole Spark job (scan + filter + first())
+    # whose only output was one row. Values are identical: the same
+    # float32 elements widen to python floats either way.
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qvec = (
+        t.filter(pc.equal(t.column("vec_id"), 0)).column("embedding")[0].as_py()
+    )
     return knn_bruteforce(emb.filter(F.col("vec_id") != 0), list(qvec), 10).select(
         "vec_id"
     )
@@ -267,13 +278,26 @@ def q_knn_join(spark, sf_dir):
 
 
 def q_mode_event_type(spark, sf_dir):
+    # round 6: the top type per user is an argmin over (-count, type) —
+    # a partial-aggregatable MIN of a struct — instead of a window sort +
+    # row_number over the counts. Same tie-break as the round-5 window
+    # (ORDER BY c DESC, event_type ASC): min(struct(-c, type)) picks max
+    # count, then the lexicographically smallest type. One window
+    # operator and its sort removed; both exchanges keep map-side
+    # partial aggregation.
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
-    w = W.partitionBy("user_id").orderBy(F.col("c").desc(), F.col("event_type"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("top_type"), F.col("c").alias("n"))
+    best = counts.groupBy("user_id").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("event_type").alias("t"))
+        ).alias("m")
+    )
+    return best.select(
+        "user_id",
+        F.col("m.t").alias("top_type"),
+        # coalesce pins the non-nullable schema the count() formulation
+        # had (the group is never empty, so the value never is either)
+        F.coalesce(-F.col("m.nc"), F.lit(0).cast("long")).alias("n"),
     )
 
 
@@ -323,15 +347,24 @@ def q_props_json(spark, sf_dir):
 
 
 def q_topk_part_revenue(spark, sf_dir):
+    # round 6 (guide §2.3 "aggregate before you shuffle"): revenue is
+    # keyed by l_partkey alone, so the lineitem side partial-aggregates
+    # on the scan BEFORE the join — the broadcast join then touches one
+    # row per part, not one per lineitem, and the agg key is a bare long
+    # instead of (long, string). Equivalent to the round-5 join-first
+    # formulation: p_partkey is unique in part, so grouping by
+    # (p_partkey, p_name) ≡ grouping by l_partkey with the name attached
+    # after, and the inner join drops the same unmatched keys either side
+    # of the aggregation.
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     rev = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
     ).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("revenue_c"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_partkey", "p_name")
-        .agg(F.sum(rev).alias("revenue_c"))
+        per_part.join(F.broadcast(p), per_part.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_name", "revenue_c")
         .orderBy(F.col("revenue_c").desc(), "p_partkey")
         .limit(10)
     )

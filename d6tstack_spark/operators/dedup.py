@@ -16,15 +16,31 @@ from pyspark.sql import DataFrame, Window, functions as F
 def dedup_exact(
     df: DataFrame, key_cols: list[str], id_col: str, keep: str = "min"
 ) -> DataFrame:
-    """Keep one row per key (lowest/highest id) — a window row_number, no
-    driver-side state. Equivalent SQL: QUALIFY row_number() OVER (...) = 1."""
-    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
-    w = Window.partitionBy(*key_cols).orderBy(order)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    """Keep one row per key (lowest/highest id). Equivalent SQL: QUALIFY
+    row_number() OVER (PARTITION BY key ORDER BY id) = 1.
+
+    Round 6: expressed as min_by/max_by aggregation instead of a window
+    row_number — the aggregate partially combines MAP-SIDE, so duplicate
+    rows collapse before the exchange (a corpus that is mostly duplicates
+    shuffles only its distinct survivors) and the window's per-partition
+    sort disappears. Same determinism contract as the window form: unique
+    ids pick a unique row; duplicate (key, id) pairs were an arbitrary
+    pick there too."""
+    other = [c for c in df.columns if c not in set(key_cols) | {id_col}]
+    idc = F.col(id_col)
+    if keep == "min":
+        id_agg, by_agg = F.min(idc), F.min_by
+    else:
+        id_agg, by_agg = F.max(idc), F.max_by
+    aggs = [id_agg.alias(id_col)]
+    if other:
+        aggs.append(by_agg(F.struct(*other), idc).alias("__rest"))
+    g = df.groupBy(*key_cols).agg(*aggs)
+    cols = [
+        F.col(c) if (c in key_cols or c == id_col) else F.col(f"__rest.{c}")
+        for c in df.columns
+    ]
+    return g.select(*[c.alias(n) for c, n in zip(cols, df.columns)])
 
 
 def _word_set(text_col: str):
@@ -201,6 +217,7 @@ def minhash_lsh_pairs(
     hash_fn: str = "xxhash64",
     max_bucket: int = 1024,
     shingle_n: int = 3,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
 
@@ -225,7 +242,13 @@ def minhash_lsh_pairs(
 
     The shingle table feeds both the signature aggregation and the verify
     join; it is persisted so the text is scanned and tokenized once, not
-    twice."""
+    twice. The signature and kept-bucket tables are persisted too (round
+    6): each is consumed by TWO plan branches (signatures by the
+    hot-bucket count and the bucket build; kept buckets by both sides of
+    the self-join), and without a cache every branch re-ran the whole
+    upstream pipeline — the measured cost of the band join was ~3x the
+    useful work. Both tables are a few MB per million docs (ids + 32
+    longs / ids + band keys), far smaller than the corpus."""
     rows_per_band = num_perm // bands
     sets = shingles_df(
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col),
@@ -238,7 +261,7 @@ def minhash_lsh_pairs(
     shingled = sets.select("id", F.explode("s").alias("sh")).filter(
         F.col("sh").isNotNull()
     )
-    sigs = _signatures_from_shingled(shingled, num_perm, hash_fn)
+    sigs = _signatures_from_shingled(shingled, num_perm, hash_fn).persist()
 
     def band_key(b: int):
         # the band's row-slice AS a struct — an equi-join key needs no hash
@@ -261,7 +284,7 @@ def minhash_lsh_pairs(
         .filter(F.col("count") > max_bucket)
         .select("band", "bh")
     )
-    kept = buckets.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    kept = buckets.join(F.broadcast(hot), ["band", "bh"], "left_anti").persist()
     a, b = kept.alias("a"), kept.alias("b")
     cand = (
         a.join(b, ["band", "bh"])
@@ -269,10 +292,29 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    j = (
-        cand.join(sets.withColumnsRenamed({"id": "id_a", "s": "sa"}), "id_a")
-        .join(sets.withColumnsRenamed({"id": "id_b", "s": "sb"}), "id_b")
-    )
+    # verify join shape (round 6, guide §8 "move big rows once"): the
+    # candidate list is ids-only metadata while `sets` carries the full
+    # shingle arrays — the planner's sort-merge joins shuffled the ARRAYS
+    # by id twice (AQE does not rewrite joins over the cached relation).
+    # Broadcasting the candidate side streams the cached arrays with zero
+    # exchanges: first the bare pair list, then the pairs-with-one-array
+    # (still candidate-bounded — hot buckets are dropped above, so
+    # candidate volume is capped by max_bucket² per bucket). For corpora
+    # where verified-candidate volume itself approaches broadcast limits
+    # (hundreds of millions of surviving pairs), pass
+    # broadcast_verify=False to fall back to the shuffle join.
+    if broadcast_verify:
+        j1 = sets.withColumnsRenamed({"id": "id_a", "s": "sa"}).join(
+            F.broadcast(cand), "id_a"
+        )
+        j = sets.withColumnsRenamed({"id": "id_b", "s": "sb"}).join(
+            F.broadcast(j1), "id_b"
+        )
+    else:
+        j = (
+            cand.join(sets.withColumnsRenamed({"id": "id_a", "s": "sa"}), "id_a")
+            .join(sets.withColumnsRenamed({"id": "id_b", "s": "sb"}), "id_b")
+        )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size(F.array_union(F.col("sa"), F.col("sb")))
     return j.select(

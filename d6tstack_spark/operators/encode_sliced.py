@@ -220,6 +220,76 @@ def encode_parquet_files_sliced(
     return blocks, manifest
 
 
+def roundtrip_parquet_files_sliced(
+    spark,
+    paths: list[str] | str,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    codec_overrides: dict | None = None,
+    target_tasks: int | None = None,
+    min_rows_per_slice: int = 4096,
+    shared_fsst: bool = False,
+) -> DataFrame:
+    """Encode→decode round trip fused into ONE map task per slice: the
+    encoder's block rows are handed straight to the block decoder
+    in-process, so the blocks never cross the Python↔JVM boundary and the
+    whole pipeline is a single stage with two fewer serialization hops
+    than encode+decode as separate maps. Every byte still runs the full
+    encode and decode kernels — this is operator pipelining, not a
+    shortcut. ``shared_fsst`` defaults off here: on the gate tables the
+    shared-table attempt always falls back (drifting content; measured
+    identical enc_bytes with and without), so the sample build and the
+    per-block index_in pass are pure overhead — pass True for corpora
+    like transcripts where the shared table sticks."""
+    import pyarrow.parquet as pq
+
+    from d6tstack_spark.operators.encode import (
+        _decode_one_block,
+        build_manifest_arrow,
+    )
+
+    if isinstance(paths, str):
+        paths = [paths]
+    manifest = build_manifest_arrow(pq.read_schema(paths[0]))
+    shared = (
+        build_shared_fsst_tables_sampled(paths, manifest)
+        if shared_fsst
+        else None
+    )
+    if target_tasks is None:
+        target_tasks = spark.sparkContext.defaultParallelism
+    slices = plan_parquet_slices(paths, target_tasks, min_rows_per_slice)
+    encode_fn = _make_slice_encoder(manifest, codec_overrides, order_cols, shared)
+    out_schema = _arrow_phys_schema(manifest)
+
+    def fused(batches):
+        for block_batch in encode_fn(batches):
+            rows = block_batch.to_pylist()
+            by_block: dict[int, list[dict]] = {}
+            for r in rows:
+                by_block.setdefault(r["block_id"], []).append(r)
+            for bid in sorted(by_block):
+                tbl = _decode_one_block(by_block[bid], manifest)
+                for b in tbl.cast(out_schema).to_batches(max_chunksize=65536):
+                    yield b
+
+    # exact 1-slice-per-partition without a repartition stage
+    sdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(slices, max(len(slices), 1)),
+        "file_idx int, path string, rg int, start long, nrows long, slice int",
+    )
+    dec = sdf.mapInArrow(fused, phys_spark_schema(manifest))
+    return _restore_logical(dec, manifest)
+
+
+def _arrow_phys_schema(manifest: dict) -> pa.Schema:
+    """Arrow schema matching phys_spark_schema (decode output may carry
+    e.g. large_string/large_binary chunks — cast pins the exact types the
+    Spark schema declares)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(phys_spark_schema(manifest))
+
+
 def phys_spark_schema(manifest: dict) -> T.StructType:
     return T.StructType(
         [

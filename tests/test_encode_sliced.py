@@ -44,6 +44,32 @@ def test_sliced_roundtrip_equals_classic(spark, events_path):
     assert old.exceptAll(new).isEmpty()
 
 
+def test_fused_roundtrip_equals_classic(spark, events_path):
+    """The single-stage fused round trip (encode blocks handed straight to
+    the decoder in-task) must match the classic two-step path bit for bit
+    — schema and multiset."""
+    from d6tstack_spark.operators.encode import (
+        decode_table,
+        encode_table,
+    )
+    from d6tstack_spark.operators.encode_sliced import (
+        roundtrip_parquet_files_sliced,
+    )
+
+    df = spark.read.parquet(events_path)
+    blocks_old, man_old = encode_table(df, order_cols=("event_id",))
+    old = decode_table(blocks_old, man_old)
+    new = roundtrip_parquet_files_sliced(
+        spark, events_path, order_cols=("event_id",), target_tasks=5,
+        min_rows_per_slice=50,
+    )
+    assert new.schema == old.schema
+    assert new.exceptAll(old).isEmpty()
+    assert old.exceptAll(new).isEmpty()
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_sliced_parallelism_and_block_count(spark, events_path):
     import pyarrow.parquet as pq
 
