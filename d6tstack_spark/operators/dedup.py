@@ -229,26 +229,29 @@ def minhash_lsh_pairs(
     row-slice hashes equal. Candidates then verify with exact shingle-set
     Jaccard ≥ threshold, so output precision is exact (recall is the LSH
     probability 1-(1-s^r)^b ≈ 0.985 at s=threshold=0.8 with the default
-    32 permutations × 8 bands). The band join is an equi-join on
-    (band_id, band_hash) — broadcastable/shuffle-hash.
+    32 permutations × 8 bands). Candidates come from one aggregation on
+    (band_id, band_hash) — see the round-6 note below.
 
     Skew discipline for 100 TB corpora: band buckets larger than
-    ``max_bucket`` are DROPPED before the self-join (a corpus with thousands
-    of identical/near-empty docs would otherwise put them all in one bucket
-    and the join goes quadratic). Identical documents belong to exact dedup
-    (dedup_exact / dedup by fingerprint), which runs before LSH in the
-    pipeline — see examples/pipeline_demo.py. The hot-bucket list is tiny by
-    construction and broadcast to an anti-join.
+    ``max_bucket`` are DROPPED before pair generation (a corpus with
+    thousands of identical/near-empty docs would otherwise put them all
+    in one bucket and go quadratic). Identical documents belong to exact
+    dedup (dedup_exact / dedup by fingerprint), which runs before LSH in
+    the pipeline — see examples/pipeline_demo.py.
 
     The shingle table feeds both the signature aggregation and the verify
     join; it is persisted so the text is scanned and tokenized once, not
-    twice. The signature and kept-bucket tables are persisted too (round
-    6): each is consumed by TWO plan branches (signatures by the
-    hot-bucket count and the bucket build; kept buckets by both sides of
-    the self-join), and without a cache every branch re-ran the whole
-    upstream pipeline — the measured cost of the band join was ~3x the
-    useful work. Both tables are a few MB per million docs (ids + 32
-    longs / ids + band keys), far smaller than the corpus."""
+    twice.
+
+    Round 6 band-join shape: ONE aggregation per (band, bucket) —
+    ``collect_list(id)`` with the hot-bucket cap applied as a size filter
+    on the collected array, pairs generated in-expression from each
+    bucket's id array. The round-5 shape (count-based hot list →
+    broadcast anti-join → equi self-join → distinct) computed the bucket
+    table three times and shuffled it three more; this computes it once
+    and shuffles it once, with identical candidate pairs (x < y within a
+    ≤ max_bucket bucket). Per-bucket pair expansion is O(k²) but k is
+    capped at max_bucket, exactly like the join it replaces."""
     rows_per_band = num_perm // bands
     sets = shingles_df(
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col),
@@ -261,7 +264,7 @@ def minhash_lsh_pairs(
     shingled = sets.select("id", F.explode("s").alias("sh")).filter(
         F.col("sh").isNotNull()
     )
-    sigs = _signatures_from_shingled(shingled, num_perm, hash_fn).persist()
+    sigs = _signatures_from_shingled(shingled, num_perm, hash_fn)
 
     def band_key(b: int):
         # the band's row-slice AS a struct — an equi-join key needs no hash
@@ -278,18 +281,25 @@ def minhash_lsh_pairs(
     buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    hot = (
+    grouped = (
         buckets.groupBy("band", "bh")
-        .count()
-        .filter(F.col("count") > max_bucket)
-        .select("band", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(
+            (F.size("ids") > 1) & (F.size("ids") <= F.lit(max_bucket))
+        )
     )
-    kept = buckets.join(F.broadcast(hot), ["band", "bh"], "left_anti").persist()
-    a, b = kept.alias("a"), kept.alias("b")
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x: F.transform(
+                F.filter("ids", lambda y: y > x),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # verify join shape (round 6, guide §8 "move big rows once"): the

@@ -74,8 +74,15 @@ def plan_parquet_slices(
             rgs.append((fi, p, rg, md.row_group(rg).num_rows))
     if not rgs:
         return []
-    per_rg = max(1, -(-target_tasks // len(rgs)))
-    per_rg = min(per_rg, 1 << _SLICE_BITS)
+    # floor division: N slices <= target_tasks means ONE task wave — a
+    # ceil here made 6 row groups x 6 slices = 36 tasks on 32 cores, and
+    # the 4-task second wave cost a full task latency. The cap bounds the
+    # per-row-group read redundancy (each slice re-reads its row group):
+    # past ~16x the redundant decompress outweighs the extra parallelism
+    # (measured: a 1-row-group table was fastest at 16 slices, slower at
+    # 32 and 64).
+    per_rg = max(1, target_tasks // len(rgs))
+    per_rg = min(per_rg, 16, 1 << _SLICE_BITS)
     slices = []
     for fi, p, rg, nrows in rgs:
         k = min(per_rg, max(1, nrows // min_rows_per_slice))
