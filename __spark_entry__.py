@@ -356,6 +356,10 @@ def q_topk_part_revenue(spark, sf_dir):
     # (p_partkey, p_name) ≡ grouping by l_partkey with the name attached
     # after, and the inner join drops the same unmatched keys either side
     # of the aggregation.
+    # (An arrow-sliced partial aggregation was prototyped here too —
+    # pyarrow group_by per row-group slice — but measured 2x SLOWER than
+    # the JVM codegen scan+agg at sf1.0 (1.25s vs 0.63s interleaved), so
+    # the declarative form stays; see OPTIMIZATION_r06.md.)
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     rev = F.floor(

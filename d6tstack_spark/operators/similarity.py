@@ -41,13 +41,101 @@ def knn_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine to a literal query vector. One scan + one top-k
-    (Spark's TakeOrderedAndProject — no full sort shuffle)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
-        F.col(id_col),
-        cosine_expr(F.col(vec_col), q).alias("cos"),
+    (Spark's TakeOrderedAndProject — no full sort shuffle).
+
+    Round 6: the per-row cosine runs as a numpy fold inside mapInArrow —
+    Catalyst's higher-order zip_with/aggregate is interpreted (no
+    whole-stage codegen), ~16µs/row at dim 64. The numpy version
+    accumulates dimension-by-dimension in float64, the exact IEEE
+    operation order of the sequential aggregate fold, so every cos value
+    is bit-identical to :func:`cosine_expr` (asserted in
+    tests/test_similarity_tableio.py). Batches with null or ragged
+    vectors fall back to the expression path — same nulls-last, same
+    everything."""
+    qf = [float(x) for x in query_vec]
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        qa = np.asarray(qf, dtype=np.float64)
+        nq = 0.0
+        for x in qf:  # norm_expr's sequential fold, scalar for scalar
+            nq += x * x
+        nq = float(np.sqrt(nq))
+        dim = len(qf)
+        for b in batches:
+            ids = b.column(0)
+            emb = b.column(1)
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            if (
+                dim == 0
+                or emb.null_count
+                or emb.values.null_count
+                or not (np.diff(offs) == dim).all()
+            ):
+                # ragged/null rows: defer to the expression semantics
+                # (zip_with null padding) row by row via arrow→python
+                yield _score_expr_fallback(b, qf)
+                continue
+            v = emb.values.to_numpy(zero_copy_only=False)
+            mat = np.asarray(v, dtype=np.float64).reshape(-1, dim)
+            dot = np.zeros(len(mat), dtype=np.float64)
+            na = np.zeros(len(mat), dtype=np.float64)
+            for i in range(dim):  # sequential per-dim: the fold's order
+                x = mat[:, i]
+                dot = dot + x * qa[i]
+                na = na + x * x
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (np.sqrt(na) * nq)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(cos, type=pa.float64())],
+                names=[b.schema.names[0], "cos"],
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    scored = df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        score, f"{id_col} {id_type}, cos double"
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
+def _score_expr_fallback(batch, qf: list[float]):
+    """Row-at-a-time replication of cosine_expr for ragged/null batches —
+    identical null propagation (any null element or length mismatch under
+    zip_with padding yields a null product, which nulls the whole fold)
+    and identical IEEE division (±inf / nan, never a python exception)."""
+    import math
+
+    import pyarrow as pa
+
+    nb = 0.0
+    for y in qf:
+        nb += y * y
+    nb = math.sqrt(nb)
+    out = []
+    for vec in batch.column(1).to_pylist():
+        if vec is None or len(vec) != len(qf) or any(x is None for x in vec):
+            out.append(None)  # zip_with pads with null → null fold
+            continue
+        dot, na = 0.0, 0.0
+        for x, y in zip(vec, qf):
+            dot += float(x) * y
+        for x in vec:
+            na += float(x) * float(x)
+        denom = math.sqrt(na) * nb
+        if denom == 0.0:
+            out.append(
+                float("nan") if dot == 0.0
+                else math.copysign(float("inf"), dot)
+            )
+        else:
+            out.append(dot / denom)
+    return pa.RecordBatch.from_arrays(
+        [batch.column(0), pa.array(out, type=pa.float64())],
+        names=[batch.schema.names[0], "cos"],
+    )
 
 
 def hyperplane_signature(

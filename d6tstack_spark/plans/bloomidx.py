@@ -581,24 +581,56 @@ def bloom_prune_basenames(
 
     universe = set(basenames)
 
+    # ---- batched probing (round 6): the round-5 shape ran one tiny
+    # Spark job per (column, probe) per DNF branch plus one per IN
+    # conjunct — a 20-value IN-list scheduled ~dozens of serial jobs.
+    # All probes now evaluate in ONE aggregation over the sidecar: per
+    # file, a miss flag per distinct (column, probe bytes); one collect
+    # of (file, flags); the DNF/IN set algebra runs on the driver over
+    # those flags. Miss semantics are unchanged — a file misses a probe
+    # iff it HAS a (size-gated) index row for that column whose bitmap
+    # rules the value out; files without a row always pass.
+    probe_ix: dict[tuple, int] = {}
+    for col, probes in ins:
+        for b in probes:
+            probe_ix.setdefault((col, b), len(probe_ix))
+    for probes in branches:
+        for col, b in probes:
+            probe_ix.setdefault((col, b), len(probe_ix))
+    if not probe_ix:
+        return basenames
+    flags = []
+    for (col, b), i in probe_ix.items():
+        hit = None
+        for pos in _positions(b, mb):
+            c = _bit_hit(pos)
+            hit = c if hit is None else (hit & c)
+        flags.append(
+            F.max(
+                F.when((F.col("column") == col) & (~hit), 1).otherwise(0)
+            ).alias(f"m{i}")
+        )
+    cols_needed = sorted({col for col, _ in probe_ix})
+    rows = (
+        idx.filter(F.col("column").isin(cols_needed))
+        .groupBy("file")
+        .agg(*flags)
+        .collect()
+    )
+    miss: list[set] = [set() for _ in probe_ix]
+    for r in rows:
+        for i in range(len(probe_ix)):
+            if r[f"m{i}"] == 1:
+                miss[i].add(r["file"])
+
     # top-level IN conjuncts constrain every row: a file where ALL the
     # listed values miss leaves the universe outright
     for col, probes in ins:
-        any_hit = None
+        all_miss = None
         for b in probes:
-            hit = None
-            for pos in _positions(b, mb):
-                c = _bit_hit(pos)
-                hit = c if hit is None else (hit & c)
-            any_hit = hit if any_hit is None else (any_hit | hit)
-        misses = (
-            idx.filter(F.col("column") == col)
-            .filter(~any_hit)
-            .select("file")
-            .distinct()
-            .collect()
-        )
-        universe -= {r[0] for r in misses}
+            m = miss[probe_ix[(col, b)]]
+            all_miss = set(m) if all_miss is None else (all_miss & m)
+        universe -= all_miss or set()
     if not universe:
         return []
 
@@ -610,22 +642,11 @@ def bloom_prune_basenames(
     for probes in branches:
         ruled_out: set[str] = set()
         for col, b in probes:
-            hit = None
-            for pos in _positions(b, mb):
-                c = _bit_hit(pos)
-                hit = c if hit is None else (hit & c)
-            misses = (
-                idx.filter(F.col("column") == col)
-                .filter(~hit)
-                .select("file")
-                .distinct()
-                .collect()
-            )
-            ruled_out |= {r[0] for r in misses}
+            ruled_out |= miss[probe_ix[(col, b)]]
         branch_alive = universe - ruled_out
         alive = branch_alive if alive is None else (alive | branch_alive)
         if alive == universe:
-            break  # nothing more prunable — stop probing early
+            break  # nothing more prunable — stop probing
     if alive is None:  # IN constraints only (no usable DNF branch)
         alive = universe
     return [b for b in basenames if b in alive]

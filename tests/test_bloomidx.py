@@ -426,3 +426,35 @@ def test_build_validates(spark, state):
         build_bloom_index(spark, sd, [])
     with pytest.raises(ValueError, match="multiple of 64"):
         build_bloom_index(spark, sd, ["conv_id"], m_bits=100)
+
+
+def test_in_list_probes_run_one_job(spark, state, monkeypatch):
+    """Round-6 batching: a many-value IN probes every (column, value) in
+    ONE aggregation + ONE collect — the round-5 shape scheduled one tiny
+    Spark job per probe. Counted via DataFrame.collect, which the batched
+    path calls exactly once; the pruned set is unchanged (covered by the
+    value tests above)."""
+    # patch the concrete class (pyspark 4's classic DataFrame overrides
+    # collect; patching the abstract base would count nothing)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    paths, sd, src = state
+    build_bloom_index(spark, sd, ["conv_id", "seq"])
+    manifest = load_manifest(sd)
+    names = _basenames(sd)
+    calls = []
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        calls.append(1)
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    in_list = ", ".join(str(100000 + i) for i in range(20))
+    kept = bloom_prune_basenames(
+        spark, sd, manifest, f"seq IN ({in_list})", names
+    )
+    assert len(calls) == 1
+    # the 20 values live in one source file's seq range — the index must
+    # still prune to a single block file through the batched path
+    assert len(kept) == 1

@@ -199,3 +199,42 @@ def test_ann_index_persist_and_reload(spark, emb, tmp_path):
     got_ivf = [r["vec_id"] for r in ivf_search(
         idx2["data"], idx2["arrays"], q, 10, n_probe=3).collect()]
     assert got_ivf == want_ivf
+
+
+def test_knn_bruteforce_numpy_cosine_bit_identical(spark, sf_dir):
+    """Round-6 fast path: knn_bruteforce scores in numpy with the exact
+    sequential per-dimension fold of cosine_expr — every cos value must be
+    BIT-identical to the expression path, and null/ragged vectors must
+    null out exactly like zip_with padding."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from d6tstack_spark.operators.similarity import (
+        cosine_expr,
+        knn_bruteforce,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") != 0
+    )
+    qvec = [float(x) for x in emb.first()["embedding"]]
+    n = emb.count()
+    q = F.array(*[F.lit(x) for x in qvec])
+    old = (
+        emb.select("vec_id", cosine_expr(F.col("embedding"), q).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(n)
+        .collect()
+    )
+    new = knn_bruteforce(emb, qvec, n).collect()
+    assert len(old) == len(new) == n
+    for a, b in zip(old, new):
+        assert a["vec_id"] == b["vec_id"]
+        assert struct.pack("d", a["cos"]) == struct.pack("d", b["cos"])
+
+    rows = [(1, [1.0, 2.0, 3.0]), (2, None), (3, [1.0, None, 3.0]), (4, [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cos"] for r in knn_bruteforce(df, [1.0, 1.0, 1.0], 4).collect()}
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert abs(got[1] - 0.9258200997725515) < 1e-15
