@@ -239,10 +239,6 @@ def minhash_lsh_pairs(
     dedup (dedup_exact / dedup by fingerprint), which runs before LSH in
     the pipeline — see examples/pipeline_demo.py.
 
-    The shingle table feeds both the signature aggregation and the verify
-    join; it is persisted so the text is scanned and tokenized once, not
-    twice.
-
     Round 6 band-join shape: ONE aggregation per (band, bucket) —
     ``collect_list(id)`` with the hot-bucket cap applied as a size filter
     on the collected array, pairs generated in-expression from each
@@ -251,20 +247,51 @@ def minhash_lsh_pairs(
     table three times and shuffled it three more; this computes it once
     and shuffles it once, with identical candidate pairs (x < y within a
     ≤ max_bucket bucket). Per-bucket pair expansion is O(k²) but k is
-    capped at max_bucket, exactly like the join it replaces."""
+    capped at max_bucket, exactly like the join it replaces.
+
+    Round 6 fused signature table: ONE cached table (id, shingle array,
+    h0..h{num_perm-1}) built by a single groupBy(id) over the exploded
+    shingles — ``first(s)`` carries the pre-built array through the
+    aggregation, so the shingle arrays and the minhash signature
+    materialize together. The groupBy's exchange is elided (its input is
+    the repartition-by-id, whose hash partitioning already clusters the
+    keys), and every consumer — band bucketing AND both verify joins —
+    reads the one cache, so the num_perm hash evaluations per shingle run
+    exactly once instead of once per downstream pass. (The previous shape
+    cached only the arrays; the signature aggregation and its exchange
+    re-ran over the exploded cache on every action against the result.)"""
     rows_per_band = num_perm // bands
-    sets = shingles_df(
+    src = shingles_df(
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col),
         id_col,
         text_col,
         n=shingle_n,
-    ).persist()
+    )
     # null shingles (null text) drop out: a doc with no tokenizable text can
     # never be a near-duplicate and a null hash would poison the band hash
-    shingled = sets.select("id", F.explode("s").alias("sh")).filter(
+    exploded = src.select("id", "s", F.explode("s").alias("sh")).filter(
         F.col("sh").isNotNull()
     )
-    sigs = _signatures_from_shingled(shingled, num_perm, hash_fn)
+    if hash_fn == "md5":
+        exploded = exploded.withColumn("u1", F.expr(_H1_SQL)).withColumn(
+            "u2", F.expr(_H2_SQL)
+        )
+        sig_aggs = [
+            F.min(
+                (F.col("u1") + F.lit(i) * F.col("u2")) % F.lit(MINHASH_P)
+            ).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        sig_aggs = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    base = (
+        exploded.groupBy("id").agg(F.first("s").alias("s"), *sig_aggs).persist()
+    )
+    sets = base.select("id", "s")
+    sigs = base
 
     def band_key(b: int):
         # the band's row-slice AS a struct — an equi-join key needs no hash
