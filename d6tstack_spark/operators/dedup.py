@@ -61,21 +61,28 @@ def shingles_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
 
     Built as zip_with over n shifted slices of a MATERIALIZED token column:
     a transform(...element_at(tokens,...)) lambda would re-evaluate the
-    split() per element (no CSE inside lambda bodies) and go quadratic."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    split() per element (no CSE inside lambda bodies) and go quadratic.
+
+    The expression trees are built as SQL text (one JVM parse per select)
+    rather than Column-by-Column: the py4j chatter of assembling the
+    nested zip_with/lambda tree call-by-call measured ~0.1 s of driver
+    time per invocation — pure plan-construction latency (guide §7.3)."""
+    k = f"(size(toks) - {n - 1})"
+    g = f"slice(toks, 1, greatest({k}, 0))"
+    for i in range(1, n):
+        g = (
+            f"zip_with({g}, slice(toks, {i + 1}, greatest({k}, 0)),"
+            f" (x, y) -> concat(x, ' ', y))"
+        )
+    d = df.selectExpr(
+        f"`{id_col}` AS id",
+        f"filter(split(lower(`{text_col}`), '[^a-z0-9]+'), x -> x != '') AS toks",
     )
-    d = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    k = F.size(F.col("toks")) - (n - 1)
-    slices = [
-        F.slice(F.col("toks"), F.lit(i + 1), F.greatest(k, F.lit(0)))
-        for i in range(n)
-    ]
-    g = slices[0]
-    for s in slices[1:]:
-        g = F.zip_with(g, s, lambda x, y: F.concat(x, F.lit(" "), y))
-    grams = F.when(k >= 1, g).otherwise(F.array(F.array_join(F.col("toks"), " ")))
-    return d.select("id", F.array_sort(F.array_distinct(grams)).alias("s"))
+    return d.selectExpr(
+        "id",
+        f"array_sort(array_distinct(CASE WHEN {k} >= 1 THEN {g}"
+        f" ELSE array(array_join(toks, ' ')) END)) AS s",
+    )
 
 
 def jaccard_pairs(
@@ -259,7 +266,16 @@ def minhash_lsh_pairs(
     reads the one cache, so the num_perm hash evaluations per shingle run
     exactly once instead of once per downstream pass. (The previous shape
     cached only the arrays; the signature aggregation and its exchange
-    re-ran over the exploded cache on every action against the result.)"""
+    re-ran over the exploded cache on every action against the result.)
+
+    Expression trees are built as SQL text (F.expr/selectExpr — one JVM
+    parse each) instead of Column-by-Column: the py4j chatter of
+    assembling them call-by-call measured ~0.3 s of driver latency per
+    invocation before a single task ran (guide §7.3 "planning time itself
+    can become the bottleneck"). A full two-statement spark.sql rewrite
+    was also tried and REVERTED: the DataFrame-substitution arg breaks
+    CacheManager matching for the persisted signature table, so the base
+    recomputed once per reference."""
     rows_per_band = num_perm // bands
     src = shingles_df(
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col),
@@ -277,56 +293,45 @@ def minhash_lsh_pairs(
             "u2", F.expr(_H2_SQL)
         )
         sig_aggs = [
-            F.min(
-                (F.col("u1") + F.lit(i) * F.col("u2")) % F.lit(MINHASH_P)
-            ).alias(f"h{i}")
+            F.expr(f"min((u1 + {i} * u2) % {MINHASH_P}) AS h{i}")
             for i in range(num_perm)
         ]
     else:
         sig_aggs = [
-            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_perm)
+            F.expr(f"min(xxhash64(sh, {i})) AS h{i}") for i in range(num_perm)
         ]
     base = (
-        exploded.groupBy("id").agg(F.first("s").alias("s"), *sig_aggs).persist()
+        exploded.groupBy("id")
+        .agg(F.expr("first(s) AS s"), *sig_aggs)
+        .persist()
     )
     sets = base.select("id", "s")
-    sigs = base
 
-    def band_key(b: int):
+    def band_key(b: int) -> str:
         # the band's row-slice AS a struct — an equi-join key needs no hash
-        cols = [
-            F.col(f"h{b * rows_per_band + r}").alias(f"k{r}")
-            for r in range(rows_per_band)
-        ]
-        return F.struct(*cols)
+        ks = ", ".join(
+            f"h{b * rows_per_band + r} AS k{r}" for r in range(rows_per_band)
+        )
+        return f"struct({ks})"
 
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
-        for b in range(bands)
-    ]
-    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    band_arr = ", ".join(
+        f"struct({b} AS band, {band_key(b)} AS bh)" for b in range(bands)
     )
+    buckets = base.selectExpr(
+        "id", f"explode(array({band_arr})) AS bb"
+    ).selectExpr("id", "bb.band AS band", "bb.bh AS bh")
     grouped = (
         buckets.groupBy("band", "bh")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(
-            (F.size("ids") > 1) & (F.size("ids") <= F.lit(max_bucket))
-        )
+        .agg(F.expr("collect_list(id) AS ids"))
+        .filter(F.expr(f"size(ids) > 1 AND size(ids) <= {max_bucket}"))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x: F.transform(
-                F.filter("ids", lambda y: y > x),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    pair_arr = (
+        "flatten(transform(ids, x -> transform(filter(ids, y -> y > x),"
+        " y -> struct(x AS id_a, y AS id_b))))"
     )
     cand = (
-        grouped.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
+        grouped.selectExpr(f"explode({pair_arr}) AS p")
+        .selectExpr("p.id_a", "p.id_b")
         .distinct()
     )
     # verify join shape (round 6, guide §8 "move big rows once"): the
