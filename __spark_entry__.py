@@ -14,8 +14,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
 
+# Schema-by-path memo for the driver-generated (read-only) gate tables:
+# spark.read.parquet re-lists and re-reads the footer to infer the schema on
+# EVERY call (~60-80 ms of driver latency each, guide §7.3); supplying the
+# previously inferred StructType skips that. Metadata only — no rows, plans
+# or results are memoized, and every action still computes from the parquet.
+_T_SCHEMAS: dict[str, object] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _T_SCHEMAS.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _T_SCHEMAS[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def _encdec(spark: SparkSession, sf_dir: str, table: str, order_cols, bucket):
@@ -115,26 +129,28 @@ def q_compression_stats_embeddings(spark, sf_dir):
 
 
 def q_tpch_q1(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    out = (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
-            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_c"),
-            F.sum(cents(disc_price)).alias("sum_disc_c"),
-            F.sum(cents(charge)).alias("sum_charge_c"),
-            F.count("*").alias("count_order"),
-        )
-        .withColumn(
-            "avg_qty",
-            F.col("sum_qty").cast("double") / F.col("count_order").cast("double"),
-        )
+    # one spark.sql statement (identical expression trees as SQL text):
+    # the Column-by-Column build cost ~0.1 s of py4j/analysis latency per
+    # invocation (guide §7.3) — a third of this query's whole wall
+    cents = "CAST(floor({} * 100 + 0.5) AS BIGINT)"
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"({disc_price}) * (1 + l_tax)"
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               sum({cents.format("l_extendedprice")}) AS sum_base_c,
+               sum({cents.format(f"({disc_price})")}) AS sum_disc_c,
+               sum({cents.format(f"({charge})")}) AS sum_charge_c,
+               count(*) AS count_order,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS avg_qty
+        FROM {{li}}
+        WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP_NTZ)
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        li=_t(spark, sf_dir, "lineitem"),
     )
-    return out
 
 
 def q_stack_drift_orders(spark, sf_dir):
@@ -285,19 +301,23 @@ def q_mode_event_type(spark, sf_dir):
     # count, then the lexicographically smallest type. One window
     # operator and its sort removed; both exchanges keep map-side
     # partial aggregation.
-    ev = _t(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
-    best = counts.groupBy("user_id").agg(
-        F.min(
-            F.struct((-F.col("c")).alias("nc"), F.col("event_type").alias("t"))
-        ).alias("m")
-    )
-    return best.select(
-        "user_id",
-        F.col("m.t").alias("top_type"),
-        # coalesce pins the non-nullable schema the count() formulation
-        # had (the group is never empty, so the value never is either)
-        F.coalesce(-F.col("m.nc"), F.lit(0).cast("long")).alias("n"),
+    # (one spark.sql statement — same expression trees, ~0.07 s less
+    # py4j/analysis construction latency per invocation, guide §7.3)
+    return spark.sql(
+        """
+        WITH counts AS (
+          SELECT user_id, event_type, count(*) AS c
+          FROM {ev} GROUP BY user_id, event_type
+        ), best AS (
+          SELECT user_id,
+                 min(struct(-c AS nc, event_type AS t)) AS m
+          FROM counts GROUP BY user_id
+        )
+        SELECT user_id, m.t AS top_type,
+               coalesce(-m.nc, CAST(0 AS BIGINT)) AS n
+        FROM best
+        """,
+        ev=_t(spark, sf_dir, "events"),
     )
 
 
@@ -317,25 +337,29 @@ def q_event_runs(spark, sf_dir):
 
 
 def q_sessionize(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # (one spark.sql statement — same lag + running-sum window over one
+    # partitioning; ~0.07 s less construction latency, guide §7.3)
     gap_us = 3_600_000_000  # 1 hour
-    x = ev.withColumn("pts", F.lag("ts").over(w)).withColumn(
-        "brk",
-        F.when(
-            F.col("pts").isNull()
-            | (
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                - F.unix_micros(F.col("pts").cast("timestamp"))
-                > gap_us
-            ),
-            1,
-        ).otherwise(0),
-    )
-    return x.select(
-        "user_id",
-        "event_id",
-        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("session_id"),
+    return spark.sql(
+        f"""
+        WITH x AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS pts
+          FROM {{ev}}
+        )
+        SELECT user_id, event_id,
+               sum(CASE WHEN pts IS NULL
+                          OR unix_micros(CAST(ts AS TIMESTAMP))
+                             - unix_micros(CAST(pts AS TIMESTAMP))
+                             > {gap_us}
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM x
+        """,
+        ev=_t(spark, sf_dir, "events"),
     )
 
 
@@ -360,17 +384,23 @@ def q_topk_part_revenue(spark, sf_dir):
     # pyarrow group_by per row-group slice — but measured 2x SLOWER than
     # the JVM codegen scan+agg at sf1.0 (1.25s vs 0.63s interleaved), so
     # the declarative form stays; see OPTIMIZATION_r06.md.)
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    rev = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
-    ).cast("long")
-    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("revenue_c"))
-    return (
-        per_part.join(F.broadcast(p), per_part.l_partkey == p.p_partkey)
-        .select("p_partkey", "p_name", "revenue_c")
-        .orderBy(F.col("revenue_c").desc(), "p_partkey")
-        .limit(10)
+    # (one spark.sql statement — same aggregate-before-broadcast-join
+    # shape; ~0.1 s less construction latency, guide §7.3)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(p) */ p.p_partkey, p.p_name, a.revenue_c
+        FROM (
+          SELECT l_partkey,
+                 sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT)) AS revenue_c
+          FROM {li} GROUP BY l_partkey
+        ) a
+        JOIN {p} p ON a.l_partkey = p.p_partkey
+        ORDER BY a.revenue_c DESC, p.p_partkey
+        LIMIT 10
+        """,
+        li=_t(spark, sf_dir, "lineitem"),
+        p=_t(spark, sf_dir, "part"),
     )
 
 
